@@ -1,0 +1,102 @@
+"""Crawl configuration.
+
+Mirrors the reference's nutch-default.xml knobs that affect dataflow
+semantics (reference: /root/reference/conf/nutch-default.xml). One flat
+dataclass instead of Hadoop Configuration; every operator takes a
+CrawlConfig explicitly so jobs are pure functions of (tables, config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # --- injection (reference: crawl/Injector.java:58-61) ---
+    db_score_injected: float = 1.0          # db.score.injected
+    db_fetch_interval_default: int = 30 * 24 * 3600  # db.fetch.interval.default (sec)
+    db_fetch_interval_max: int = 90 * 24 * 3600      # db.fetch.interval.max (sec)
+    inject_overwrite: bool = False
+    inject_update: bool = False
+
+    # --- generator (reference: crawl/Generator.java:131-168) ---
+    topn: int = 10_000                       # production parameter.txt:1
+    gen_delay_ms: int = 7 * 24 * 3600 * 1000  # crawl.gen.delay
+    gen_min_score: float = 0.0               # generate.min.score
+    gen_min_interval: int = -1               # generate.min.interval
+    gen_max_count: int = -1                  # generate.max.count (-1 = no cap)
+    gen_count_mode: str = "byHost"           # generate.count.mode
+    gen_max_num_segments: int = 1            # -maxNumSegments
+    gen_cur_time_ms: int = 0                 # set per cycle (no wall clock in kernels)
+    gen_update_crawldb: bool = False         # generate.update.crawldb
+    partition_mode: str = "byHost"           # partition.url.mode
+    partition_seed: int = 42                 # partition.url.seed (fixed for reproducibility)
+    num_partitions: int = 32                 # reducer count analogue
+    salt_buckets: int = 8                    # explicit skew salting (north_rule P5)
+
+    # --- fetcher (reference: fetcher/Fetcher.java + nutch-default.xml:662-791) ---
+    fetcher_server_delay_ms: int = 5_000     # fetcher.server.delay (5.0 s)
+    fetcher_server_min_delay_ms: int = 0     # fetcher.server.min.delay
+    fetcher_threads: int = 10                # fetcher.threads.fetch (virtual, per partition)
+    fetcher_threads_per_queue: int = 1       # fetcher.threads.per.queue
+    fetcher_max_crawl_delay_ms: int = 30_000  # fetcher.max.crawl.delay
+    fetcher_max_exceptions_per_queue: int = -1
+    fetcher_timelimit_ms: int = -1           # fetcher.timelimit.mins (virtual ms)
+    http_redirect_max: int = 0               # http.redirect.max (1.6 default: 0 -> defer)
+    fetcher_store_content: bool = True
+    fetch_duration_ms: int = 100             # deterministic simulated fetch cost
+
+    # --- robots ---
+    robots_agent: str = "nutch-spark"
+    robots_403_forbid_all: bool = False
+
+    # --- parse (reference: parse/ParseOutputFormat.java, nutch-default.xml:449-474) ---
+    db_max_outlinks_per_page: int = 100      # db.max.outlinks.per.page
+    db_ignore_external_links: bool = False
+    db_ignore_internal_links: bool = True    # db.ignore.internal.links (linkdb)
+    db_max_anchor_length: int = 100          # db.max.anchor.length
+    db_max_inlinks: int = 10_000             # db.max.inlinks
+    parse_skip_truncated: bool = True        # parser.skip.truncated
+
+    # --- scoring: OPIC (reference: scoring/opic/OPICScoringFilter.java) ---
+    db_score_link_internal: float = 1.0      # db.score.link.internal
+    db_score_link_external: float = 1.0      # db.score.link.external
+    db_score_count_filtered: bool = False    # db.score.count.filtered
+    db_update_max_inlinks: int = 10_000      # db.update.max.inlinks (top-K inlink cap)
+    indexer_score_power: float = 0.5         # indexer.score.power
+
+    # --- updatedb / schedule (reference: crawl/AbstractFetchSchedule.java:105-141) ---
+    db_fetch_retry_max: int = 3              # db.fetch.retry.max
+    db_fetch_schedule_adaptive: bool = False
+    adaptive_inc_rate: float = 0.4           # db.fetch.schedule.adaptive.inc_rate
+    adaptive_dec_rate: float = 0.2           # db.fetch.schedule.adaptive.dec_rate
+    adaptive_min_interval: int = 60          # .min_interval (sec)
+    adaptive_max_interval: int = 365 * 24 * 3600
+    adaptive_sync_delta: bool = True
+    adaptive_sync_delta_rate: float = 0.3
+    db_update_additions_allowed: bool = True  # db.update.additions.allowed
+    db_update_purge_404: bool = False         # db.update.purge.404
+    retry_delay_ms: int = 24 * 3600 * 1000    # 1 day added per retry
+    gone_backoff_factor: float = 1.5          # gone: interval *= 1.5
+
+    # --- seen-set sketch ---
+    seen_bits_per_bucket: int = 1 << 22      # 4 Mbit bitmap per host bucket
+    seen_num_hashes: int = 5
+    seen_buckets: int = 64
+
+    # --- misc ---
+    signature_impl: str = "md5"              # md5 | text_profile
+    interval_clamp_factor: float = 1.5       # AbstractFetchSchedule:171-185 clamp
+
+    metadata: dict = field(default_factory=dict)
+
+    @property
+    def politeness_key(self) -> str:
+        """Column used as the politeness/queue unit (host by default)."""
+        return {"byHost": "host", "byDomain": "domain", "byIP": "host"}[
+            self.partition_mode
+        ]
+
+
+DEFAULT = CrawlConfig()

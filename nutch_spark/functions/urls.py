@@ -1,0 +1,260 @@
+"""URL kernels: normalization, filtering, host/domain extraction, hashes.
+
+These are determinism-critical — the URL-seen set is keyed by the normalized
+URL, so two runs (or two cluster sizes) must normalize identically.
+
+Semantics reproduced from the reference (cited per function):
+- BasicURLNormalizer rules (plugin/urlnormalizer-basic/.../BasicURLNormalizer.java:88-197)
+- Regex +/- filter, first match decides (plugin/lib-regex-filter/.../RegexURLFilterBase.java)
+- fetchlist ordering hash (crawl/Generator.java:389-397)
+
+All batch kernels are pandas-vectorized where possible and exposed both as
+plain Python (for tests/driver code) and as pandas UDFs (for DataFrames).
+Per-row Python exists only inside Arrow-batched UDFs, never as Spark
+row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from urllib.parse import urlsplit, urlunsplit
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, IntegerType, StringType
+
+# ---------------------------------------------------------------------------
+# Normalization (reference: BasicURLNormalizer.java:88-197)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+_SLASH_DOT_RE = re.compile(r"/\./")            # "/./" -> "/"
+_DOUBLE_SLASH_RE = re.compile(r"(?<!:)//+")     # "//" in path -> "/"
+_UP_DIR_RE = re.compile(r"/[^/]+/\.\./")        # "/aa/../" -> "/"
+
+
+@lru_cache(maxsize=1 << 16)
+def normalize_url(url: str) -> str | None:
+    """Normalize one URL; returns None for malformed input.
+
+    Rules (BasicURLNormalizer.java:88-197): lowercase scheme and host, strip
+    default port, strip fragment, empty path -> '/', resolve '/./', '/../'
+    and collapse duplicate slashes in the path.
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme or not parts.netloc:
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    # iteratively resolve ./ and ../ and // (the reference loops until fixpoint)
+    prev = None
+    while prev != path:
+        prev = path
+        path = _SLASH_DOT_RE.sub("/", path)
+        path = _UP_DIR_RE.sub("/", path)
+        path = _DOUBLE_SLASH_RE.sub("/", path)
+    # leading "/../" segments cannot be resolved; drop them
+    while path.startswith("/../"):
+        path = path[3:]
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def normalize_url_series(urls: pd.Series) -> pd.Series:
+    return urls.map(normalize_url)
+
+
+@F.pandas_udf(StringType())
+def normalize_url_udf(urls: pd.Series) -> pd.Series:
+    return normalize_url_series(urls)
+
+
+# ---------------------------------------------------------------------------
+# Host / domain extraction (reference: util/URLUtil.java:153-193)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)")
+
+# minimal public-suffix set; URLUtil uses conf/domain-suffixes.xml. The full
+# table drops in here unchanged (host -> registered domain is a pure lookup).
+_SUFFIXES_2 = {
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
+    "io", "co", "cn", "de", "uk", "fr", "jp", "ru", "br", "it", "nl", "au",
+    "us", "ca", "eu", "ch", "se", "no", "es", "kr", "in", "tv", "me", "cc",
+}
+_SUFFIXES_MULTI = {
+    "com.cn", "net.cn", "org.cn", "gov.cn", "co.uk", "org.uk", "ac.uk",
+    "com.au", "co.jp", "com.br", "co.kr", "com.tw",
+}
+
+
+def extract_host_series(urls: pd.Series) -> pd.Series:
+    """Vectorized host extraction (lowercased)."""
+    return urls.str.extract(_HOST_RE, expand=False).str.lower()
+
+
+@lru_cache(maxsize=1 << 16)
+def registered_domain(host: str | None) -> str | None:
+    """host -> registered domain (reference: util/URLUtil.java:153-193)."""
+    if host is None:
+        return None
+    labels = host.lower().split(".")
+    if len(labels) <= 2:
+        return host.lower()
+    last2 = ".".join(labels[-2:])
+    if last2 in _SUFFIXES_MULTI:
+        return ".".join(labels[-3:])
+    last3 = ".".join(labels[-3:])
+    if last3 in _SUFFIXES_MULTI:
+        return ".".join(labels[-4:]) if len(labels) >= 4 else host.lower()
+    if labels[-1] in _SUFFIXES_2 or len(labels[-1]) == 2:
+        return last2
+    return last2
+
+
+def extract_domain_series(urls: pd.Series) -> pd.Series:
+    return extract_host_series(urls).map(registered_domain)
+
+
+@F.pandas_udf(StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return extract_host_series(urls)
+
+
+@F.pandas_udf(StringType())
+def domain_udf(urls: pd.Series) -> pd.Series:
+    return extract_domain_series(urls)
+
+
+def host_col(url_col):
+    """Native-expression host extraction for hot paths (JVM-side).
+
+    parse_url is codegen'd; the pandas UDF variants above are for parity
+    tests. Keep this in shuffles/joins so plans stay whole-stage-codegen.
+    """
+    return F.lower(F.parse_url(url_col, F.lit("HOST")))
+
+
+# ---------------------------------------------------------------------------
+# Regex URL filter (reference: RegexURLFilterBase.java; rules:
+# conf/regex-urlfilter.txt:26-137 — first matching +/- rule decides,
+# no match -> reject)
+# ---------------------------------------------------------------------------
+
+DEFAULT_FILTER_RULES: list[tuple[str, str]] = [
+    ("-", r"^(?:file|ftp|mailto|javascript|data):"),
+    ("-", r"\.(?:gif|jpe?g|png|ico|css|sit|eps|wmf|zip|ppt|mpg|gz|rpm|tgz|mov|exe|bmp|js)$"),
+    ("-", r"[?*!@=].*[?*!@=]"),  # skip URLs with repeated dynamic markers
+    ("+", r"^https?://"),
+]
+
+
+class RegexUrlFilter:
+    """Ordered +/- regex rule list; first match decides; no match rejects."""
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        self.rules = [(sign, re.compile(pat)) for sign, pat in (rules or DEFAULT_FILTER_RULES)]
+
+    def accepts(self, url: str | None) -> bool:
+        if url is None:
+            return False
+        for sign, pat in self.rules:
+            if pat.search(url):
+                return sign == "+"
+        return False
+
+    def accepts_series(self, urls: pd.Series) -> pd.Series:
+        # vectorized: start all-unknown, decide by first matching rule
+        decided = pd.Series(False, index=urls.index)
+        result = pd.Series(False, index=urls.index)
+        notnull = urls.notna()
+        for sign, pat in self.rules:
+            m = ~decided & notnull & urls.str.contains(pat, regex=True, na=False)
+            if sign == "+":
+                result |= m
+            decided |= m
+        return result
+
+    def udf(self):
+        rules = [(s, p.pattern) for s, p in self.rules]
+
+        @F.pandas_udf(BooleanType())
+        def _accepts(urls: pd.Series) -> pd.Series:
+            return RegexUrlFilter(rules).accepts_series(urls)
+
+        return _accepts
+
+
+# ---------------------------------------------------------------------------
+# fetchlist ordering hash (reference: crawl/Generator.java:389-397)
+#   hash = 1; for i = len-1 .. 0: hash = 31*hash + (int)(signed byte)bytes[i]
+# Java int32 wraparound; bytes are the UTF-8 encoding of the URL.
+# ---------------------------------------------------------------------------
+
+def fetch_order_hash(url: str) -> int:
+    h = np.int32(1)
+    b = np.frombuffer(url.encode("utf-8"), dtype=np.int8)
+    with np.errstate(over="ignore"):
+        for v in b[::-1]:
+            h = np.int32(31) * h + np.int32(v)
+    return int(h)
+
+
+def fetch_order_hash_series(urls: pd.Series) -> pd.Series:
+    # Horner over reversed bytes with int32 wraparound, per unique value
+    return urls.map(lambda u: fetch_order_hash(u) if isinstance(u, str) else None)
+
+
+@F.pandas_udf(IntegerType())
+def fetch_order_hash_udf(urls: pd.Series) -> pd.Series:
+    return fetch_order_hash_series(urls).astype("Int32")
+
+
+# ---------------------------------------------------------------------------
+# repr URL on redirects (reference: util/URLUtil.java:343-449, simplified
+# deterministic subset: permanent redirect -> target; temporary -> source
+# unless target is "more canonical" = shorter netloc+path)
+# ---------------------------------------------------------------------------
+
+def choose_repr_url(src: str, dst: str, temp: bool) -> str:
+    if not temp:
+        return dst
+    # temp redirect: keep src unless dst is same-host and strictly shorter
+    try:
+        s, d = urlsplit(src), urlsplit(dst)
+    except ValueError:
+        return src
+    if s.netloc == d.netloc and len(dst) < len(src):
+        return dst
+    return src
+
+
+# ---------------------------------------------------------------------------
+# query-param extraction (fork: util/URLUtil.java:516-552, used by
+# parse-url/.../TaobaoItemIndexProcessor.java:66-72)
+# ---------------------------------------------------------------------------
+
+def query_param_col(url_col, key: str):
+    """Native parse_url(url,'QUERY',key) — JVM-side, codegen-friendly."""
+    return F.parse_url(url_col, F.lit("QUERY"), F.lit(key))

@@ -1,0 +1,155 @@
+"""Generator: frontier -> fetchlist (the frontier priority queue).
+
+Reference semantics (crawl/Generator.java):
+- gates (:174-218): due-for-fetch (fetchTime <= curTime), re-generate delay
+  (crawl.gen.delay via the _ngt_ metadata key), min-score, min-interval.
+- priority (:202-209 + scoring/opic/OPICScoringFilter.java:85-87):
+  sort value = score.
+- topN is per-reducer: limit = topN / numReduceTasks (:141), selection stops
+  at `limit` per partition (:235-247) — reproduced exactly as a window rank
+  within partition_id, NOT a global orderBy (which wouldn't scale anyway).
+- per-host/domain cap (:277-313): generate.max.count per host, overflow
+  spilling to up to maxNumSegments segments.
+- politeness partitioning (crawl/URLPartitioner.java:36-93): partition by
+  hash(host) ^ seed so one host lands in exactly one partition.
+- intra-partition order (:369-398): byte-reversed 31-hash of the URL so
+  same-host URLs spread apart inside a partition.
+
+Scale design: the two selection windows are salted two-phase (rank within
+(partition, salt) keeping a superset, then final rank within partition) so a
+mega-host frontier partition never single-threads a giant sort buffer —
+north_rule P5. Semantics identical; only the physical plan changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.urls import fetch_order_hash_udf
+
+GENERATE_TIME_KEY = "_ngt_"  # crawl/Generator.java:64
+
+
+def partition_expr(key_col, cfg: CrawlConfig):
+    """URLPartitioner analogue: pmod(hash(key) xor seed, n)."""
+    return F.pmod(
+        F.hash(key_col).bitwiseXOR(F.lit(cfg.partition_seed)), F.lit(cfg.num_partitions)
+    ).cast("int")
+
+
+def select_due(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFrame:
+    """Generator gate predicates F9/F10 — plain Catalyst predicates so they
+    push down to the frontier scan (partition pruning on `status` at scale)."""
+    df = frontier
+    # shouldFetch (AbstractFetchSchedule.java:171-185): clamp absurd intervals
+    over_clamp = (F.col("fetch_time") - F.lit(cur_time_ms)) > (
+        F.lit(cfg.interval_clamp_factor) * F.col("fetch_interval").cast("long") * 1000
+    )
+    df = df.withColumn(
+        "fetch_time",
+        F.when(over_clamp, F.lit(cur_time_ms)).otherwise(F.col("fetch_time")),
+    )
+    df = df.filter(F.col("fetch_time") <= F.lit(cur_time_ms))
+    # fetchable db statuses only (skip gone/redirects which Generator skips via
+    # shouldFetch == false semantics; unfetched/fetched/notmodified are eligible)
+    df = df.filter(
+        F.col("status").isin(
+            schemas.STATUS_DB_UNFETCHED,
+            schemas.STATUS_DB_FETCHED,
+            schemas.STATUS_DB_NOTMODIFIED,
+        )
+    )
+    # re-generate delay (crawl.gen.delay, Generator.java:195-201)
+    gen_time = F.element_at(F.col("metadata"), GENERATE_TIME_KEY).cast("long")
+    df = df.filter(
+        gen_time.isNull() | (gen_time + F.lit(cfg.gen_delay_ms) <= F.lit(cur_time_ms))
+    )
+    if cfg.gen_min_score > 0:
+        df = df.filter(F.col("score") >= cfg.gen_min_score)
+    if cfg.gen_min_interval > 0:
+        df = df.filter(F.col("fetch_interval") >= cfg.gen_min_interval)
+    return df
+
+
+def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFrame:
+    """Produce the fetchlist: due rows, topN per partition, host caps,
+    politeness partitioning, hash-ordered within partition."""
+    due = select_due(frontier, cfg, cur_time_ms)
+
+    key = F.col(cfg.politeness_key) if cfg.politeness_key in due.columns else F.col("host")
+    df = due.withColumn("partition_id", partition_expr(key, cfg))
+
+    limit = max(1, cfg.topn // cfg.num_partitions)  # Generator.java:141
+
+    # --- salted two-phase per-partition topN (G2/G3 + P5 skew defense) ---
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+    w_salt = Window.partitionBy("partition_id", "salt").orderBy(
+        F.desc("score"), F.asc("url")
+    )
+    w_part = Window.partitionBy("partition_id").orderBy(F.desc("score"), F.asc("url"))
+    df = (
+        df.withColumn("salt", salt)
+        .withColumn("salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("salt_rank") <= limit)   # superset: each salt keeps `limit`
+        .drop("salt", "salt_rank")
+    )
+
+    # --- per-host cap with segment spill (G4/G5, Generator.java:277-313) ---
+    if cfg.gen_max_count > 0:
+        count_key = "host" if cfg.gen_count_mode == "byHost" else "domain"
+        kcol = F.col(count_key) if count_key in df.columns else F.col("host")
+        w_host = Window.partitionBy(kcol).orderBy(F.desc("score"), F.asc("url"))
+        df = df.withColumn("host_rank", F.row_number().over(w_host))
+        df = df.withColumn(
+            "segnum",
+            (((F.col("host_rank") - 1) / cfg.gen_max_count) + 1).cast("int"),
+        ).filter(F.col("segnum") <= cfg.gen_max_num_segments).drop("host_rank")
+    else:
+        df = df.withColumn("segnum", F.lit(1))
+
+    # final per-(partition, segment) topN
+    w_final = Window.partitionBy("partition_id", "segnum").orderBy(
+        F.desc("score"), F.asc("url")
+    )
+    df = df.withColumn("rank", F.row_number().over(w_final)).filter(
+        F.col("rank") <= limit
+    ).drop("rank")
+
+    # record generate time (G6) so the next cycle's gen-delay gate sees it
+    df = df.withColumn(
+        "metadata",
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+                lambda k, _: k != GENERATE_TIME_KEY,
+            ),
+            F.create_map(F.lit(GENERATE_TIME_KEY), F.lit(str(cur_time_ms))),
+        ),
+    )
+
+    # --- politeness placement + intra-partition spread (P1/P3/P4) ---
+    df = df.withColumn("sort_hash", fetch_order_hash_udf(F.col("url")))
+    df = df.repartition(cfg.num_partitions, F.col("partition_id")).sortWithinPartitions(
+        "sort_hash", "url"
+    )
+    return df
+
+
+def mark_generated(frontier: DataFrame, fetchlist: DataFrame, cur_time_ms: int) -> DataFrame:
+    """Optional generate.update.crawldb write-back (Generator.java:582-612):
+    left join frontier with the fetchlist urls and stamp _ngt_."""
+    gen = fetchlist.select("url").withColumn("_was_generated", F.lit(True))
+    out = frontier.join(F.broadcast(gen), "url", "left")
+    stamped = F.map_concat(
+        F.map_filter(
+            F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+            lambda k, _: k != GENERATE_TIME_KEY,
+        ),
+        F.create_map(F.lit(GENERATE_TIME_KEY), F.lit(str(cur_time_ms))),
+    )
+    return out.withColumn(
+        "metadata",
+        F.when(F.col("_was_generated"), stamped).otherwise(F.col("metadata")),
+    ).drop("_was_generated")

@@ -1,0 +1,95 @@
+"""Injector: seed list -> frontier merge.
+
+Reference semantics (crawl/Injector.java):
+- map (:63-172): normalize + filter each seed URL; reserved metadata keys
+  nutch.score / nutch.fetchInterval / nutch.fetchInterval.fixed override the
+  datum's score/interval; everything else lands in metadata.
+- reduce (:175-242): merge with existing frontier rows by URL — an existing
+  entry wins over an injected one unless overwrite; update mode overlays
+  metadata and takes injected score/interval.
+
+Spark-first realization: one full-outer join on url + coalesce/when column
+logic — no state machine needed. The frontier side is the 10^10-row table;
+the seed side is small -> broadcast it so the merge is shuffle-free on the
+big side at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_url_udf
+
+RESERVED_KEYS = ("nutch.score", "nutch.fetchInterval", "nutch.fetchInterval.fixed")
+
+
+def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int, url_filter: RegexUrlFilter | None = None) -> DataFrame:
+    """Normalize/filter seeds and build injected frontier rows (map side)."""
+    url_filter = url_filter or RegexUrlFilter()
+    s = (
+        seeds.withColumn("url", normalize_url_udf(F.col("url")))
+        .filter(F.col("url").isNotNull())
+        .filter(url_filter.udf()(F.col("url")))
+    )
+    meta = F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>"))
+    score = F.coalesce(
+        F.element_at(meta, "nutch.score").cast("float"), F.lit(float(cfg.db_score_injected))
+    )
+    interval = F.coalesce(
+        F.element_at(meta, "nutch.fetchInterval").cast("int"),
+        F.lit(cfg.db_fetch_interval_default),
+    )
+    return s.select(
+        F.col("url"),
+        host_col(F.col("url")).alias("host"),
+        F.lit(schemas.STATUS_DB_UNFETCHED).alias("status"),
+        F.lit(cur_time_ms).alias("fetch_time"),
+        F.lit(0).alias("retries"),
+        interval.alias("fetch_interval"),
+        score.alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(0).cast("long").alias("modified_time"),
+        F.map_filter(meta, lambda k, _: ~k.isin(*RESERVED_KEYS)).alias("metadata"),
+    ).dropDuplicates(["url"])
+
+
+def inject(frontier: DataFrame | None, seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
+           url_filter: RegexUrlFilter | None = None) -> DataFrame:
+    """Merge injected seeds into the frontier (InjectReducer:175-242)."""
+    injected = prepare_seeds(seeds, cfg, cur_time_ms, url_filter)
+    if frontier is None:
+        return injected
+    old = frontier.alias("o")
+    new = F.broadcast(injected).alias("n")
+    joined = old.join(new, on="url", how="full_outer")
+
+    def pick(col: str):
+        o, n = F.col(f"o.{col}"), F.col(f"n.{col}")
+        if cfg.inject_overwrite:
+            return F.coalesce(n, o)
+        if cfg.inject_update and col in ("score", "fetch_interval"):
+            return F.coalesce(n, o)
+        return F.coalesce(o, n)  # existing entry wins (default)
+
+    merged_meta = (
+        F.when(F.col("o.metadata").isNull(), F.col("n.metadata"))
+        .when(F.col("n.metadata").isNull(), F.col("o.metadata"))
+        .otherwise(F.map_zip_with(
+            F.col("o.metadata"), F.col("n.metadata"),
+            lambda k, v1, v2: (F.coalesce(v2, v1) if (cfg.inject_update or cfg.inject_overwrite) else F.coalesce(v1, v2)),
+        ))
+    )
+    return joined.select(
+        F.col("url"),
+        pick("host").alias("host"),
+        pick("status").alias("status"),
+        pick("fetch_time").alias("fetch_time"),
+        pick("retries").alias("retries"),
+        pick("fetch_interval").alias("fetch_interval"),
+        pick("score").alias("score"),
+        pick("signature").alias("signature"),
+        pick("modified_time").alias("modified_time"),
+        merged_meta.alias("metadata"),
+    )

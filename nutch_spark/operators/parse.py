@@ -1,0 +1,252 @@
+"""Parse stage: content -> spans + parse_text + outlinks + frontier updates.
+
+Reference semantics:
+- ParseSegment (parse/ParseSegment.java:74-141): map over content, skip
+  non-success and truncated records, dispatch by MIME, compute signature.
+- HTML text extraction (parse-html/.../DOMContentUtils.java:160-221): DFS
+  walk emitting text nodes in document order, whitespace-collapsed — here the
+  corpus's mini-HTML is scanned by one ordered regex pass, producing the
+  interleaved span sequence (kind, text, media_ref, offset). Span order = the
+  walk order; this is the per-row invariant verified against fixtures.
+- outlink pipeline (parse/ParseOutputFormat.java:219-250,293-325): per page
+  normalize+filter, self-link drop, dedupe, cap db.max.outlinks.per.page.
+- OPIC score distribution (scoring/opic/OPICScoringFilter.java:111-152):
+  child score = page score / outlink count x internal/external factor.
+- signature + linked + redirect rows -> crawl_parse analogue
+  (parse/ParseOutputFormat.java:127-290).
+
+The span extractor runs in mapInPandas (Arrow batches, one regex pass per
+document, no JVM round-trips); everything downstream (outlink dedupe/cap,
+score distribution, explode) is native Catalyst.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_url, normalize_url_udf
+
+# one ordered scan = the document-order DOM walk of the mini-HTML
+_SEG_RE = re.compile(
+    r"<p>(?P<text>.*?)</p>"
+    r'|<img src="(?P<img>[^"]*)">'
+    r'|<a href="(?P<href>[^"]*)">(?P<anchor>.*?)</a>'
+    r"|<title>(?P<title>.*?)</title>",
+    re.S,
+)
+
+_WS_RE = re.compile(r"\s+")
+
+SPAN_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+    ]
+)
+
+
+def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document-order pass per page -> flat span rows."""
+    out: list[dict] = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        title = None
+        off = 0
+        for m in _SEG_RE.finditer(content or ""):
+            if m.group("title") is not None:
+                title = _WS_RE.sub(" ", m.group("title")).strip()
+                continue
+            if m.group("text") is not None:
+                out.append(
+                    {"doc_id": url, "offset": off, "kind": "text",
+                     "text": _WS_RE.sub(" ", m.group("text")).strip(),
+                     "media_ref": None, "title": title}
+                )
+            elif m.group("img") is not None:
+                out.append(
+                    {"doc_id": url, "offset": off, "kind": "media",
+                     "text": None, "media_ref": m.group("img"), "title": title}
+                )
+            else:
+                out.append(
+                    {"doc_id": url, "offset": off, "kind": "link",
+                     "text": _WS_RE.sub(" ", m.group("anchor")).strip(),
+                     "media_ref": m.group("href"), "title": title}
+                )
+            off += 1
+    return pd.DataFrame(out, columns=["doc_id", "offset", "kind", "text", "media_ref", "title"])
+
+
+def _spans_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        res = extract_spans_pdf(pdf)
+        if len(res):
+            yield res
+
+
+def extract_spans(content_df: DataFrame) -> DataFrame:
+    """(url, content) -> flat span rows (doc_id, offset, kind, text, media_ref, title)."""
+    return content_df.select("url", "content").mapInPandas(_spans_kernel, SPAN_ROWS_SCHEMA)
+
+
+def spans_to_documents(span_rows: DataFrame) -> DataFrame:
+    """Flat span rows -> documents(doc_id, spans) in document order."""
+    return span_rows.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("kind", "text", "media_ref", "offset")),
+            lambda a, b: a["offset"] - b["offset"],
+        ).alias("spans")
+    )
+
+
+def parse_text(span_rows: DataFrame) -> DataFrame:
+    """documents -> whitespace-joined text in document order (ParseText analogue)."""
+    txt = span_rows.filter(F.col("kind") == "text")
+    return (
+        txt.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "text")),
+                        lambda a, b: a["offset"] - b["offset"],
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .withColumnRenamed("doc_id", "url")
+    )
+
+
+def run_parse(
+    fetch_out: DataFrame,
+    raw_content: DataFrame,
+    cfg: CrawlConfig,
+    url_filter: RegexUrlFilter | None = None,
+) -> dict[str, DataFrame]:
+    """Full parse stage over this cycle's successful fetches.
+
+    Returns dict with: span_rows, documents, parse_text, parse_data,
+    parse_updates (linked/signature rows for updatedb).
+    """
+    url_filter = url_filter or RegexUrlFilter()
+    ok = fetch_out.filter(
+        F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
+    )
+    if cfg.parse_skip_truncated:  # ParseSegment.java:149-178
+        ok = ok.filter(~F.coalesce(F.col("truncated"), F.lit(False)))
+
+    content = ok.select("url", "score", "signature").join(raw_content, "url", "inner")
+    span_rows = extract_spans(content).cache()
+    documents = spans_to_documents(span_rows)
+    ptext = parse_text(span_rows)
+
+    # --- outlink pipeline (X8): link spans -> normalize/filter/dedupe/cap ---
+    links = (
+        span_rows.filter(F.col("kind") == "link")
+        .select(
+            F.col("doc_id").alias("url"),
+            F.col("offset"),
+            normalize_url_udf(F.col("media_ref")).alias("to_url"),
+            F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
+        )
+        .filter(F.col("to_url").isNotNull())
+        .filter(F.col("to_url") != F.col("url"))  # self-link drop
+        .filter(url_filter.udf()(F.col("to_url")))
+    )
+    if cfg.db_ignore_external_links:
+        links = links.filter(host_col(F.col("to_url")) == host_col(F.col("url")))
+    # dedupe (first occurrence) + cap per page in document order
+    w = F.row_number().over(Window.partitionBy("url", "to_url").orderBy("offset"))
+    links = links.withColumn("dup_rank", w).filter(F.col("dup_rank") == 1).drop("dup_rank")
+    w2 = F.row_number().over(Window.partitionBy("url").orderBy("offset"))
+    links = links.withColumn("link_rank", w2).filter(
+        F.col("link_rank") <= cfg.db_max_outlinks_per_page
+    )
+
+    # parse_data: title + ordered outlinks per page
+    titles = span_rows.groupBy("doc_id").agg(F.first("title", ignorenulls=True).alias("title"))
+    parse_data = (
+        links.groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "to_url", "anchor")),
+                lambda a, b: a["offset"] - b["offset"],
+            ).alias("ordered")
+        )
+        .select(
+            "url",
+            F.transform(F.col("ordered"), lambda s: F.struct(
+                s["to_url"].alias("to_url"), s["anchor"].alias("anchor"))).alias("outlinks"),
+        )
+        .join(titles.withColumnRenamed("doc_id", "url"), "url", "right_outer")
+    )
+
+    # --- OPIC distribution (X9) + linked rows ---
+    n_links = links.groupBy("url").agg(F.count("*").alias("n_out"))
+    page_host = host_col(F.col("url"))
+    to_host = host_col(F.col("to_url"))
+    linked = (
+        links.join(n_links, "url")
+        .join(ok.select("url", F.col("score").alias("page_score")), "url")
+        .withColumn(
+            "child_score",
+            (F.col("page_score") / F.col("n_out"))
+            * F.when(to_host == page_host, F.lit(cfg.db_score_link_internal)).otherwise(
+                F.lit(cfg.db_score_link_external)
+            ),
+        )
+        .select(
+            F.col("to_url").alias("url"),
+            F.lit(schemas.STATUS_LINKED).alias("kind"),
+            F.col("child_score").cast("float").alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.col("anchor"),
+            F.col("url").alias("from_url"),
+        )
+    )
+
+    # signature rows (ParseOutputFormat.java:127-129)
+    sig_rows = ok.select(
+        "url",
+        F.lit(schemas.STATUS_SIGNATURE).alias("kind"),
+        F.lit(None).cast("float").alias("score"),
+        F.col("signature"),
+        F.lit(None).cast("string").alias("anchor"),
+        F.lit(None).cast("string").alias("from_url"),
+    )
+
+    # redirect targets -> linked rows (ParseOutputFormat.java:168-204 analogue)
+    redirs = (
+        fetch_out.filter(F.col("redirect_to").isNotNull())
+        .select(
+            normalize_url_udf(F.col("redirect_to")).alias("url"),
+            F.lit(schemas.STATUS_LINKED).alias("kind"),
+            F.col("score").alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.lit(None).cast("string").alias("anchor"),
+            F.col("url").alias("from_url"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+
+    parse_updates = linked.unionByName(sig_rows).unionByName(redirs)
+    return {
+        "span_rows": span_rows,
+        "documents": documents,
+        "parse_text": ptext,
+        "parse_data": parse_data,
+        "parse_updates": parse_updates,
+    }

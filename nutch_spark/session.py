@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is chosen for the 1000-executor / 100 TB target and merely
+*also* works on local[32]:
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow on (all Python crosses the boundary in columnar batches),
+- speculation off (politeness: a host's partition must never run twice
+  concurrently — reference: fetcher/Fetcher.java:1457),
+- UTC session timezone so epoch arithmetic matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nutch-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # rule of thumb: ~2x cores locally; on a real cluster this is set to
+        # ~2-3x total executor cores (or left to AQE coalesce from a high cap)
+        try:
+            cores = int(master.split("[")[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            cores = 32
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.speculation", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,137 @@
+"""Snapshot-committed tables: the Iceberg stand-in.
+
+Production target is Apache Iceberg (atomic commits, snapshot tags,
+time travel) — this sandbox has no Iceberg runtime jars, so SnapshotTable
+reproduces the subset of semantics the engine needs over plain parquet:
+
+- each commit writes a new immutable snapshot directory, then atomically
+  installs it by `os.replace` of a small JSON pointer file — the exact
+  analogue of the reference's rename-swap install
+  (crawl/CrawlDb.java:148-164) and of an Iceberg metadata-pointer swap;
+- snapshots carry tags (cycle markers) so a killed crawl resumes from the
+  last committed cycle;
+- readers always see a complete snapshot (never a partial write).
+
+Swapping this class for `spark.read/writeTo("catalog.db.table")` is a
+one-file change; operators only see DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    tag: str | None
+    path: str
+    committed_at_ms: int
+    parent_id: int | None
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.root = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_snapshots.json")
+
+    def _load_log(self) -> list[dict]:
+        if not os.path.exists(self._pointer):
+            return []
+        with open(self._pointer) as f:
+            return json.load(f)
+
+    def _install_log(self, log: list[dict]) -> None:
+        # atomic pointer swap (crawl/CrawlDb.java:148-164 analogue)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, self._pointer)
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**e) for e in self._load_log()]
+
+    def latest(self) -> Snapshot | None:
+        log = self._load_log()
+        return Snapshot(**log[-1]) if log else None
+
+    def by_tag(self, tag: str) -> Snapshot | None:
+        for e in reversed(self._load_log()):
+            if e["tag"] == tag:
+                return Snapshot(**e)
+        return None
+
+    def exists(self) -> bool:
+        return self.latest() is not None
+
+    # -- I/O ---------------------------------------------------------------
+    def commit(self, df: DataFrame, tag: str | None = None, partition_by: list[str] | None = None) -> Snapshot:
+        """Write df as a new snapshot and atomically install it."""
+        log = self._load_log()
+        sid = (log[-1]["snapshot_id"] + 1) if log else 1
+        path = os.path.join(self.root, f"snap-{sid:06d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        snap = {
+            "snapshot_id": sid,
+            "tag": tag,
+            "path": path,
+            "committed_at_ms": int(time.time() * 1000),
+            "parent_id": log[-1]["snapshot_id"] if log else None,
+        }
+        log.append(snap)
+        self._install_log(log)
+        return Snapshot(**snap)
+
+    def read(self, spark: SparkSession, tag: str | None = None, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is not None:
+            snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+        elif tag is not None:
+            snap = self.by_tag(tag)
+            if snap is None:
+                raise KeyError(f"no snapshot tagged {tag!r} in {self.name}")
+        else:
+            snap = self.latest()
+            if snap is None:
+                raise KeyError(f"table {self.name} has no snapshots")
+        return spark.read.parquet(snap.path)
+
+    def expire_snapshots(self, keep: int = 3) -> int:
+        """Drop all but the newest `keep` snapshots (GC; Iceberg expire analogue)."""
+        log = self._load_log()
+        if len(log) <= keep:
+            return 0
+        dead, live = log[:-keep], log[-keep:]
+        self._install_log(live)
+        n = 0
+        for e in dead:
+            if os.path.isdir(e["path"]):
+                shutil.rmtree(e["path"], ignore_errors=True)
+                n += 1
+        return n
+
+
+class Catalog:
+    """A directory of SnapshotTables (hadoop-catalog analogue)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
