@@ -1,0 +1,141 @@
+"""Generator semantics — port of src/test/org/apache/nutch/crawl/
+TestGenerator.java:75-245 (highest-scoring selection, per-host and
+per-domain caps, filtering, due-gates)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.operators.generate import GENERATE_TIME_KEY, generate, select_due
+
+T0 = 1_700_000_000_000
+
+
+def mk_frontier(spark, rows):
+    """rows: list of (url, host, score) or dicts with overrides."""
+    full = []
+    for r in rows:
+        if isinstance(r, tuple):
+            r = {"url": r[0], "host": r[1], "score": r[2]}
+        full.append(
+            {
+                "url": r["url"],
+                "host": r["host"],
+                "status": r.get("status", schemas.STATUS_DB_UNFETCHED),
+                "fetch_time": r.get("fetch_time", T0 - 1000),
+                "retries": r.get("retries", 0),
+                "fetch_interval": r.get("fetch_interval", 30 * 24 * 3600),
+                "score": float(r["score"]),
+                "signature": r.get("signature"),
+                "modified_time": r.get("modified_time", 0),
+                "metadata": r.get("metadata", {}),
+            }
+        )
+    return spark.createDataFrame(full, schemas.FRONTIER_SCHEMA)
+
+
+def test_topn_selects_highest_scoring(spark):
+    """TestGenerator.java:75-132: generate topN from 100 URLs on ONE host ->
+    exactly the topN highest-scoring selected (single host = single
+    partition, so per-partition topN == global topN here)."""
+    n = 100
+    rows = [(f"http://aaa.com/{i:03d}.html", "aaa.com", float(i)) for i in range(n)]
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(topn=25, num_partitions=1, salt_buckets=4)
+    fl = generate(frontier, cfg, T0)
+    got = sorted(r.url for r in fl.collect())
+    want = sorted(f"http://aaa.com/{i:03d}.html" for i in range(n - 25, n))
+    assert got == want
+
+
+def test_per_host_cap(spark):
+    """TestGenerator.java:134-190: generate.max.count=2, mode=byHost."""
+    rows = []
+    for h in ("a.com", "b.com", "c.com"):
+        for i in range(5):
+            rows.append((f"http://{h}/{i}.html", h, float(i)))
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(topn=100, num_partitions=2, gen_max_count=2, gen_count_mode="byHost")
+    fl = generate(frontier, cfg, T0)
+    per_host = fl.groupBy("host").count().collect()
+    assert all(r["count"] == 2 for r in per_host)
+    # and the kept ones are each host's top-2 by score
+    kept = {r.url for r in fl.collect()}
+    for h in ("a.com", "b.com", "c.com"):
+        assert f"http://{h}/4.html" in kept and f"http://{h}/3.html" in kept
+
+
+def test_host_cap_segment_spill(spark):
+    """Generator.java:277-313: overflow spills to next segment up to
+    maxNumSegments."""
+    rows = [(f"http://a.com/{i}.html", "a.com", float(i)) for i in range(10)]
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(
+        topn=100, num_partitions=1, gen_max_count=3, gen_max_num_segments=2
+    )
+    fl = generate(frontier, cfg, T0)
+    segs = {r.segnum: 0 for r in fl.collect()}
+    for r in fl.collect():
+        segs[r.segnum] += 1
+    assert segs == {1: 3, 2: 3}  # 2 segments x 3 per host; rest dropped
+
+
+def test_due_gate_and_gen_delay(spark):
+    rows = [
+        {"url": "http://a.com/due.html", "host": "a.com", "score": 1.0},
+        {"url": "http://a.com/future.html", "host": "a.com", "score": 1.0,
+         "fetch_time": T0 + 10_000_000},
+        {"url": "http://a.com/gone.html", "host": "a.com", "score": 1.0,
+         "status": schemas.STATUS_DB_GONE},
+        {"url": "http://a.com/recently-generated.html", "host": "a.com", "score": 1.0,
+         "metadata": {GENERATE_TIME_KEY: str(T0 - 1000)}},
+        {"url": "http://a.com/long-ago-generated.html", "host": "a.com", "score": 1.0,
+         "metadata": {GENERATE_TIME_KEY: str(T0 - 8 * 24 * 3600 * 1000)}},
+    ]
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(topn=100, num_partitions=1)
+    got = {r.url for r in generate(frontier, cfg, T0).collect()}
+    assert got == {"http://a.com/due.html", "http://a.com/long-ago-generated.html"}
+
+
+def test_interval_clamp(spark):
+    """AbstractFetchSchedule.java:171-185: fetch_time absurdly far in the
+    future (beyond 1.5x interval) is clamped to now -> due."""
+    rows = [
+        {"url": "http://a.com/clamped.html", "host": "a.com", "score": 1.0,
+         "fetch_time": T0 + 10**12, "fetch_interval": 3600},
+    ]
+    frontier = mk_frontier(spark, rows)
+    due = select_due(frontier, CrawlConfig(), T0)
+    assert due.count() == 1
+
+
+def test_min_score_gate(spark):
+    rows = [(f"http://a.com/{i}.html", "a.com", float(i)) for i in range(5)]
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(topn=100, num_partitions=1, gen_min_score=3.0)
+    got = {r.url for r in generate(frontier, cfg, T0).collect()}
+    assert got == {"http://a.com/3.html", "http://a.com/4.html"}
+
+
+def test_host_colocated_in_one_partition(spark):
+    """URLPartitioner byHost: all URLs of one host -> one partition_id."""
+    rows = [
+        (f"http://h{h}.com/{i}.html", f"h{h}.com", 1.0)
+        for h in range(20)
+        for i in range(10)
+    ]
+    frontier = mk_frontier(spark, rows)
+    cfg = CrawlConfig(topn=10_000, num_partitions=8)
+    fl = generate(frontier, cfg, T0)
+    per_host = fl.groupBy("host").agg(F.countDistinct("partition_id").alias("np")).collect()
+    assert all(r.np == 1 for r in per_host)
+
+
+def test_generated_marked_with_ngt(spark):
+    rows = [("http://a.com/x.html", "a.com", 1.0)]
+    frontier = mk_frontier(spark, rows)
+    fl = generate(frontier, CrawlConfig(topn=10, num_partitions=1), T0)
+    md = fl.collect()[0].metadata
+    assert md[GENERATE_TIME_KEY] == str(T0)
