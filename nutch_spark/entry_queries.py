@@ -1,0 +1,759 @@
+"""Driver-contract queries + DuckDB oracles (the correctness gate).
+
+Each SURVEY.md §2 operator gets a query over the driver-provided parquet
+tables and (where SQL-expressible) a DuckDB oracle. Crawl-shaped inputs
+(frontier, link edges, seeds) are DERIVED deterministically from the TPC-H
+tables with expressions both engines evaluate identically:
+
+- urls/hosts from string concat of key columns,
+- status/retries/intervals from key arithmetic,
+- scores from price columns (DOUBLE end-to-end; aggregates rounded),
+- signatures from md5 of key strings.
+
+Column-naming rule: every computed column is aliased identically in the
+DataFrame query and the oracle SQL (driver hashes values after sorting
+columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# derived crawl-shaped tables
+# ---------------------------------------------------------------------------
+
+FRONTIER_CTE = """
+frontier AS (
+  SELECT 'http://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/order/'
+           || CAST(o_orderkey AS VARCHAR)                         AS url,
+         'h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host,
+         CAST(CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 1 ELSE 6 END AS BIGINT) AS status,
+         CAST(epoch(o_orderdate) AS BIGINT) * 1000                AS fetch_time,
+         CAST(o_orderkey % 4 AS BIGINT)                           AS retries,
+         CAST(86400 * (1 + o_orderkey % 30) AS BIGINT)            AS fetch_interval,
+         o_totalprice                                             AS score,
+         md5(CAST(o_orderkey AS VARCHAR))                         AS signature
+  FROM orders
+)"""
+
+EDGES_CTE = """
+edges AS (
+  SELECT 'http://h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/order/'
+           || CAST(l_orderkey AS VARCHAR)                          AS from_url,
+         'h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com'  AS from_host,
+         'http://p' || CAST(l_partkey % 40 AS VARCHAR) || '.example.com/part/'
+           || CAST(l_partkey AS VARCHAR)                           AS to_url,
+         'p' || CAST(l_partkey % 40 AS VARCHAR) || '.example.com'  AS to_host,
+         l_returnflag                                              AS anchor,
+         l_extendedprice                                           AS link_score,
+         CAST(l_linenumber AS BIGINT)                              AS segment
+  FROM lineitem
+)"""
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ck = (F.col("o_custkey") % 50).cast("string")
+    return o.select(
+        F.concat(F.lit("http://h"), ck, F.lit(".example.com/order/"),
+                 F.col("o_orderkey").cast("string")).alias("url"),
+        F.concat(F.lit("h"), ck, F.lit(".example.com")).alias("host"),
+        F.when(F.col("o_orderstatus") == "F", 2)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(6).cast("long").alias("status"),
+        (F.unix_timestamp("o_orderdate") * 1000).cast("long").alias("fetch_time"),
+        (F.col("o_orderkey") % 4).cast("long").alias("retries"),
+        (86400 * (1 + F.col("o_orderkey") % 30)).cast("long").alias("fetch_interval"),
+        F.col("o_totalprice").alias("score"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("signature"),
+    )
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sk = (F.col("l_suppkey") % 50).cast("string")
+    pk = (F.col("l_partkey") % 40).cast("string")
+    return li.select(
+        F.concat(F.lit("http://h"), sk, F.lit(".example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("from_url"),
+        F.concat(F.lit("h"), sk, F.lit(".example.com")).alias("from_host"),
+        F.concat(F.lit("http://p"), pk, F.lit(".example.com/part/"),
+                 F.col("l_partkey").cast("string")).alias("to_url"),
+        F.concat(F.lit("p"), pk, F.lit(".example.com")).alias("to_host"),
+        F.col("l_returnflag").alias("anchor"),
+        F.col("l_extendedprice").alias("link_score"),
+        F.col("l_linenumber").cast("long").alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (callable, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+def q_crawldb_stats(spark, sf_dir):
+    """A7: CrawlDbReader stats (crawl/CrawlDbReader.java:148-247)."""
+    f = derived_frontier(spark, sf_dir)
+    return (
+        f.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("score"), 2).alias("min_score"),
+            F.round(F.max("score"), 2).alias("max_score"),
+            F.round(F.avg("score"), 2).alias("avg_score"),
+            F.max("retries").alias("max_retries"),
+        )
+    )
+
+
+SQL_CRAWLDB_STATS = f"""
+WITH {FRONTIER_CTE}
+SELECT status, COUNT(*) AS n,
+       ROUND(MIN(score), 2) AS min_score,
+       ROUND(MAX(score), 2) AS max_score,
+       ROUND(AVG(score), 2) AS avg_score,
+       MAX(retries) AS max_retries
+FROM frontier GROUP BY status
+"""
+
+
+def q_generator_topn(spark, sf_dir):
+    """G7: global top-N by score (CrawlDbReader.java:249-284)."""
+    f = derived_frontier(spark, sf_dir)
+    return f.orderBy(F.desc("score"), F.asc("url")).limit(100).select("url", "score")
+
+
+SQL_GENERATOR_TOPN = f"""
+WITH {FRONTIER_CTE}
+SELECT url, score FROM frontier ORDER BY score DESC, url ASC LIMIT 100
+"""
+
+
+def q_generator_hostcap(spark, sf_dir):
+    """G4: per-host cap — top-3 per host by score (Generator.java:277-313)."""
+    f = derived_frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        f.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= 3)
+        .select("host", "url", "score", "host_rank")
+    )
+
+
+SQL_GENERATOR_HOSTCAP = f"""
+WITH {FRONTIER_CTE}
+SELECT host, url, score, host_rank FROM (
+  SELECT host, url, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, url ASC) AS BIGINT) AS host_rank
+  FROM frontier
+) WHERE host_rank <= 3
+"""
+
+
+def q_generator_due(spark, sf_dir):
+    """F9/F10: due-for-fetch gate + min-score (fetch_time <= cutoff)."""
+    f = derived_frontier(spark, sf_dir)
+    cutoff = 820454400000  # 1996-01-01 UTC
+    return f.filter(
+        (F.col("fetch_time") <= cutoff)
+        & (F.col("status") == 1)
+        & (F.col("score") >= 1000.0)
+    ).select("url", "fetch_time", "score")
+
+
+SQL_GENERATOR_DUE = f"""
+WITH {FRONTIER_CTE}
+SELECT url, fetch_time, score FROM frontier
+WHERE fetch_time <= 820454400000 AND status = 1 AND score >= 1000.0
+"""
+
+
+def q_partition_hostcount(spark, sf_dir):
+    """P1: politeness unit sanity — URLs per host (byHost partitioning key)."""
+    f = derived_frontier(spark, sf_dir)
+    return f.groupBy("host").agg(F.count("*").alias("n_urls"))
+
+
+SQL_PARTITION_HOSTCOUNT = f"""
+WITH {FRONTIER_CTE}
+SELECT host, COUNT(*) AS n_urls FROM frontier GROUP BY host
+"""
+
+
+def q_inject_merge(spark, sf_dir):
+    """A1: inject-merge — existing frontier row wins over injected seed
+    (Injector.java:175-242)."""
+    f = derived_frontier(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    seeds = c.select(
+        F.concat(F.lit("http://h"), (F.col("c_custkey") % 50).cast("string"),
+                 F.lit(".example.com/order/"), F.col("c_custkey").cast("string")).alias("url"),
+        F.lit(1).cast("long").alias("seed_status"),
+        F.col("c_acctbal").alias("seed_score"),
+    )
+    j = f.select("url", "status", "score").join(seeds, "url", "full_outer")
+    return j.select(
+        "url",
+        F.coalesce(F.col("status"), F.col("seed_status")).alias("status"),
+        F.round(F.coalesce(F.col("score"), F.col("seed_score")), 2).alias("score"),
+    )
+
+
+SQL_INJECT_MERGE = f"""
+WITH {FRONTIER_CTE},
+seeds AS (
+  SELECT 'http://h' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com/order/'
+           || CAST(c_custkey AS VARCHAR) AS url,
+         CAST(1 AS BIGINT) AS seed_status,
+         c_acctbal AS seed_score
+  FROM customer
+)
+SELECT COALESCE(f.url, s.url) AS url,
+       COALESCE(f.status, s.seed_status) AS status,
+       ROUND(COALESCE(f.score, s.seed_score), 2) AS score
+FROM frontier f FULL OUTER JOIN seeds s ON f.url = s.url
+"""
+
+
+def q_updatedb_transitions(spark, sf_dir):
+    """A2 (SQL-expressible core): status-transition switch. Fetch results are
+    derived: orders with status 1 'succeed' if orderkey%7!=0, retry if %7==0;
+    retries>=3 -> gone (CrawlDbReducer.java:181-283)."""
+    f = derived_frontier(spark, sf_dir)
+    fetched = f.filter(F.col("status") == 1).select(
+        "url",
+        F.when(F.col("retries") % 7 == 0, F.lit(34)).otherwise(F.lit(33)).alias("fetch_status"),
+        # 33=success-ish, 34=retry-ish codes for this derived test
+    )
+    j = f.join(fetched, "url", "left")
+    new_status = (
+        F.when(F.col("fetch_status").isNull(), F.col("status"))
+        .when(F.col("fetch_status") == 33, F.lit(2))
+        .when((F.col("fetch_status") == 34) & (F.col("retries") + 1 >= 3), F.lit(3))
+        .otherwise(F.lit(1))
+    )
+    new_retries = F.when(F.col("fetch_status") == 34, F.col("retries") + 1).otherwise(F.lit(0))
+    return j.select(
+        "url",
+        new_status.cast("long").alias("new_status"),
+        new_retries.cast("long").alias("new_retries"),
+    )
+
+
+SQL_UPDATEDB_TRANSITIONS = f"""
+WITH {FRONTIER_CTE},
+fetched AS (
+  SELECT url, CASE WHEN retries % 7 = 0 THEN 34 ELSE 33 END AS fetch_status
+  FROM frontier WHERE status = 1
+)
+SELECT f.url,
+       CAST(CASE
+         WHEN x.fetch_status IS NULL THEN f.status
+         WHEN x.fetch_status = 33 THEN 2
+         WHEN x.fetch_status = 34 AND f.retries + 1 >= 3 THEN 3
+         ELSE 1
+       END AS BIGINT) AS new_status,
+       CAST(CASE WHEN x.fetch_status = 34 THEN f.retries + 1 ELSE 0 END AS BIGINT) AS new_retries
+FROM frontier f LEFT JOIN fetched x ON f.url = x.url
+"""
+
+
+def q_schedule_default(spark, sf_dir):
+    """T1: next fetch = fetch_time + interval*1000 (DefaultFetchSchedule.java:33-45)."""
+    f = derived_frontier(spark, sf_dir)
+    return f.select(
+        "url", (F.col("fetch_time") + F.col("fetch_interval") * 1000).alias("next_fetch_time")
+    )
+
+
+SQL_SCHEDULE_DEFAULT = f"""
+WITH {FRONTIER_CTE}
+SELECT url, fetch_time + fetch_interval * 1000 AS next_fetch_time FROM frontier
+"""
+
+
+def q_schedule_adaptive(spark, sf_dir):
+    """T2: adaptive interval — modified (retries%2=0) shrinks x0.8, else
+    grows x1.4, clamped to [3600, 864000] (AdaptiveFetchSchedule.java:76-130)."""
+    f = derived_frontier(spark, sf_dir)
+    adj = F.when(F.col("retries") % 2 == 0, F.col("fetch_interval") * 0.8).otherwise(
+        F.col("fetch_interval") * 1.4
+    )
+    clamped = F.greatest(F.lit(3600.0), F.least(F.lit(864000.0), adj))
+    return f.select("url", F.round(clamped, 0).cast("long").alias("next_interval"))
+
+
+SQL_SCHEDULE_ADAPTIVE = f"""
+WITH {FRONTIER_CTE}
+SELECT url,
+       CAST(ROUND(GREATEST(3600.0, LEAST(864000.0,
+         CASE WHEN retries % 2 = 0 THEN fetch_interval * 0.8
+              ELSE fetch_interval * 1.4 END)), 0) AS BIGINT) AS next_interval
+FROM frontier
+"""
+
+
+def q_linkdb_invert(spark, sf_dir):
+    """A4: LinkDb invert — external-only inlink counts per target
+    (crawl/LinkDb.java:80-139)."""
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.filter(F.col("to_host") != F.col("from_host"))
+        .groupBy("to_url")
+        .agg(
+            F.countDistinct("from_url").alias("n_inlinks"),
+            F.min("anchor").alias("first_anchor"),
+        )
+    )
+
+
+SQL_LINKDB_INVERT = f"""
+WITH {EDGES_CTE}
+SELECT to_url, COUNT(DISTINCT from_url) AS n_inlinks, MIN(anchor) AS first_anchor
+FROM edges WHERE to_host <> from_host GROUP BY to_url
+"""
+
+
+def q_opic_inlink_sum(spark, sf_dir):
+    """A3: OPIC — sum of top-5 inlink scores per target
+    (CrawlDbReducer.java:300-313 bounded queue + OPICScoringFilter.java:90-98)."""
+    e = derived_edges(spark, sf_dir).dropDuplicates(["to_url", "from_url"])
+    w = Window.partitionBy("to_url").orderBy(F.desc("link_score"), F.asc("from_url"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("to_url")
+        .agg(F.round(F.sum("link_score"), 2).alias("opic_score"), F.count("*").alias("n_used"))
+    )
+
+
+SQL_OPIC_INLINK_SUM = f"""
+WITH {EDGES_CTE},
+dedup AS (
+  SELECT to_url, from_url, MAX(link_score) AS link_score, MIN(anchor) AS anchor
+  FROM (SELECT to_url, from_url, link_score, anchor,
+               ROW_NUMBER() OVER (PARTITION BY to_url, from_url ORDER BY link_score DESC, anchor) AS dd
+        FROM edges) WHERE dd = 1 GROUP BY to_url, from_url
+),
+ranked AS (
+  SELECT to_url, link_score,
+         ROW_NUMBER() OVER (PARTITION BY to_url ORDER BY link_score DESC, from_url ASC) AS rk
+  FROM dedup
+)
+SELECT to_url, ROUND(SUM(link_score), 2) AS opic_score, COUNT(*) AS n_used
+FROM ranked WHERE rk <= 5 GROUP BY to_url
+"""
+
+
+def q_segment_merge(spark, sf_dir):
+    """A8: SegmentMerger — latest segment wins per url
+    (segment/SegmentMerger.java:66-112)."""
+    e = derived_edges(spark, sf_dir)
+    w = Window.partitionBy("from_url").orderBy(F.desc("segment"), F.asc("to_url"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("from_url", F.col("to_url").alias("kept_link"), "segment")
+    )
+
+
+SQL_SEGMENT_MERGE = f"""
+WITH {EDGES_CTE}
+SELECT from_url, to_url AS kept_link, segment FROM (
+  SELECT from_url, to_url, segment,
+         ROW_NUMBER() OVER (PARTITION BY from_url ORDER BY segment DESC, to_url ASC) AS rk
+  FROM edges
+) WHERE rk = 1
+"""
+
+
+def q_crawldb_merge(spark, sf_dir):
+    """A5: CrawlDbMerger — latest fetch_time wins (crawl/CrawlDbMerger.java:60+).
+    Second db = same frontier with shifted fetch_time for odd orderkeys."""
+    f = derived_frontier(spark, sf_dir)
+    f2 = f.withColumn("fetch_time", F.col("fetch_time") + (F.col("retries") % 2) * 1000)
+    un = f.unionByName(f2)
+    w = Window.partitionBy("url").orderBy(F.desc("fetch_time"), F.desc("status"))
+    return (
+        un.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("url", "fetch_time", "status")
+    )
+
+
+SQL_CRAWLDB_MERGE = f"""
+WITH {FRONTIER_CTE},
+both_dbs AS (
+  SELECT url, fetch_time, status FROM frontier
+  UNION ALL
+  SELECT url, fetch_time + (retries % 2) * 1000 AS fetch_time, status FROM frontier
+)
+SELECT url, fetch_time, status FROM (
+  SELECT url, fetch_time, status,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY fetch_time DESC, status DESC) AS rk
+  FROM both_dbs
+) WHERE rk = 1
+"""
+
+
+def q_index_dedup(spark, sf_dir):
+    """A10: SolrDeleteDuplicates — keep highest score per signature
+    (indexer/solr/SolrDeleteDuplicates.java:60+)."""
+    f = derived_frontier(spark, sf_dir)
+    sig = F.md5((F.col("retries") % 3).cast("string"))  # coarse digest groups
+    w = Window.partitionBy("digest").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        f.withColumn("digest", sig)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("digest", F.col("url").alias("kept_url"), F.round("score", 2).alias("score"))
+    )
+
+
+SQL_INDEX_DEDUP = f"""
+WITH {FRONTIER_CTE}
+SELECT digest, url AS kept_url, ROUND(score, 2) AS score FROM (
+  SELECT md5(CAST(retries % 3 AS VARCHAR)) AS digest, url, score,
+         ROW_NUMBER() OVER (PARTITION BY md5(CAST(retries % 3 AS VARCHAR))
+                            ORDER BY score DESC, url ASC) AS rk
+  FROM frontier
+) WHERE rk = 1
+"""
+
+
+def q_indexer_join(spark, sf_dir):
+    """J2/I1-I4: indexer co-group — frontier ⋈ edges(as parse) inner join +
+    boost = sqrt(score) (IndexerMapReduce.java:149-161, OPIC :155-157)."""
+    f = derived_frontier(spark, sf_dir)
+    e = derived_edges(spark, sf_dir).groupBy("from_url").agg(F.count("*").alias("n_outlinks"))
+    return (
+        f.join(e, f.url == e.from_url, "inner")
+        .select(
+            "url", "n_outlinks",
+            F.round(F.sqrt(F.col("score")), 4).alias("boost"),
+        )
+    )
+
+
+SQL_INDEXER_JOIN = f"""
+WITH {FRONTIER_CTE}, {EDGES_CTE},
+parsed AS (SELECT from_url, COUNT(*) AS n_outlinks FROM edges GROUP BY from_url)
+SELECT f.url, p.n_outlinks, ROUND(SQRT(f.score), 4) AS boost
+FROM frontier f JOIN parsed p ON f.url = p.from_url
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """A9: DomainStatistics — url counts per host suffix bucket
+    (util/domain/DomainStatistics.java:47+)."""
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.select(F.col("to_host").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_DOMAIN_STATS = f"""
+WITH {EDGES_CTE}
+SELECT to_host AS host, COUNT(*) AS n FROM edges GROUP BY to_host
+"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Seen-set novelty: outlink targets not present in the frontier
+    (left-anti; the exact layer under the bloom sketch)."""
+    f = derived_frontier(spark, sf_dir)
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.select("to_url").distinct()
+        .join(f.select(F.col("url").alias("to_url")), "to_url", "left_anti")
+    )
+
+
+SQL_SEEN_ANTIJOIN = f"""
+WITH {FRONTIER_CTE}, {EDGES_CTE}
+SELECT DISTINCT to_url FROM edges
+WHERE to_url NOT IN (SELECT url FROM frontier)
+"""
+
+
+def q_score_updater(spark, sf_dir):
+    """J5: ScoreUpdater — graph score (inlink count) overlays frontier score
+    (scoring/webgraph/ScoreUpdater.java:60+)."""
+    f = derived_frontier(spark, sf_dir)
+    g = (
+        derived_edges(spark, sf_dir)
+        .groupBy("from_url")
+        .agg(F.count("*").cast("double").alias("graph_score"))
+    )
+    return f.join(g, f.url == g.from_url, "left").select(
+        "url", F.round(F.coalesce(F.col("graph_score"), F.col("score")), 2).alias("new_score")
+    )
+
+
+SQL_SCORE_UPDATER = f"""
+WITH {FRONTIER_CTE}, {EDGES_CTE},
+g AS (SELECT from_url, CAST(COUNT(*) AS DOUBLE) AS graph_score FROM edges GROUP BY from_url)
+SELECT f.url, ROUND(COALESCE(g.graph_score, f.score), 2) AS new_score
+FROM frontier f LEFT JOIN g ON f.url = g.from_url
+"""
+
+
+# --- training-data ops over documents/embeddings/events --------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (hash-groupBy)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting over documents (whitespace tokens of trimmed text)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    return d.select("doc_id", n.alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality features: chars, punct chars, upper ratio (pretraining filter)."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^!?.,;:]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct,
+       ROUND(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    """Language-ID proxy distribution (declared lang vs length buckets)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(length(text)), 2) AS avg_len
+FROM documents GROUP BY lang
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the 5 lowest vec_ids
+    (similarity-search baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    ))
+    scored = q.crossJoin(e).filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("nn_id"),
+        F.round(dot / (nrm(F.col("q_vec")) * nrm(F.col("embedding"))), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 3)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         ROUND(list_dot_product(q.q_vec, e.embedding)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, nn_id, cosine, rk FROM (
+  SELECT q_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-analog windowed aggregation: hourly event counts by type
+    (the batch equivalent of the structured-streaming frontier monitor)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible kernels) — no oracle entry
+# ---------------------------------------------------------------------------
+
+def q_fetch_kernel(spark, sf_dir):
+    """R1-R9: virtual-clock politeness fetch over the synthetic corpus
+    (stateful per-partition kernel — not SQL-expressible)."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.corpus import SyntheticWeb
+    from nutch_spark.operators.fetch import run_fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject
+
+    cfg = CrawlConfig(num_partitions=4, topn=5000, fetcher_threads=4,
+                      fetch_duration_ms=10, fetcher_server_delay_ms=100)
+    tables = SyntheticWeb(n_hosts=8, pages_per_host=4, mega_factor=5).to_spark(spark)
+    t0 = 1_700_000_000_000
+    frontier = inject(None, tables["seeds"], cfg, t0)
+    fl = generate(frontier, cfg, t0)
+    return run_fetch(fl, tables["web_graph"], tables["robots"], cfg, 1, t0).select(
+        "url", "host", "fetch_status", "seq"
+    )
+
+
+def q_span_extraction(spark, sf_dir):
+    """X1-X5: span extraction over the synthetic corpus (order-preserving
+    kernel; verified by span-equality pytest suite)."""
+    from nutch_spark.corpus import SyntheticWeb
+    from nutch_spark.operators.parse import extract_spans
+
+    tables = SyntheticWeb(n_hosts=6, pages_per_host=3, mega_factor=3).to_spark(spark)
+    return extract_spans(tables["raw_content"]).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup over documents (Arrow UDF signatures)."""
+    from nutch_spark.operators.dedup import minhash_near_duplicates
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup over documents."""
+    from nutch_spark.operators.dedup import simhash_near_duplicates
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=6)
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (scale path of q_cosine_topk)."""
+    from nutch_spark.functions.similarity import ann_cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_cosine_topk(e, q, k=3, n_planes=6)
+
+
+def q_linkrank(spark, sf_dir):
+    """L2: iterative LinkRank over the derived edge graph."""
+    from nutch_spark.operators.webgraph import linkrank
+
+    e = derived_edges(spark, sf_dir).select(
+        F.col("from_url").alias("src"), F.col("to_url").alias("dst")
+    ).distinct().limit(20000)
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    return linkrank(e, nodes, iterations=3).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media feature extraction (stubbed decode)."""
+    from nutch_spark.operators.media import extract_media_features, synth_media_table
+
+    refs = [f"http://img.example-cdn.com/{i}.jpg" for i in range(100)]
+    return extract_media_features(synth_media_table(spark, refs))
+
+
+QUERIES: dict[str, tuple] = {
+    # SQL-oracled operators
+    "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
+    "generator_topn": (q_generator_topn, SQL_GENERATOR_TOPN),
+    "generator_hostcap": (q_generator_hostcap, SQL_GENERATOR_HOSTCAP),
+    "generator_due": (q_generator_due, SQL_GENERATOR_DUE),
+    "partition_hostcount": (q_partition_hostcount, SQL_PARTITION_HOSTCOUNT),
+    "inject_merge": (q_inject_merge, SQL_INJECT_MERGE),
+    "updatedb_transitions": (q_updatedb_transitions, SQL_UPDATEDB_TRANSITIONS),
+    "schedule_default": (q_schedule_default, SQL_SCHEDULE_DEFAULT),
+    "schedule_adaptive": (q_schedule_adaptive, SQL_SCHEDULE_ADAPTIVE),
+    "linkdb_invert": (q_linkdb_invert, SQL_LINKDB_INVERT),
+    "opic_inlink_sum": (q_opic_inlink_sum, SQL_OPIC_INLINK_SUM),
+    "segment_merge": (q_segment_merge, SQL_SEGMENT_MERGE),
+    "crawldb_merge": (q_crawldb_merge, SQL_CRAWLDB_MERGE),
+    "index_dedup": (q_index_dedup, SQL_INDEX_DEDUP),
+    "indexer_join": (q_indexer_join, SQL_INDEXER_JOIN),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    "score_updater": (q_score_updater, SQL_SCORE_UPDATER),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # rows-only kernels (no SQL equivalent)
+    "fetch_kernel": (q_fetch_kernel, None),
+    "span_extraction": (q_span_extraction, None),
+    "minhash_neardup": (q_minhash_neardup, None),
+    "simhash_neardup": (q_simhash_neardup, None),
+    "ann_topk": (q_ann_topk, None),
+    "linkrank": (q_linkrank, None),
+    "media_features": (q_media_features, None),
+}

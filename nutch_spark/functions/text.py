@@ -1,0 +1,80 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All native Catalyst expressions
+(JVM, whole-stage codegen) — no Python in any of these paths.
+
+Crawl-side analogue: the language-identifier / quality plugins
+(plugin/language-identifier/, index filters) and TextProfileSignature
+(crawl/TextProfileSignature.java); rebuilt here as columnar ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny stopword profiles for the n-gram/stopword language heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "que", "une"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace+punct tokenization, lowercased, empty-free (JVM-side)."""
+    toks = F.split(F.lower(F.regexp_replace(text, r"[^\w\s]+", " ")), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs via one
+    regexp pass (a deterministic stand-in for a real tokenizer)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), F.lit(0))
+    )
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-vote language heuristic — returns the language whose
+    stopwords appear most among tokens ('und' for unknown)."""
+    toks = tokens_col(text)
+    scores = []
+    for lang, words in _LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic from length, punctuation ratio, stopword
+    presence, mean word length — the usual pretraining-filter features."""
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_punct = F.length(F.regexp_replace(text, r"[^!?.,;:]", ""))
+    mean_word = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_toks > 0, F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / n_toks
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(1.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(1.0) - punct_ratio)
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_score + 0.2 * word_score + 0.2 * punct_score + 0.3 * stop_score, 4
+    )
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Rolling-hash document fingerprint: xxhash64 over normalized text —
+    cheap exact-dup key (the TextProfileSignature role for pipelines)."""
+    norm = F.array_join(tokens_col(text), " ")
+    return F.xxhash64(norm)

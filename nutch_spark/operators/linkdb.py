@@ -1,0 +1,73 @@
+"""LinkDb: inverted link graph (crawl/LinkDb.java:80-139, LinkDbMerger.java).
+
+- invert: explode page outlinks -> (to_url, from_url, anchor); drop internal
+  (same-host) links by default (LinkDb.java:108-113, db.ignore.internal.links),
+  truncate anchors to db.max.anchor.length (LinkDb.java:68,132-135);
+- cap inlinks per target at db.max.inlinks (LinkDbMerger.java:45+);
+- merge: union N linkdbs, dedupe by (to_url, from_url), re-cap.
+
+All pure Catalyst: explode + filter + window. At scale the groupBy(to_url)
+shuffle is the cost; the window cap bounds reduce-side state exactly like
+the reference's bounded inlink list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.urls import host_col
+
+
+def invert_links(parse_data: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """parse_data(url, outlinks:array<struct<to_url,anchor>>) ->
+    inlink rows (to_url, from_url, anchor) capped per target."""
+    edges = (
+        parse_data.select(
+            F.col("url").alias("from_url"),
+            F.explode_outer(F.col("outlinks")).alias("l"),
+        )
+        .filter(F.col("l").isNotNull())
+        .select(
+            F.col("l.to_url").alias("to_url"),
+            F.col("from_url"),
+            F.substring(F.coalesce(F.col("l.anchor"), F.lit("")), 1, cfg.db_max_anchor_length).alias("anchor"),
+        )
+    )
+    if cfg.db_ignore_internal_links:  # LinkDb.java:108-113 (default true)
+        edges = edges.filter(host_col(F.col("to_url")) != host_col(F.col("from_url")))
+    # dedupe (to,from) keeping first anchor deterministically, then cap per target
+    w_dup = Window.partitionBy("to_url", "from_url").orderBy("anchor")
+    w_cap = Window.partitionBy("to_url").orderBy("from_url")
+    return (
+        edges.withColumn("rk", F.row_number().over(w_dup)).filter(F.col("rk") == 1)
+        .withColumn("cap", F.row_number().over(w_cap))
+        .filter(F.col("cap") <= cfg.db_max_inlinks)
+        .drop("rk", "cap")
+    )
+
+
+def linkdb_aggregate(inlinks: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Inlink rows -> linkdb(to_url, inlinks array, n_inlinks) — the MapFile
+    <toUrl, Inlinks> analogue."""
+    return inlinks.groupBy("to_url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("from_url", "anchor"))
+        ).alias("inlinks"),
+        F.count("*").alias("n_inlinks"),
+    )
+
+
+def merge_linkdbs(dbs: list[DataFrame], cfg: CrawlConfig) -> DataFrame:
+    """LinkDbMerger: union, dedupe by (to,from), re-cap (crawl/LinkDbMerger.java:45+)."""
+    un = dbs[0]
+    for d in dbs[1:]:
+        un = un.unionByName(d)
+    w_dup = Window.partitionBy("to_url", "from_url").orderBy("anchor")
+    w_cap = Window.partitionBy("to_url").orderBy("from_url")
+    return (
+        un.withColumn("rk", F.row_number().over(w_dup)).filter(F.col("rk") == 1)
+        .withColumn("cap", F.row_number().over(w_cap))
+        .filter(F.col("cap") <= cfg.db_max_inlinks)
+        .drop("rk", "cap")
+    )

@@ -1,0 +1,95 @@
+"""WebGraph + LinkRank (scoring/webgraph/*).
+
+- WebGraph build (WebGraph.java:533-700): OutlinkDb = deduped timestamped
+  edges; InlinkDb = inversion; NodeDb = degrees + score.
+- LinkRank (LinkRank.java:88-660): score = (1-d) + d * sum(inlink shares),
+  d=0.85, default 10 iterations, initial score 1/N... realized as the classic
+  iterative DataFrame pagerank loop with per-iteration localCheckpoint to cut
+  lineage (the reference writes each iteration to HDFS — same role).
+- ScoreUpdater (ScoreUpdater.java:60+): webgraph score -> frontier score
+  (left join + coalesce).
+
+Scale: edges are repartitioned by src once; each iteration is one shuffle
+(groupBy dst). Dedup-by-domain options from LinkRank.java:457-563 are
+exposed as flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nutch_spark.functions.urls import host_col
+
+
+def build_webgraph(parse_data: DataFrame, ts: int = 0,
+                   ignore_internal: bool = False) -> dict[str, DataFrame]:
+    """parse_data -> edges(src,dst,anchor,ts) + nodes(url,in_deg,out_deg)."""
+    edges = (
+        parse_data.select(
+            F.col("url").alias("src"),
+            F.explode_outer("outlinks").alias("l"),
+        )
+        .filter(F.col("l").isNotNull())
+        .select(
+            "src",
+            F.col("l.to_url").alias("dst"),
+            F.col("l.anchor").alias("anchor"),
+            F.lit(ts).alias("ts"),
+        )
+    )
+    if ignore_internal:
+        edges = edges.filter(host_col(F.col("dst")) != host_col(F.col("src")))
+    # OutlinkDb dedup: one edge per (src,dst), latest ts (WebGraph.java:112-401)
+    w = Window.partitionBy("src", "dst").orderBy(F.desc("ts"), F.asc("anchor"))
+    edges = edges.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    nodes = (
+        out_deg.select(F.col("src").alias("url"), "out_deg")
+        .join(in_deg.select(F.col("dst").alias("url"), "in_deg"), "url", "full_outer")
+        .fillna(0, ["in_deg", "out_deg"])
+    )
+    return {"edges": edges, "nodes": nodes}
+
+
+def linkrank(edges: DataFrame, nodes: DataFrame, iterations: int = 10,
+             damping: float = 0.85, dedup_by_host: bool = False) -> DataFrame:
+    """Iterative LinkRank loop (LinkRank.java:595-660)."""
+    spark = edges.sparkSession
+    if dedup_by_host:  # count one inlink per (dst, src-host) (LinkRank.java:457-563)
+        w = Window.partitionBy("dst", host_col(F.col("src"))).orderBy("src")
+        edges = edges.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+
+    edges = edges.select("src", "dst").repartition("src").cache()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    n_nodes = nodes.count()
+    rank = nodes.select("url", (F.lit(1.0) / n_nodes).alias("rank"))
+
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank.withColumnRenamed("url", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_share"))
+        )
+        rank = (
+            nodes.select("url")
+            .join(contrib.withColumnRenamed("dst", "url"), "url", "left")
+            .select(
+                "url",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("in_share"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # cut lineage per iteration
+        )
+    return rank
+
+
+def update_scores(frontier: DataFrame, rank: DataFrame) -> DataFrame:
+    """ScoreUpdater: overwrite frontier score with graph score (J5)."""
+    return (
+        frontier.join(rank.withColumnRenamed("rank", "graph_score"), "url", "left")
+        .withColumn("score", F.coalesce(F.col("graph_score"), F.col("score")).cast("float"))
+        .drop("graph_score")
+    )

@@ -1,0 +1,152 @@
+"""Crawl loop driver: inject once, then generate->fetch->parse->updatedb
+cycles with per-cycle checkpointing and resume.
+
+Reference lifecycle: crawl/Crawl.java:60-161 (the depth loop). Each Hadoop
+job boundary becomes a Spark action; each CrawlDb.install() rename-swap
+becomes a SnapshotTable commit tagged `cycle-N` (Iceberg snapshot tags in
+production). A killed run resumes from the last committed cycle: frontier,
+seen sketch, lineage and metrics are all recoverable from the catalog —
+north_rule's "resumable mid-cycle with per-partition lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nutch_spark.config import CrawlConfig
+from nutch_spark.operators.fetch import fetch_metrics, run_fetch
+from nutch_spark.operators.generate import generate
+from nutch_spark.operators.inject import inject
+from nutch_spark.operators.parse import run_parse
+from nutch_spark.operators.seen import build_seen_sketch
+from nutch_spark.operators.updatedb import update_frontier
+from nutch_spark.storage import Catalog
+
+# one virtual day per cycle keeps re-generate delays meaningful
+CYCLE_VIRTUAL_MS = 24 * 3600 * 1000
+T0_DEFAULT = 1_700_000_000_000
+
+
+@dataclass
+class CycleResult:
+    cycle: int
+    generated: int
+    fetched: int
+    parsed: int
+    frontier_size: int
+    new_urls: int
+    wall_s: float
+
+
+class CrawlDriver:
+    def __init__(self, spark: SparkSession, catalog_root: str, cfg: CrawlConfig,
+                 web_graph: DataFrame, robots: DataFrame, raw_content: DataFrame,
+                 t0_ms: int = T0_DEFAULT):
+        self.spark = spark
+        self.cfg = cfg
+        self.cat = Catalog(catalog_root)
+        self.web_graph = web_graph
+        self.robots = robots
+        self.raw_content = raw_content
+        self.t0_ms = t0_ms
+        self.frontier_t = self.cat.table("frontier")
+        self.metrics_t = self.cat.table("fetch_metrics")
+        self.lineage_t = self.cat.table("lineage")
+        self.sketch_t = self.cat.table("seen_sketch")
+        self.documents_t = self.cat.table("documents")
+        self.fetch_t = self.cat.table("fetch_status")
+
+    # -- state -------------------------------------------------------------
+    def last_completed_cycle(self) -> int:
+        snap = self.frontier_t.latest()
+        if snap is None or snap.tag is None:
+            return -1 if snap is None else 0
+        if snap.tag.startswith("cycle-"):
+            return int(snap.tag.split("-")[1])
+        return 0  # inject tag
+
+    def frontier(self) -> DataFrame:
+        return self.frontier_t.read(self.spark)
+
+    # -- stages ------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> int:
+        """Inject seeds (idempotent: skipped if already committed)."""
+        if self.frontier_t.exists():
+            return self.frontier().count()
+        frontier = inject(None, seeds, self.cfg, self.t0_ms)
+        n = frontier.count()
+        self.frontier_t.commit(frontier, tag="inject")
+        return n
+
+    def run_cycle(self, cycle: int) -> CycleResult:
+        t_start = time.time()
+        cfg = self.cfg
+        cur = self.t0_ms + cycle * CYCLE_VIRTUAL_MS
+        frontier = self.frontier().cache()
+        frontier_n = frontier.count()
+
+        fetchlist = generate(frontier, cfg, cur).cache()
+        n_gen = fetchlist.count()
+
+        fetch_out = run_fetch(
+            fetchlist, self.web_graph, self.robots, cfg, cycle, cur
+        ).cache()
+        n_fetch = fetch_out.count()
+        self.fetch_t.append(fetch_out, tag=f"cycle-{cycle}")
+
+        parsed = run_parse(fetch_out, self.raw_content, cfg)
+        n_parsed = parsed["documents"].count()
+        if n_parsed:
+            self.documents_t.commit(parsed["documents"], tag=f"cycle-{cycle}")
+
+        new_frontier = update_frontier(
+            frontier, fetch_out, parsed["parse_updates"], cfg, cur
+        ).cache()
+        new_n = new_frontier.count()
+
+        # metrics + lineage (north_rule: per-partition rows)
+        met = fetch_metrics(fetch_out, cycle, cur)
+        self.metrics_t.append(met, tag=f"cycle-{cycle}")
+        lineage = self.spark.createDataFrame(
+            [
+                (cycle, "generate", frontier_n, n_gen),
+                (cycle, "fetch", n_gen, n_fetch),
+                (cycle, "parse", n_fetch, n_parsed),
+                (cycle, "updatedb", frontier_n + n_fetch, new_n),
+            ],
+            "cycle int, stage string, rows_in long, rows_out long",
+        )
+        self.lineage_t.append(lineage, tag=f"cycle-{cycle}")
+
+        # seen sketch rebuilt incrementally each cycle (bitmap OR is the
+        # production path; full rebuild is exact and cheap relative to fetch)
+        self.sketch_t.commit(build_seen_sketch(new_frontier, cfg), tag=f"cycle-{cycle}")
+
+        # atomic install — THE commit that marks the cycle complete
+        self.frontier_t.commit(new_frontier, tag=f"cycle-{cycle}")
+
+        frontier.unpersist()
+        fetchlist.unpersist()
+        fetch_out.unpersist()
+        return CycleResult(
+            cycle=cycle, generated=n_gen, fetched=n_fetch, parsed=n_parsed,
+            frontier_size=new_n, new_urls=new_n - frontier_n,
+            wall_s=time.time() - t_start,
+        )
+
+
+def crawl(spark: SparkSession, catalog_root: str, cfg: CrawlConfig,
+          seeds: DataFrame, web_graph: DataFrame, robots: DataFrame,
+          raw_content: DataFrame, depth: int, t0_ms: int = T0_DEFAULT) -> list[CycleResult]:
+    """Run (or resume) a depth-cycle crawl. Safe to re-invoke after a kill:
+    completed cycles are skipped via snapshot tags."""
+    drv = CrawlDriver(spark, catalog_root, cfg, web_graph, robots, raw_content, t0_ms)
+    drv.bootstrap(seeds)
+    done = drv.last_completed_cycle()
+    results = []
+    for cycle in range(done + 1, depth + 1):
+        results.append(drv.run_cycle(cycle))
+    return results

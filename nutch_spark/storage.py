@@ -35,6 +35,7 @@ class Snapshot:
     path: str
     committed_at_ms: int
     parent_id: int | None
+    append: bool = False
 
 
 class SnapshotTable:
@@ -93,6 +94,26 @@ class SnapshotTable:
             "path": path,
             "committed_at_ms": int(time.time() * 1000),
             "parent_id": log[-1]["snapshot_id"] if log else None,
+            "append": False,
+        }
+        log.append(snap)
+        self._install_log(log)
+        return Snapshot(**snap)
+
+    def append(self, df: DataFrame, tag: str | None = None) -> Snapshot:
+        """Append-only commit (fast path for logs: lineage, metrics).
+        Readers union all appended snapshots since the last full commit."""
+        log = self._load_log()
+        sid = (log[-1]["snapshot_id"] + 1) if log else 1
+        path = os.path.join(self.root, f"snap-{sid:06d}")
+        df.write.mode("overwrite").parquet(path)
+        snap = {
+            "snapshot_id": sid,
+            "tag": tag,
+            "path": path,
+            "committed_at_ms": int(time.time() * 1000),
+            "parent_id": log[-1]["snapshot_id"] if log else None,
+            "append": True,
         }
         log.append(snap)
         self._install_log(log)
@@ -109,7 +130,18 @@ class SnapshotTable:
             snap = self.latest()
             if snap is None:
                 raise KeyError(f"table {self.name} has no snapshots")
-        return spark.read.parquet(snap.path)
+        if not snap.append:
+            return spark.read.parquet(snap.path)
+        # append snapshot: union every append since the last full commit
+        paths = []
+        for e in self.snapshots():
+            if e.snapshot_id > snap.snapshot_id:
+                break
+            if e.append:
+                paths.append(e.path)
+            else:
+                paths = [e.path]
+        return spark.read.parquet(*paths)
 
     def expire_snapshots(self, keep: int = 3) -> int:
         """Drop all but the newest `keep` snapshots (GC; Iceberg expire analogue)."""

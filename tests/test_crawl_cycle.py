@@ -1,0 +1,74 @@
+"""Multi-cycle crawl + resume-from-checkpoint (north_rule requirements)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.plans.crawl_cycle import CrawlDriver, crawl
+from nutch_spark.storage import Catalog
+
+
+@pytest.fixture()
+def cfg():
+    return CrawlConfig(num_partitions=4, topn=2000, fetcher_threads=4,
+                       fetch_duration_ms=10, fetcher_server_delay_ms=50,
+                       seen_buckets=8, seen_bits_per_bucket=1 << 16)
+
+
+def test_three_cycle_crawl_discovers_web(spark, corpus_tables, cfg, tmp_path):
+    res = crawl(
+        spark, str(tmp_path / "cat"), cfg,
+        corpus_tables["seeds"], corpus_tables["web_graph"],
+        corpus_tables["robots"], corpus_tables["raw_content"], depth=3,
+    )
+    assert len(res) == 3
+    # frontier grows monotonically as outlinks are discovered
+    assert res[0].frontier_size < res[1].frontier_size <= res[2].frontier_size
+    # later cycles fetch newly discovered URLs
+    assert res[1].fetched > 0
+    cat = Catalog(str(tmp_path / "cat"))
+    frontier = cat.table("frontier").read(spark)
+    statuses = {r.status for r in frontier.select("status").distinct().collect()}
+    assert schemas.STATUS_DB_FETCHED in statuses
+    # lineage + metrics tables exist with per-partition/stage rows
+    assert cat.table("lineage").read(spark).count() >= 12
+    assert cat.table("fetch_metrics").read(spark).count() > 0
+
+
+def test_resume_from_checkpoint_identical_seen_set(spark, corpus_tables, cfg, tmp_path):
+    """Kill after cycle 1, resume, final seen set == uninterrupted run
+    (SURVEY §5 resume test)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    args = (corpus_tables["seeds"], corpus_tables["web_graph"],
+            corpus_tables["robots"], corpus_tables["raw_content"])
+
+    crawl(spark, a, cfg, *args, depth=3)                       # uninterrupted
+
+    crawl(spark, b, cfg, *args, depth=1)                       # "killed" after c1
+    resumed = crawl(spark, b, cfg, *args, depth=3)             # resume
+    assert [r.cycle for r in resumed] == [2, 3]                # c1 skipped
+
+    fa = Catalog(a).table("frontier").read(spark)
+    fb = Catalog(b).table("frontier").read(spark)
+    sa = {r.url for r in fa.select("url").collect()}
+    sb = {r.url for r in fb.select("url").collect()}
+    assert sa == sb
+    # full row equality, not just the URL set
+    cols = ["url", "status", "retries", "fetch_interval", "signature"]
+    ra = {tuple(r) for r in fa.select(*cols).collect()}
+    rb = {tuple(r) for r in fb.select(*cols).collect()}
+    assert ra == rb
+
+
+def test_crawl_ordering_deterministic(spark, corpus_tables, cfg, tmp_path):
+    """Same seed list + politeness budget -> identical fetch order
+    (url, partition, seq) across independent runs."""
+    def run(root):
+        crawl(spark, root, cfg,
+              corpus_tables["seeds"], corpus_tables["web_graph"],
+              corpus_tables["robots"], corpus_tables["raw_content"], depth=2)
+        fs = Catalog(root).table("fetch_status").read(spark)
+        return sorted((r.url, r.partition_id, r.seq) for r in fs.collect())
+
+    assert run(str(tmp_path / "r1")) == run(str(tmp_path / "r2"))

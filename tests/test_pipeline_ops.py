@@ -1,0 +1,188 @@
+"""Training-data pipeline ops over the driver-provided testdata tables:
+dedup (exact/minhash/simhash/ngram), similarity search, text analysis,
+multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.similarity import (
+    ann_cosine_topk,
+    brute_force_cosine_topk,
+    embedding_near_duplicates,
+)
+from nutch_spark.functions.text import (
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from nutch_spark.operators.dedup import (
+    dedup_exact_keep_first,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_jaccard,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from nutch_spark.operators.media import (
+    extract_media_features,
+    media_span_join,
+    sample_video_frames,
+    synth_media_table,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different")],
+        "doc_id long, text string",
+    )
+    dups = exact_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0].doc_ids == [1, 2]
+    kept = {r.doc_id for r in dedup_exact_keep_first(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_near_dup_detects_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    near = base.replace("morning", "evening")
+    far = "completely unrelated content about database query optimization techniques"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_near_duplicates(df, threshold=0.3).collect()
+    assert {(r.a, r.b) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs)
+    jc = minhash_jaccard(sigs, pairs).collect()
+    assert len(jc) == 1 and abs(jc[0].est_jaccard - 1.0) < 1e-9
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = ngram_jaccard_pairs(df, pairs, n=3).collect()[0]
+    # grams1={abc,bcd,cde}, grams2={abc,bcd,cdx} -> |∩|=2 |∪|=4
+    assert abs(out.jaccard - 0.5) < 1e-9
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word7 ", "word7x ")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    got = {(r.a, r.b) for r in simhash_near_duplicates(df, max_hamming=8).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_dedup_on_real_documents(spark, documents):
+    """Runs at sf0.001 over the driver corpus — sanity + no crashes."""
+    n = documents.count()
+    kept = dedup_exact_keep_first(documents).count()
+    assert 0 < kept <= n
+
+
+def test_brute_force_topk_self_nearest(spark, embeddings):
+    q = embeddings.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = brute_force_cosine_topk(embeddings, q, k=1).collect()
+    # each query's own vector is its nearest neighbor (cosine 1.0)
+    assert all(r.nn_id == r.q_id and abs(r.cosine - 1.0) < 1e-4 for r in top)
+
+
+def test_ann_recall_reasonable(spark, embeddings):
+    q = embeddings.limit(10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.nn_id) for r in brute_force_cosine_topk(embeddings, q, k=1).collect()}
+    ann = {(r.q_id, r.nn_id) for r in ann_cosine_topk(embeddings, q, k=1, n_planes=6).collect()}
+    # self-match always shares the bucket -> recall 1.0 for k=1 self queries
+    assert exact == ann
+
+
+def test_embedding_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4)
+    assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_text_analysis_columns(spark, documents):
+    out = documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        detect_language(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    rows = out.collect()
+    assert all(r.n_tokens >= 0 and r.n_bpe >= r.n_tokens * 0 for r in rows)
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    langs = {r.lang_pred for r in rows}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_detect_language_known_samples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house for food"),
+            (2, "der hund und die katze sind nicht in das haus"),
+            (3, "le chat et les chiens sont dans la maison pour manger"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.l for r in df.select("doc_id", detect_language(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_media_pipeline_plumbing(spark, corpus_tables):
+    """Multimodal: synth media for corpus media refs -> features -> span join.
+    Decode is stubbed; plumbing (schema/batching/joins) is real."""
+    from nutch_spark.operators.parse import extract_spans, spans_to_documents
+
+    spans = extract_spans(corpus_tables["raw_content"])
+    refs = [r.media_ref for r in
+            spans.filter(F.col("kind") == "media").select("media_ref").distinct().limit(20).collect()]
+    media = synth_media_table(spark, refs + ["http://x.com/v.mp4"])
+    feats = extract_media_features(media)
+    got = feats.collect()
+    assert all(len(r.feature) == 8 for r in got)
+    assert all(r.decoded for r in got)  # synth payloads all decode
+    # video frame sampling emits one row per sampled ts
+    frames = sample_video_frames(media, every_ms=500)
+    assert frames.count() > 0
+    # span-level join back onto documents
+    docs = spans_to_documents(spans.select("doc_id", "offset", "kind", "text", "media_ref"))
+    joined = media_span_join(docs, feats)
+    assert joined.filter(F.col("feature").isNotNull()).count() > 0
