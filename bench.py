@@ -1,0 +1,216 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline suite on local[$SPARK_GRAFT_CPUS] at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", "urls_per_sec", ...}.
+
+Headline job = the authoritative metric from BASELINE.json: URLs
+fetched+deduped per second through the full generate->fetch->parse->updatedb
+cycle over a deterministic synthetic web (the corpus IS the network; the
+politeness clock is virtual, so wall time measures engine dataflow cost).
+
+Modes:
+  python bench.py                 # full suite, one JSON line
+  python bench.py --crawl-only    # just the crawl throughput job
+  python bench.py --scaling       # identical crawl job at N=8 and 4N=32
+                                  # cores -> throughput at both + efficiency
+                                  # (sandbox protocol from BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# bench-corpus shape (distributed generator, nutch_spark/bench_corpus.py):
+# mega host ~ one partition's worth of URLs so the politeness constraint
+# (host never split across partitions) does not cap scaling
+BENCH_HOSTS = int(os.environ.get("BENCH_HOSTS", "2000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "150"))
+BENCH_MEGA = int(os.environ.get("BENCH_MEGA", "4"))
+BENCH_DEPTH = int(os.environ.get("BENCH_DEPTH", "1"))
+
+# operator queries timed at sf0.1 (subset of __spark_entry__.queries():
+# the shuffle/join/window-heavy ones that grow with SF)
+BENCH_QUERIES = [
+    "generator_topn",
+    "generator_hostcap",
+    "inject_merge",
+    "updatedb_transitions",
+    "linkdb_invert",
+    "opic_inlink_sum",
+    "segment_merge",
+    "crawldb_merge",
+    "indexer_join",
+    "seen_antijoin",
+    "score_updater",
+    "dedup_exact",
+    "token_count",
+    "minhash_neardup",
+    "cosine_topk",
+    "events_hourly",
+]
+
+
+def _spark(cpus: int):
+    from nutch_spark.session import get_spark
+
+    return get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+
+
+def run_crawl_throughput(spark, num_partitions: int) -> dict:
+    """Headline: URLs fetched+deduped/s through generate->fetch->parse->
+    updatedb over a saturated frontier (all corpus URLs seeded up-front,
+    FreeGenerator semantics). Inject/bootstrap is setup, not steady state —
+    throughput divides by the sum of cycle walls."""
+    import shutil
+    import tempfile
+
+    from nutch_spark.bench_corpus import bench_web_tables
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.plans.crawl_cycle import crawl
+
+    cfg = CrawlConfig(
+        num_partitions=num_partitions,
+        topn=10_000_000,  # no artificial cap: measure full-frontier flow
+        fetcher_threads=16,
+        fetch_duration_ms=10,
+        fetcher_server_delay_ms=50,
+        gen_delay_ms=0,
+    )
+    tables = bench_web_tables(
+        spark, n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PAGES,
+        mega_factor=BENCH_MEGA, n_partitions=2 * num_partitions,
+    )
+    for name in ("web_graph", "raw_content", "robots"):
+        tables[name] = tables[name].cache()
+        tables[name].count()
+
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        results = crawl(
+            spark, root, cfg,
+            tables["seeds"], tables["web_graph"], tables["robots"],
+            tables["raw_content"], depth=BENCH_DEPTH,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    fetched = sum(r.fetched for r in results)
+    wall = sum(r.wall_s for r in results)
+    frontier = results[-1].frontier_size if results else 0
+    return {
+        "crawl_wall_s": round(wall, 3),
+        "urls_fetched": fetched,
+        "frontier_size": frontier,
+        "urls_per_sec": round(fetched / wall, 2) if wall > 0 else 0.0,
+        "cycles": [
+            {"cycle": r.cycle, "generated": r.generated, "fetched": r.fetched,
+             "frontier": r.frontier_size, "wall_s": round(r.wall_s, 3)}
+            for r in results
+        ],
+    }
+
+
+def run_query_suite(spark) -> dict:
+    from nutch_spark.entry_queries import QUERIES
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        # noop write forces full evaluation of every row without collect
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main_bench(crawl_only: bool) -> dict:
+    spark = _spark(CPUS)
+    t_total = time.time()
+    crawl_stats = run_crawl_throughput(spark, num_partitions=CPUS)
+    timings = {} if crawl_only else run_query_suite(spark)
+    total = time.time() - t_total
+    spark.stop()
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+    out = {
+        "metric": "headline suite wall time (crawl cycles + operator queries); "
+                  "urls_per_sec = URLs fetched+deduped/s through "
+                  "generate->fetch->parse->updatedb",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"crawl_cycle": crawl_stats["crawl_wall_s"], **timings},
+        "sf": sf,
+        "urls_per_sec": crawl_stats["urls_per_sec"],
+        "urls_fetched": crawl_stats["urls_fetched"],
+        "frontier_size": crawl_stats["frontier_size"],
+        "cores": CPUS,
+        "cycles": crawl_stats["cycles"],
+    }
+    return out
+
+
+def main_scaling() -> dict:
+    """North-rule evidence: identical job, identical input, N vs 4N cores.
+
+    Partitioning is held constant (num_partitions = 32 = 4N) so both runs
+    execute the same physical plan over the same partitions; only available
+    cores differ. efficiency = (thr_4N / thr_N) / 4, target >= 0.8.
+    """
+    runs = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_PARTS="32")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        runs[cores] = json.loads(line)
+    thr_n, thr_4n = runs[8]["urls_per_sec"], runs[32]["urls_per_sec"]
+    eff = (thr_4n / thr_n) / 4 if thr_n else 0.0
+    return {
+        "metric": "scaling efficiency (URLs fetched+deduped/s, local[8] -> local[32])",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_n8": thr_n,
+        "throughput_n32": thr_4n,
+        "urls_fetched": runs[32]["urls_fetched"],
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = main_scaling()
+    else:
+        # in scaling sub-runs BENCH_PARTS pins the partition count
+        if os.environ.get("BENCH_PARTS"):
+            CPUS_PART = int(os.environ["BENCH_PARTS"])
+            spark = _spark(CPUS)
+            t0 = time.time()
+            stats = run_crawl_throughput(spark, num_partitions=CPUS_PART)
+            spark.stop()
+            result = {
+                "metric": "crawl throughput", "value": stats["crawl_wall_s"],
+                "unit": "sec", "queries": {"crawl_cycle": stats["crawl_wall_s"]},
+                "sf": 0.1, "cores": CPUS, **{k: stats[k] for k in
+                ("urls_per_sec", "urls_fetched", "frontier_size")},
+            }
+        else:
+            result = main_bench("--crawl-only" in sys.argv)
+    print(json.dumps(result))

@@ -507,10 +507,17 @@ FROM frontier f LEFT JOIN g ON f.url = g.from_url
 # --- training-data ops over documents/embeddings/events --------------------
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup groups over documents (hash-groupBy)."""
-    d = load(spark, sf_dir, "documents")
+    """Exact dedup groups over documents (hash-groupBy). The corpus has no
+    literal duplicates, so every 10th doc is unioned back in under a shifted
+    id — deterministic in both engines — and the dedup must find exactly
+    those groups and keep the lowest doc_id."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
     return (
-        d.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+        d.unionByName(dupes)
+        .select(F.md5(F.col("text")).alias("digest"), "doc_id")
         .groupBy("digest")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
@@ -518,8 +525,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
