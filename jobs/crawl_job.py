@@ -1,0 +1,99 @@
+"""spark-submit entrypoint for the crawl loop (north_rule deployment shape).
+
+Cluster:
+    zip -r nutch_spark.zip nutch_spark
+    spark-submit --py-files nutch_spark.zip jobs/crawl_job.py \
+        --catalog s3://bucket/crawl --depth 10 --topn 10000 --partitions 2048
+
+Sandbox (local mode is the default master):
+    python jobs/crawl_job.py --catalog /tmp/crawl --depth 3 --bench-corpus
+
+The job is resumable: re-submitting with the same --catalog continues from
+the last committed cycle (snapshot tags; see plans/crawl_cycle.py). Seeds
+come from --seeds (url-per-line text file, Injector format: '#' comments,
+tab-separated key=value metadata incl. nutch.score / nutch.fetchInterval —
+crawl/Injector.java:84-129) or --bench-corpus for the synthetic web.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def parse_seed_file(spark, path: str):
+    """Seed-list text scan (S1, crawl/Injector.java:84-129): url-per-line,
+    '#' comments, tab-separated key=value metadata."""
+    lines = spark.read.text(path).select(F.trim("value").alias("line"))
+    lines = lines.filter((F.col("line") != "") & ~F.col("line").startswith("#"))
+    parts = F.split(F.col("line"), "\t")
+    kvs = F.filter(F.slice(parts, 2, 1000), lambda s: s.contains("="))
+    return lines.select(
+        F.element_at(parts, 1).alias("url"),
+        F.map_from_arrays(
+            F.transform(kvs, lambda s: F.split(s, "=")[0]),
+            F.transform(kvs, lambda s: F.split(s, "=")[1]),
+        ).alias("metadata"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--catalog", required=True, help="table root (resumable state)")
+    ap.add_argument("--seeds", help="seed list text file (Injector format)")
+    ap.add_argument("--bench-corpus", action="store_true",
+                    help="use the distributed synthetic web as the network")
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--topn", type=int, default=10_000)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="fetch partitions (0 = default parallelism)")
+    ap.add_argument("--threads", type=int, default=10, help="virtual fetcher threads")
+    ap.add_argument("--hosts", type=int, default=200, help="bench corpus hosts")
+    ap.add_argument("--pages", type=int, default=30, help="bench corpus pages/host")
+    args = ap.parse_args()
+
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.plans.crawl_cycle import crawl
+    from nutch_spark.session import get_spark
+
+    spark = get_spark("nutch-spark-crawl")
+    parts = args.partitions or spark.sparkContext.defaultParallelism
+    cfg = CrawlConfig(num_partitions=parts, topn=args.topn,
+                      fetcher_threads=args.threads)
+
+    if args.bench_corpus:
+        from nutch_spark.bench_corpus import bench_web_tables
+
+        tables = bench_web_tables(spark, n_hosts=args.hosts,
+                                  pages_per_host=args.pages, mega_factor=4,
+                                  n_partitions=parts)
+        seeds = tables["seeds"].limit(args.hosts)  # one seed per host
+    else:
+        from nutch_spark.corpus import SyntheticWeb
+
+        tables = SyntheticWeb().to_spark(spark)
+        seeds = parse_seed_file(spark, args.seeds) if args.seeds else tables["seeds"]
+
+    results = crawl(
+        spark, args.catalog, cfg, seeds,
+        tables["web_graph"], tables["robots"], tables["raw_content"],
+        depth=args.depth,
+    )
+    for r in results:
+        print(json.dumps({
+            "cycle": r.cycle, "generated": r.generated, "fetched": r.fetched,
+            "parsed": r.parsed, "frontier": r.frontier_size,
+            "new_urls": r.new_urls, "wall_s": round(r.wall_s, 2),
+        }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

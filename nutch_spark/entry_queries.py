@@ -573,6 +573,77 @@ FROM documents
 """
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic (functions/text.py:detect_language)
+    — native Catalyst stopword vote, no UDF."""
+    from nutch_spark.functions.text import detect_language
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+# DuckDB oracle mirrors the stopword vote incl. the tie-break (Spark's
+# array_max over struct(score, lang) picks the lexicographically greatest
+# lang among equal scores).
+_TOKS = r"list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\w\s]+', ' ', 'g')), '\s+'), t -> t <> '')"
+
+
+def _lang_score(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_lang_score(['the','and','of','to','in','is','that','for','with','was'])} AS s_en,
+         {_lang_score(['der','die','und','das','nicht','ist','ein','mit','für','auf'])} AS s_de,
+         {_lang_score(['le','la','les','et','des','est','pour','dans','que','une'])} AS s_fr,
+         {_lang_score(['el','la','los','de','que','y','en','un','por','con'])} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM scored
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting via one regexp pass (functions/text.py)."""
+    from nutch_spark.functions.text import bpe_ish_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"))
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: digest of the token-normalized text (the
+    TextProfileSignature role; md5 here so both engines agree)."""
+    from nutch_spark.functions.text import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.array_join(tokens_col(F.col("text")), " ")).alias("digest")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS digest
+FROM documents
+"""
+
+
 def q_lang_distribution(spark, sf_dir):
     """Language-ID proxy distribution (declared lang vs length buckets)."""
     d = load(spark, sf_dir, "documents")
@@ -726,6 +797,38 @@ def q_linkrank(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity over LSH candidate pairs (dedup suite)."""
+    from nutch_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    return ngram_jaccard_pairs(d, pairs)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join."""
+    from nutch_spark.functions.similarity import embedding_near_duplicates
+
+    e = load(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (p99 cosine ~0.29), so the
+    # near-dup threshold is set where real pairs exist at test scale
+    return embedding_near_duplicates(e, threshold=0.3, n_planes=4)
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite quality heuristic (functions/text.py:quality_score) —
+    rows-only: the float blend's 4th decimal can round differently across
+    engines, so the oracle gate uses q_doc_quality's integer features."""
+    from nutch_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media feature extraction (stubbed decode)."""
     from nutch_spark.operators.media import extract_media_features, synth_media_table
@@ -758,6 +861,9 @@ QUERIES: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     # rows-only kernels (no SQL equivalent)
@@ -768,4 +874,7 @@ QUERIES: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, None),
     "linkrank": (q_linkrank, None),
     "media_features": (q_media_features, None),
+    "ngram_jaccard": (q_ngram_jaccard, None),
+    "embedding_neardup": (q_embedding_neardup, None),
+    "quality_score": (q_quality_score, None),
 }

@@ -81,8 +81,24 @@ def normalize_url(url: str) -> str | None:
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
 
+# Fast-path detector: URLs that normalization provably maps to themselves
+# (lowercase scheme+host, no port, no fragment, no trailing host dot, a path
+# with no '//', '/./' or '/../'). Everything else takes the exact slow path.
+_FAST_OK_RE = re.compile(r"^(?:http|https|ftp)://[a-z0-9-]+(?:\.[a-z0-9-]+)*/[^\s#]*$")
+_NEEDS_WORK_RE = re.compile(r"(?<!:)//|/\./|/\.\.(?:/|$)")
+
+
 def normalize_url_series(urls: pd.Series) -> pd.Series:
-    return urls.map(normalize_url)
+    fast = (
+        urls.str.match(_FAST_OK_RE, na=False)
+        & ~urls.str.contains(_NEEDS_WORK_RE, regex=True, na=False)
+    )
+    if bool(fast.all()):
+        return urls.copy()
+    out = urls.copy()
+    slow = ~fast
+    out[slow] = urls[slow].map(normalize_url)
+    return out
 
 
 @F.pandas_udf(StringType())
@@ -222,8 +238,32 @@ def fetch_order_hash(url: str) -> int:
 
 
 def fetch_order_hash_series(urls: pd.Series) -> pd.Series:
-    # Horner over reversed bytes with int32 wraparound, per unique value
-    return urls.map(lambda u: fetch_order_hash(u) if isinstance(u, str) else None)
+    """Vectorized Horner over reversed bytes with int32 wraparound.
+
+    Same recurrence as fetch_order_hash (tests assert elementwise equality):
+    instead of looping bytes per string, loop byte POSITIONS (bounded by the
+    longest URL) over numpy column slices — ~60 vector ops for any batch.
+    """
+    n = len(urls)
+    if n == 0:
+        return pd.Series([], dtype="object")
+    enc = [u.encode("utf-8") if isinstance(u, str) else None for u in urls]
+    lens = np.array([len(b) if b is not None else -1 for b in enc], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen <= 0:
+        return pd.Series([None] * n, index=urls.index, dtype="object")
+    mat = np.zeros((n, maxlen), dtype=np.int8)
+    for i, b in enumerate(enc):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.int8)[::-1]
+    h = np.ones(n, dtype=np.int32)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = np.int32(31) * h[active] + mat[active, j].astype(np.int32)
+    out = pd.Series(h, index=urls.index, dtype="object")
+    out[lens < 0] = None
+    return out
 
 
 @F.pandas_udf(IntegerType())

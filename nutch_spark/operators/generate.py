@@ -130,8 +130,10 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
     )
 
     # --- politeness placement + intra-partition spread (P1/P3/P4) ---
+    # physical placement hashes the host (balanced across all partitions);
+    # partition_id stays the LOGICAL reducer id for topN semantics + metrics
     df = df.withColumn("sort_hash", fetch_order_hash_udf(F.col("url")))
-    df = df.repartition(cfg.num_partitions, F.col("partition_id")).sortWithinPartitions(
+    df = df.repartition(cfg.num_partitions, F.col("host")).sortWithinPartitions(
         "sort_hash", "url"
     )
     return df

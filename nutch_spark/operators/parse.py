@@ -56,6 +56,74 @@ SPAN_ROWS_SCHEMA = T.StructType(
 )
 
 
+DOCS_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType(), False),
+                        T.StructField("text", T.StringType(), True),
+                        T.StructField("media_ref", T.StringType(), True),
+                        T.StructField("offset", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document-order pass per page -> nested (doc_id, title, spans).
+
+    Emitting the nested form directly avoids the groupBy+collect_list
+    shuffle that re-assembling flat span rows would need; flat rows are
+    recovered downstream with a narrow explode.
+    """
+    ids: list[str] = []
+    titles: list[str | None] = []
+    span_lists: list[list[dict]] = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        title = None
+        spans: list[dict] = []
+        off = 0
+        for mch in _SEG_RE.finditer(content or ""):
+            if mch.group("title") is not None:
+                title = _WS_RE.sub(" ", mch.group("title")).strip()
+                continue
+            if mch.group("text") is not None:
+                spans.append({"kind": "text", "text": _WS_RE.sub(" ", mch.group("text")).strip(),
+                              "media_ref": None, "offset": off})
+            elif mch.group("img") is not None:
+                spans.append({"kind": "media", "text": None,
+                              "media_ref": mch.group("img"), "offset": off})
+            else:
+                spans.append({"kind": "link", "text": _WS_RE.sub(" ", mch.group("anchor")).strip(),
+                              "media_ref": mch.group("href"), "offset": off})
+            off += 1
+        ids.append(url)
+        titles.append(title)
+        span_lists.append(spans)
+    return pd.DataFrame({"doc_id": ids, "title": titles, "spans": span_lists})
+
+
+def _docs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        res = extract_documents_pdf(pdf)
+        if len(res):
+            yield res
+
+
+def extract_documents(content_df: DataFrame) -> DataFrame:
+    """(url, content) -> nested documents (doc_id, title, spans) in doc order."""
+    return content_df.select("url", "content").mapInPandas(_docs_kernel, DOCS_NESTED_SCHEMA)
+
+
 def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """One document-order pass per page -> flat span rows."""
     out: list[dict] = []
@@ -149,9 +217,31 @@ def run_parse(
         ok = ok.filter(~F.coalesce(F.col("truncated"), F.lit(False)))
 
     content = ok.select("url", "score", "signature").join(raw_content, "url", "inner")
-    span_rows = extract_spans(content).cache()
-    documents = spans_to_documents(span_rows)
-    ptext = parse_text(span_rows)
+    docs_nested = extract_documents(content).cache()
+    documents = docs_nested.select("doc_id", "spans")
+    # flat span rows via narrow explode (no shuffle); parse_text is a pure
+    # array fold over the nested column — the old groupBy+collect_list
+    # re-assembly shuffles are gone
+    span_rows = docs_nested.select(
+        "doc_id", "title", F.posexplode("spans").alias("_pos", "s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        "title",
+    )
+    ptext = docs_nested.select(
+        F.col("doc_id").alias("url"),
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
 
     # --- outlink pipeline (X8): link spans -> normalize/filter/dedupe/cap ---
     links = (
@@ -168,16 +258,24 @@ def run_parse(
     )
     if cfg.db_ignore_external_links:
         links = links.filter(host_col(F.col("to_url")) == host_col(F.col("url")))
-    # dedupe (first occurrence) + cap per page in document order
-    w = F.row_number().over(Window.partitionBy("url", "to_url").orderBy("offset"))
-    links = links.withColumn("dup_rank", w).filter(F.col("dup_rank") == 1).drop("dup_rank")
-    w2 = F.row_number().over(Window.partitionBy("url").orderBy("offset"))
-    links = links.withColumn("link_rank", w2).filter(
-        F.col("link_rank") <= cfg.db_max_outlinks_per_page
+    # dedupe (first occurrence): hash-aggregate with map-side partial agg —
+    # cheaper than a row_number window (no per-partition sort)
+    links = links.groupBy("url", "to_url").agg(
+        F.min("offset").alias("offset"),
+        F.min_by("anchor", "offset").alias("anchor"),
     )
+    # cap per page in document order + outlink count, one exchange: both
+    # window specs share the partition key so Catalyst reuses the shuffle
+    w_url = Window.partitionBy("url")
+    links = (
+        links.withColumn("link_rank", F.row_number().over(w_url.orderBy("offset")))
+        .filter(F.col("link_rank") <= cfg.db_max_outlinks_per_page)
+        .withColumn("n_out", F.count("*").over(w_url))
+    )
+    links = links.cache()  # used by parse_data, OPIC distribution, linked rows
 
     # parse_data: title + ordered outlinks per page
-    titles = span_rows.groupBy("doc_id").agg(F.first("title", ignorenulls=True).alias("title"))
+    titles = docs_nested.select("doc_id", "title")
     parse_data = (
         links.groupBy("url")
         .agg(
@@ -195,12 +293,10 @@ def run_parse(
     )
 
     # --- OPIC distribution (X9) + linked rows ---
-    n_links = links.groupBy("url").agg(F.count("*").alias("n_out"))
     page_host = host_col(F.col("url"))
     to_host = host_col(F.col("to_url"))
     linked = (
-        links.join(n_links, "url")
-        .join(ok.select("url", F.col("score").alias("page_score")), "url")
+        links.join(ok.select("url", F.col("score").alias("page_score")), "url")
         .withColumn(
             "child_score",
             (F.col("page_score") / F.col("n_out"))
@@ -244,7 +340,9 @@ def run_parse(
 
     parse_updates = linked.unionByName(sig_rows).unionByName(redirs)
     return {
+        "docs_nested": docs_nested,  # cached — caller unpersists after the cycle
         "span_rows": span_rows,
+        "links": links,              # cached — caller unpersists after the cycle
         "documents": documents,
         "parse_text": ptext,
         "parse_data": parse_data,

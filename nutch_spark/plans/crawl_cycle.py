@@ -131,6 +131,8 @@ class CrawlDriver:
         frontier.unpersist()
         fetchlist.unpersist()
         fetch_out.unpersist()
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
         return CycleResult(
             cycle=cycle, generated=n_gen, fetched=n_fetch, parsed=n_parsed,
             frontier_size=new_n, new_urls=new_n - frontier_n,
