@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.operators.fetch import fetch_metrics, run_fetch
@@ -82,30 +82,55 @@ class CrawlDriver:
         return n
 
     def run_cycle(self, cycle: int) -> CycleResult:
+        """One generate->fetch->parse->updatedb cycle.
+
+        Row counts for lineage ride along with the write actions via
+        Observation instead of separate .count() passes — each stage
+        materializes exactly once (7 actions/cycle instead of 11; driver
+        barriers are the serial fraction the scaling criterion punishes).
+        """
         t_start = time.time()
         cfg = self.cfg
         cur = self.t0_ms + cycle * CYCLE_VIRTUAL_MS
         frontier = self.frontier().cache()
         frontier_n = frontier.count()
 
-        fetchlist = generate(frontier, cfg, cur).cache()
-        n_gen = fetchlist.count()
-
-        fetch_out = run_fetch(
-            fetchlist, self.web_graph, self.robots, cfg, cycle, cur
-        ).cache()
-        n_fetch = fetch_out.count()
+        obs_gen, obs_fetch = Observation(), Observation()
+        fetchlist = (
+            generate(frontier, cfg, cur)
+            .observe(obs_gen, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
+        fetch_out = (
+            run_fetch(fetchlist, self.web_graph, self.robots, cfg, cycle, cur)
+            .observe(obs_fetch, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
+        # the append materializes fetchlist + fetch_out and yields both counts
         self.fetch_t.append(fetch_out, tag=f"cycle-{cycle}")
+        n_gen = int(obs_gen.get["n"])
+        n_fetch = int(obs_fetch.get["n"])
 
         parsed = run_parse(fetch_out, self.raw_content, cfg)
-        n_parsed = parsed["documents"].count()
-        if n_parsed:
-            self.documents_t.commit(parsed["documents"], tag=f"cycle-{cycle}")
+        obs_docs = Observation()
+        self.documents_t.commit(
+            parsed["documents"].observe(obs_docs, F.count(F.lit(1)).alias("n")),
+            tag=f"cycle-{cycle}",
+        )
+        n_parsed = int(obs_docs.get["n"])
 
-        new_frontier = update_frontier(
-            frontier, fetch_out, parsed["parse_updates"], cfg, cur
-        ).cache()
-        new_n = new_frontier.count()
+        obs_front = Observation()
+        new_frontier = (
+            update_frontier(frontier, fetch_out, parsed["parse_updates"], cfg, cur)
+            .observe(obs_front, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
+
+        # seen sketch rebuilt incrementally each cycle (bitmap OR is the
+        # production path; full rebuild is exact and cheap relative to fetch);
+        # this action also materializes the new frontier cache + its count
+        self.sketch_t.commit(build_seen_sketch(new_frontier, cfg), tag=f"cycle-{cycle}")
+        new_n = int(obs_front.get["n"])
 
         # metrics + lineage (north_rule: per-partition rows)
         met = fetch_metrics(fetch_out, cycle, cur)
@@ -120,10 +145,6 @@ class CrawlDriver:
             "cycle int, stage string, rows_in long, rows_out long",
         )
         self.lineage_t.append(lineage, tag=f"cycle-{cycle}")
-
-        # seen sketch rebuilt incrementally each cycle (bitmap OR is the
-        # production path; full rebuild is exact and cheap relative to fetch)
-        self.sketch_t.commit(build_seen_sketch(new_frontier, cfg), tag=f"cycle-{cycle}")
 
         # atomic install — THE commit that marks the cycle complete
         self.frontier_t.commit(new_frontier, tag=f"cycle-{cycle}")
