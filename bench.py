@@ -189,6 +189,35 @@ def _burn(_i: int) -> int:
     return x
 
 
+def mem_bandwidth_capacity(nprocs: tuple[int, ...] = (1, 4)) -> dict[int, float]:
+    """Aggregate capacity for memory-STREAM-bound work (numpy copy+sum of
+    200 MB buffers). Spark cycles are a CPU/bandwidth mix; a single box
+    scales CPU ~linearly to 4 procs but memory bandwidth sub-linearly
+    (measured here: ~2.8x from 1 to 4), while a real N->4N-executor cluster
+    scales both. Reported so raw efficiency can be bracketed honestly."""
+    import multiprocessing as mp
+
+    out = {}
+    ctx = mp.get_context("spawn")
+    for n in nprocs:
+        with ctx.Pool(n) as p:
+            t0 = time.time()
+            p.map(_stream, range(n))
+            out[n] = round(n / (time.time() - t0), 3)
+    return out
+
+
+def _stream(_i: int) -> int:
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 255, 25_000_000, dtype=np.int64)
+    s = 0
+    for _ in range(8):
+        b = a.copy()
+        s += int(b.sum())
+    return s
+
+
 def main_scaling() -> dict:
     """North-rule evidence: identical job, identical input, N vs 4N cores.
 
@@ -202,7 +231,9 @@ def main_scaling() -> dict:
     """
     n = int(os.environ.get("SCALE_N", "1"))
     n4 = 4 * n
-    caps = cpu_capacity((n, n4))
+    # bracket the hardware-capacity probe around the measurements: the host
+    # is multi-tenant and its deliverable capacity drifts between runs
+    caps_pre = cpu_capacity((n, n4))
     runs = {}
     for cores in (n, n4):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_PARTS="32")
@@ -212,8 +243,12 @@ def main_scaling() -> dict:
         )
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
         runs[cores] = json.loads(line)
+    caps_post = cpu_capacity((n, n4))
+    caps = {k: round((caps_pre[k] + caps_post[k]) / 2, 3) for k in caps_pre}
+    bw = mem_bandwidth_capacity((n, n4))
     thr_n, thr_4n = runs[n]["urls_per_sec"], runs[n4]["urls_per_sec"]
     hw_ratio = caps[n4] / caps[n] if caps[n] else 4.0
+    bw_ratio = bw[n4] / bw[n] if bw.get(n) else 4.0
     eff = (thr_4n / thr_n) / 4 if thr_n else 0.0
     eff_hw = (thr_4n / thr_n) / hw_ratio if thr_n else 0.0
     return {
@@ -224,8 +259,13 @@ def main_scaling() -> dict:
         f"throughput_n{n4}": thr_4n,
         "urls_fetched": runs[n4]["urls_fetched"],
         "cpu_capacity_probe": caps,
+        "cpu_capacity_pre": caps_pre,
+        "cpu_capacity_post": caps_post,
+        "mem_bandwidth_probe": bw,
         "hw_capacity_ratio": round(hw_ratio, 3),
+        "mem_bandwidth_ratio": round(bw_ratio, 3),
         "hw_normalized_efficiency": round(eff_hw, 3),
+        "bw_normalized_efficiency": round((thr_4n / thr_n) / bw_ratio, 3) if thr_n else 0.0,
         "target": 0.8,
         "pass": eff >= 0.8,
     }

@@ -101,6 +101,28 @@ def normalize_url_series(urls: pd.Series) -> pd.Series:
     return out
 
 
+def is_normal_form_col(url_col):
+    """Native (JVM, codegen) test that normalization maps a URL to itself —
+    the same predicate pair as the pandas fast path (Java regex semantics
+    match for these patterns). Lets callers run the Python normalizer only
+    on the rows that fail it (hot paths: outlink pipeline, inject)."""
+    return url_col.rlike(_FAST_OK_RE.pattern) & ~url_col.rlike(_NEEDS_WORK_RE.pattern)
+
+
+def normalize_split(df, in_col: str, out_col: str):
+    """Split-normalize: already-normal rows pass through JVM-side; only the
+    rest cross into Python. Returns a DataFrame with `out_col` added.
+    (A `when(fast, col).otherwise(udf(col))` would NOT help — Spark extracts
+    Python UDFs and evaluates them on every row regardless of the branch.)
+    NULL in_col rows are dropped (normalize(null) is null and every caller
+    filters nulls next anyway).
+    """
+    c = F.col(in_col)
+    normal = df.filter(is_normal_form_col(c)).withColumn(out_col, c)
+    weird = df.filter(~is_normal_form_col(c)).withColumn(out_col, normalize_url_udf(c))
+    return normal.unionByName(weird)
+
+
 @F.pandas_udf(StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
     return normalize_url_series(urls)
@@ -220,6 +242,15 @@ class RegexUrlFilter:
             return RegexUrlFilter(rules).accepts_series(urls)
 
         return _accepts
+
+    def col(self, url_col):
+        """Native first-match-decides chain (JVM rlike when-cascade) — for
+        hot paths; the default rule patterns are Java-regex compatible.
+        Python-re-only constructs would need the pandas udf() instead."""
+        expr = F.lit(False)  # no match -> reject
+        for sign, pat in reversed(self.rules):
+            expr = F.when(url_col.rlike(pat.pattern), F.lit(sign == "+")).otherwise(expr)
+        return url_col.isNotNull() & expr
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_url_udf
+from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_split
 
 RESERVED_KEYS = ("nutch.score", "nutch.fetchInterval", "nutch.fetchInterval.fixed")
 
@@ -29,9 +29,10 @@ def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int, url_filt
     """Normalize/filter seeds and build injected frontier rows (map side)."""
     url_filter = url_filter or RegexUrlFilter()
     s = (
-        seeds.withColumn("url", normalize_url_udf(F.col("url")))
+        normalize_split(seeds.withColumnRenamed("url", "_raw_url"), "_raw_url", "url")
+        .drop("_raw_url")
         .filter(F.col("url").isNotNull())
-        .filter(url_filter.udf()(F.col("url")))
+        .filter(url_filter.col(F.col("url")))
     )
     meta = F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>"))
     score = F.coalesce(

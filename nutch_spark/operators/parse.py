@@ -31,7 +31,9 @@ from pyspark.sql import types as T
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_url, normalize_url_udf
+from nutch_spark.functions.urls import (
+    RegexUrlFilter, host_col, normalize_split, normalize_url, normalize_url_udf,
+)
 
 # one ordered scan = the document-order DOM walk of the mini-HTML
 _SEG_RE = re.compile(
@@ -244,17 +246,21 @@ def run_parse(
     )
 
     # --- outlink pipeline (X8): link spans -> normalize/filter/dedupe/cap ---
+    # split-normalize: already-normal targets never cross into Python
+    # (at steady state that is ~all of them); the filter chain is a native
+    # rlike cascade — the whole hot path stays in whole-stage codegen
+    raw_links = span_rows.filter(F.col("kind") == "link").select(
+        F.col("doc_id").alias("url"),
+        F.col("offset"),
+        F.col("media_ref"),
+        F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
+    )
     links = (
-        span_rows.filter(F.col("kind") == "link")
-        .select(
-            F.col("doc_id").alias("url"),
-            F.col("offset"),
-            normalize_url_udf(F.col("media_ref")).alias("to_url"),
-            F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
-        )
+        normalize_split(raw_links, "media_ref", "to_url")
+        .drop("media_ref")
         .filter(F.col("to_url").isNotNull())
         .filter(F.col("to_url") != F.col("url"))  # self-link drop
-        .filter(url_filter.udf()(F.col("to_url")))
+        .filter(url_filter.col(F.col("to_url")))
     )
     if cfg.db_ignore_external_links:
         links = links.filter(host_col(F.col("to_url")) == host_col(F.col("url")))

@@ -33,21 +33,42 @@ from nutch_spark.functions.urls import host_col
 
 
 def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Top-K inlinks by score per target, then deterministic-order sum (A3)."""
+    """Top-K inlinks by score per target, then deterministic-order sum (A3).
+
+    Salted two-phase hash aggregate instead of a row_number window: phase 1
+    caps each (url, salt) group at K (top-K of top-Ks is exact), phase 2
+    flattens (<= salt_buckets x K structs per url — the bounded-priority-
+    queue memory guarantee of CrawlDbReducer.java:300-313, without a sort
+    shuffle; partial aggregation runs map-side). The final sum iterates the
+    ascending-sorted top-K slice so float addition order is pinned —
+    cross-run/core-count bit-equality (SURVEY §7f). Boundary ties at rank K
+    break by from_url (asc array keeps the largest); the reference's
+    priority queue leaves tie order unspecified.
+    """
     linked = parse_updates.filter(F.col("kind") == schemas.STATUS_LINKED)
-    w = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("from_url"))
-    capped = linked.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= cfg.db_update_max_inlinks
+    k = cfg.db_update_max_inlinks
+
+    def topk_slice(arr):
+        return F.slice(
+            arr, F.greatest(F.size(arr) - F.lit(k) + 1, F.lit(1)), F.lit(k)
+        )
+
+    salted = linked.withColumn(
+        "_salt", F.pmod(F.xxhash64("from_url"), F.lit(8))
     )
-    # fixed-order sum: sort_array over (score, from_url) then aggregate —
-    # float addition order is pinned for cross-run bit-equality (SURVEY §7f)
-    return capped.groupBy("url").agg(
+    phase1 = salted.groupBy("url", "_salt").agg(
+        F.array_sort(F.collect_list(F.struct("score", "from_url"))).alias("arr")
+    ).select("url", topk_slice(F.col("arr")).alias("arr"))
+    phase2 = phase1.groupBy("url").agg(
+        F.array_sort(F.flatten(F.collect_list("arr"))).alias("arr")
+    )
+    topk = topk_slice(F.col("arr"))
+    return phase2.select(
+        "url",
         F.aggregate(
-            F.array_sort(F.collect_list(F.struct("score", "from_url"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["score"].cast("double"),
+            topk, F.lit(0.0), lambda acc, s: acc + s["score"].cast("double")
         ).cast("float").alias("link_score"),
-        F.count("*").alias("link_count"),
+        F.size(topk).cast("long").alias("link_count"),
     )
 
 

@@ -108,3 +108,64 @@ def test_fetch_order_hash_java_parity():
     # same host URLs should get well-spread hashes (the whole point)
     hs = {fetch_order_hash(f"http://h.com/page/{i}.html") for i in range(50)}
     assert len(hs) == 50
+
+
+MIXED_URLS = [
+    "http://h0001.bench.example.com/page/3.html",
+    "HTTP://Example.COM:80/a/../b/./c//d#frag",
+    "https://example.com",
+    "http://example.com./x",
+    "http://example.com/x?q=1&r=//weird",
+    "http://example.com:8080/y",
+    "ftp://Host/",
+    "not a url",
+    "http://example.com/a/b/../../c",
+    "file:///etc/passwd",
+    "mailto:x@y.com",
+    "http://example.com/image.jpg",
+    "http://a.com/?x=1?y=2",
+    "http://example.com/trailing/",
+]
+
+
+def test_normalize_series_matches_scalar():
+    """Vectorized fast path == exact scalar port, element-wise."""
+    import pandas as pd
+
+    from nutch_spark.functions.urls import normalize_url, normalize_url_series
+
+    s = pd.Series(MIXED_URLS + [None, ""])
+    vec = normalize_url_series(s)
+    for u, v in zip(s, vec):
+        ref = normalize_url(u) if isinstance(u, str) else None
+        assert (v == ref) or (pd.isna(v) and ref is None), (u, v, ref)
+
+
+def test_native_filter_chain_matches_python(spark):
+    """RegexUrlFilter.col() (JVM rlike cascade) == accepts() per URL."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import RegexUrlFilter
+
+    flt = RegexUrlFilter()
+    df = spark.createDataFrame([(u,) for u in MIXED_URLS], "url string")
+    got = {r.url: r.ok for r in df.select("url", flt.col(F.col("url")).alias("ok")).collect()}
+    for u in MIXED_URLS:
+        assert got[u] == flt.accepts(u), u
+
+
+def test_normalize_split_matches_udf(spark):
+    """normalize_split (native check + python remainder) == full normalize."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import normalize_split, normalize_url
+
+    df = spark.createDataFrame([(u,) for u in MIXED_URLS], "raw string")
+    out = {
+        r.raw: r.norm
+        for r in normalize_split(df, "raw", "norm").collect()
+    }
+    for u in MIXED_URLS:
+        ref = normalize_url(u)
+        got = out.get(u)
+        assert got == ref or (got is None and ref is None), (u, got, ref)
