@@ -34,8 +34,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # bench-corpus shape (distributed generator, nutch_spark/bench_corpus.py):
 # mega host ~ one partition's worth of URLs so the politeness constraint
 # (host never split across partitions) does not cap scaling
-BENCH_HOSTS = int(os.environ.get("BENCH_HOSTS", "2000"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "150"))
+BENCH_HOSTS = int(os.environ.get("BENCH_HOSTS", "4000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "250"))
 BENCH_MEGA = int(os.environ.get("BENCH_MEGA", "4"))
 BENCH_DEPTH = int(os.environ.get("BENCH_DEPTH", "1"))
 

@@ -297,6 +297,51 @@ FROM frontier
 """
 
 
+def q_schedule_mime(spark, sf_dir):
+    """T3: MIME-adaptive schedule — per-MIME inc/dec rates override the
+    adaptive defaults (crawl/MimeAdaptiveFetchSchedule.java:40-120).
+    mime derived from orderpriority; modified from retries parity."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.updatedb import mime_adaptive_interval
+
+    f = derived_frontier(spark, sf_dir).select(
+        "url", "fetch_interval", "retries",
+        F.when(F.col("retries") % 3 == 0, "text/html")
+        .when(F.col("retries") % 3 == 1, "image/jpeg")
+        .otherwise("application/pdf").alias("mime"),
+        (F.col("retries") % 2 == 0).alias("modified"),
+    )
+    rates = spark.createDataFrame(
+        [("text/html", 0.2, 0.2), ("image/jpeg", 0.8, 0.1)],
+        "mime string, inc_rate double, dec_rate double",
+    )
+    cfg = CrawlConfig(adaptive_min_interval=3600, adaptive_max_interval=864000)
+    return mime_adaptive_interval(f, rates, cfg).select("url", "mime", "next_interval")
+
+
+SQL_SCHEDULE_MIME = f"""
+WITH {FRONTIER_CTE},
+typed AS (
+  SELECT url, fetch_interval,
+         CASE WHEN retries % 3 = 0 THEN 'text/html'
+              WHEN retries % 3 = 1 THEN 'image/jpeg'
+              ELSE 'application/pdf' END AS mime,
+         retries % 2 = 0 AS modified
+  FROM frontier
+),
+rates AS (
+  SELECT 'text/html' AS mime, 0.2 AS inc_rate, 0.2 AS dec_rate
+  UNION ALL SELECT 'image/jpeg', 0.8, 0.1
+)
+SELECT t.url, t.mime,
+       CAST(ROUND(GREATEST(3600.0, LEAST(864000.0,
+         CASE WHEN t.modified THEN t.fetch_interval * (1.0 - COALESCE(r.dec_rate, 0.2))
+              ELSE t.fetch_interval * (1.0 + COALESCE(r.inc_rate, 0.4)) END)), 0) AS BIGINT)
+         AS next_interval
+FROM typed t LEFT JOIN rates r ON t.mime = r.mime
+"""
+
+
 def q_linkdb_invert(spark, sf_dir):
     """A4: LinkDb invert — external-only inlink counts per target
     (crawl/LinkDb.java:80-139)."""
@@ -848,6 +893,7 @@ QUERIES: dict[str, tuple] = {
     "updatedb_transitions": (q_updatedb_transitions, SQL_UPDATEDB_TRANSITIONS),
     "schedule_default": (q_schedule_default, SQL_SCHEDULE_DEFAULT),
     "schedule_adaptive": (q_schedule_adaptive, SQL_SCHEDULE_ADAPTIVE),
+    "schedule_mime": (q_schedule_mime, SQL_SCHEDULE_MIME),
     "linkdb_invert": (q_linkdb_invert, SQL_LINKDB_INVERT),
     "opic_inlink_sum": (q_opic_inlink_sum, SQL_OPIC_INLINK_SUM),
     "segment_merge": (q_segment_merge, SQL_SEGMENT_MERGE),

@@ -77,6 +77,32 @@ def aggregate_signatures(parse_updates: DataFrame) -> DataFrame:
     return sig.groupBy("url").agg(F.max("signature").alias("parse_signature"))
 
 
+def mime_adaptive_interval(
+    df: DataFrame,
+    rates: DataFrame,
+    cfg: CrawlConfig,
+    mime_col: str = "mime",
+    interval_col: str = "fetch_interval",
+    modified_col: str = "modified",
+) -> DataFrame:
+    """T3 MimeAdaptiveFetchSchedule (crawl/MimeAdaptiveFetchSchedule.java:40-120):
+    per-MIME inc/dec rates override the adaptive defaults. rates is a small
+    table (mime, inc_rate, dec_rate) -> broadcast join; arithmetic identical
+    to AdaptiveFetchSchedule (T2) with per-row rates."""
+    j = df.join(F.broadcast(rates), on=mime_col, how="left")
+    inc = F.coalesce(F.col("inc_rate"), F.lit(cfg.adaptive_inc_rate))
+    dec = F.coalesce(F.col("dec_rate"), F.lit(cfg.adaptive_dec_rate))
+    iv = F.col(interval_col)
+    adj = F.when(F.col(modified_col), iv * (1.0 - dec)).otherwise(iv * (1.0 + inc))
+    clamped = F.greatest(
+        F.lit(float(cfg.adaptive_min_interval)),
+        F.least(F.lit(float(cfg.adaptive_max_interval)), adj),
+    )
+    return j.withColumn("next_interval", F.round(clamped, 0).cast("long")).drop(
+        "inc_rate", "dec_rate"
+    )
+
+
 def update_frontier(
     frontier: DataFrame | None,
     fetch_out: DataFrame,
