@@ -875,11 +875,40 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: media feature extraction (stubbed decode)."""
+    """Multimodal plumbing: media feature extraction (stubbed decode) through
+    the real mapInPandas/Arrow path. Output is scalar-sortable: the 8-dim
+    stub feature is re-expressed as integer byte-sums (round(f*2040) inverts
+    the stub's mean/255 normalization exactly), so the driver can sort+hash
+    rows and DuckDB can recompute them arithmetically."""
     from nutch_spark.operators.media import extract_media_features, synth_media_table
 
     refs = [f"http://img.example-cdn.com/{i}.jpg" for i in range(100)]
-    return extract_media_features(synth_media_table(spark, refs))
+    feats = extract_media_features(synth_media_table(spark, refs))
+    cols = [
+        F.round(F.element_at("feature", j + 1).cast("double") * 2040)
+        .cast("long").alias(f"f{j}")
+        for j in range(8)
+    ]
+    return feats.select("media_ref", "kind", "decoded", *cols)
+
+
+SQL_MEDIA_FEATURES = """
+WITH refs AS (
+  SELECT CAST(i AS INTEGER) AS idx,
+         'http://img.example-cdn.com/' || CAST(i AS VARCHAR) || '.jpg' AS media_ref
+  FROM range(100) t(i)
+)
+SELECT media_ref, 'image' AS kind, TRUE AS decoded,
+       CAST(8*idx + 64*0 + 28 AS BIGINT) AS f0,
+       CAST(8*idx + 64*1 + 28 AS BIGINT) AS f1,
+       CAST(8*idx + 64*2 + 28 AS BIGINT) AS f2,
+       CAST(8*idx + 64*3 + 28 AS BIGINT) AS f3,
+       CAST(8*idx + 64*4 + 28 AS BIGINT) AS f4,
+       CAST(8*idx + 64*5 + 28 AS BIGINT) AS f5,
+       CAST(8*idx + 64*6 + 28 AS BIGINT) AS f6,
+       CAST(8*idx + 64*7 + 28 AS BIGINT) AS f7
+FROM refs
+"""
 
 
 QUERIES: dict[str, tuple] = {
@@ -919,7 +948,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_neardup": (q_simhash_neardup, None),
     "ann_topk": (q_ann_topk, None),
     "linkrank": (q_linkrank, None),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "ngram_jaccard": (q_ngram_jaccard, None),
     "embedding_neardup": (q_embedding_neardup, None),
     "quality_score": (q_quality_score, None),

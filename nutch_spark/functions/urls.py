@@ -83,14 +83,18 @@ def normalize_url(url: str) -> str | None:
 
 # Fast-path detector: URLs that normalization provably maps to themselves
 # (lowercase scheme+host, no port, no fragment, no trailing host dot, a path
-# with no '//', '/./' or '/../'). Everything else takes the exact slow path.
-_FAST_OK_RE = re.compile(r"^(?:http|https|ftp)://[a-z0-9-]+(?:\.[a-z0-9-]+)*/[^\s#]*$")
+# with no '//', '/./' or '/../', not ending in a bare '?' — urlunsplit drops
+# an empty query). Everything else takes the exact slow path. The Python side
+# uses fullmatch (so a trailing newline can't hide behind '$'); the JVM rlike
+# variant appends Java's absolute-end anchor '\z' for the same reason.
+_FAST_OK_PATTERN = r"^(?:http|https|ftp)://[a-z0-9-]+(?:\.[a-z0-9-]+)*/(?:[^\s#]*[^\s#?])?"
+_FAST_OK_RE = re.compile(_FAST_OK_PATTERN)
 _NEEDS_WORK_RE = re.compile(r"(?<!:)//|/\./|/\.\.(?:/|$)")
 
 
 def normalize_url_series(urls: pd.Series) -> pd.Series:
     fast = (
-        urls.str.match(_FAST_OK_RE, na=False)
+        urls.str.fullmatch(_FAST_OK_RE, na=False)
         & ~urls.str.contains(_NEEDS_WORK_RE, regex=True, na=False)
     )
     if bool(fast.all()):
@@ -106,7 +110,7 @@ def is_normal_form_col(url_col):
     the same predicate pair as the pandas fast path (Java regex semantics
     match for these patterns). Lets callers run the Python normalizer only
     on the rows that fail it (hot paths: outlink pipeline, inject)."""
-    return url_col.rlike(_FAST_OK_RE.pattern) & ~url_col.rlike(_NEEDS_WORK_RE.pattern)
+    return url_col.rlike(_FAST_OK_PATTERN + r"\z") & ~url_col.rlike(_NEEDS_WORK_RE.pattern)
 
 
 def normalize_split(df, in_col: str, out_col: str):
@@ -282,7 +286,10 @@ def fetch_order_hash_series(urls: pd.Series) -> pd.Series:
     lens = np.array([len(b) if b is not None else -1 for b in enc], dtype=np.int64)
     maxlen = int(lens.max()) if n else 0
     if maxlen <= 0:
-        return pd.Series([None] * n, index=urls.index, dtype="object")
+        # all-empty/None batch: empty string hashes to 1 (the Horner seed),
+        # matching the scalar fetch_order_hash(''); None only for non-strings
+        return pd.Series([1 if b is not None else None for b in enc],
+                         index=urls.index, dtype="object")
     mat = np.zeros((n, maxlen), dtype=np.int8)
     for i, b in enumerate(enc):
         if b:

@@ -52,36 +52,74 @@ def dedup_exact_keep_first(documents: DataFrame, id_col: str = "doc_id", text_co
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(documents: DataFrame, num_perm: int = 64, shingle_k: int = 3,
-                       seed: int = 42, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sig: array<long>) — Arrow-batched vectorized minhash."""
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_u64(strings) -> np.ndarray:
+    """Little-endian uint64 of the first 8 md5 bytes per string (the shared
+    token-hash primitive; replicated byte-for-byte by the DuckDB oracles)."""
     import hashlib
 
-    MERSENNE = (1 << 61) - 1
+    md5 = hashlib.md5
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(md5(s.encode()).digest()[:8], "little")
+    return out
+
+
+def _segment_layout(counts: np.ndarray):
+    """(starts-of-nonzero-segments, nonzero mask) for reduceat over a flat
+    concatenation of variable-length per-doc lists."""
+    starts = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=starts[1:])
+    nz = counts > 0
+    return starts[nz], nz
+
+
+def minhash_permutation_coeffs(num_perm: int = 64, seed: int = 42):
+    """The (a, b) permutation coefficients — exposed so the DuckDB oracle can
+    embed them as literals."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm).astype(np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm).astype(np.uint64)
+    a = rng.integers(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(documents: DataFrame, num_perm: int = 64, shingle_k: int = 3,
+                       seed: int = 42, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<long>) — Arrow-batched vectorized minhash.
+
+    Per batch: every UNIQUE shingle is md5-hashed exactly once (factorize +
+    gather), all permutations run as one (num_perm x n_shingles) matrix op,
+    and per-doc minima come from one minimum.reduceat — no per-doc Python
+    loop in the hash/permute/min path. Permutation arithmetic is
+    (a*h + b) wrapped mod 2^64 then mod (2^61-1) (uint64 overflow is part of
+    the deterministic definition; the oracle replicates it in HUGEINT).
+    Duplicate shingles need no dedup: min() is idempotent.
+    """
+    a, b = minhash_permutation_coeffs(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
-        out = []
+        docs = []
         for t in texts:
             toks = _TOKEN_RE.findall((t or "").lower())
             if len(toks) >= shingle_k:
-                shingles = {" ".join(toks[i:i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+                sh = [" ".join(toks[i:i + shingle_k]) for i in range(len(toks) - shingle_k + 1)]
             else:
-                shingles = {" ".join(toks)} if toks else set()
-            if not shingles:
-                out.append([0] * num_perm)
-                continue
-            hv = np.fromiter(
-                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in shingles),
-                dtype=np.uint64, count=len(shingles),
-            )
-            # (a*h + b) mod p, min over shingles, vectorized over perms
-            m = ((np.outer(a, hv) + b[:, None]) % np.uint64(MERSENNE)).min(axis=1)
-            out.append([int(x) for x in m.astype(np.int64)])
-        return pd.Series(out)
+                sh = [" ".join(toks)] if toks else []
+            docs.append(sh)
+        counts = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        sig = np.zeros((len(docs), num_perm), dtype=np.int64)
+        if counts.sum() > 0:
+            flat = np.asarray([s for d in docs for s in d], dtype=object)
+            codes, uniques = pd.factorize(flat)
+            hv = _md5_u64(uniques)[codes]  # one md5 per unique shingle
+            m = (np.outer(a, hv) + b[:, None]) % np.uint64(_MERSENNE)
+            starts, nz = _segment_layout(counts)
+            sig[nz] = np.minimum.reduceat(m, starts, axis=1).T.astype(np.int64)
+        return pd.Series(sig.tolist())
 
     return documents.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
 
@@ -172,41 +210,54 @@ def ngram_jaccard_pairs(documents: DataFrame, pairs: DataFrame, n: int = 3,
 
 def simhash_signatures(documents: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit simhash per doc (Arrow-batched)."""
-    import hashlib
+    """64-bit simhash per doc (Arrow-batched, vectorized: one md5 per unique
+    token in the batch via factorize, bit votes as one matrix op, per-doc
+    accumulation via add.reduceat — no per-token Python hashing)."""
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = _TOKEN_RE.findall((t or "").lower())
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
+        docs = [_TOKEN_RE.findall((t or "").lower()) for t in texts]
+        counts = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        out = np.zeros(len(docs), dtype=np.int64)
+        if counts.sum() > 0:
+            flat = np.asarray([t for d in docs for t in d], dtype=object)
+            codes, uniques = pd.factorize(flat)
+            uh = _md5_u64(uniques)
             shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little"))
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
+            sign = (2 * ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) - 1)
+            starts, nz = _segment_layout(counts)
+            acc = np.add.reduceat(sign[codes], starts, axis=0)  # (n_nz, 64)
             bits = (acc > 0).astype(np.uint64)
-            v = np.uint64(0)
-            for bi in range(64):
-                v |= np.uint64(bits[bi]) << np.uint64(bi)
-            out[i] = np.int64(v)
+            v = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            out[nz] = v.astype(np.int64)
         return pd.Series(out)
 
     return documents.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3,
-                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Candidate generation by 16-bit band equality (any of 4 bands equal ->
-    hamming <= 3 guaranteed captured), then exact hamming filter."""
-    sigs = simhash_signatures(documents, id_col, text_col)
+def simhash_band_bounds(max_hamming: int, total_bits: int = 64) -> list[tuple[int, int]]:
+    """(start_bit, width) per band. Pigeonhole: a pair at hamming <= h has at
+    least one of the h+1 bands untouched, so band-equality capture is
+    GUARANTEED for hamming <= max_hamming (the round-1 fixed 4x16 banding
+    only guaranteed h <= 3 and silently missed pairs beyond)."""
+    n_bands = min(max_hamming + 1, total_bits)
+    base, rem = divmod(total_bits, n_bands)
+    bounds, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
+
+
+def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded candidate generation over (doc_id, simhash) with capture
+    guaranteed for pairs at hamming <= max_hamming; exact hamming attached."""
+    bounds = simhash_band_bounds(max_hamming)
     band_keys = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1))
+            for s, w in bounds
         ]
     )
     banded = sigs.select(
@@ -223,6 +274,14 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.select("a", "b", hamming.alias("hamming")).filter(
+    return cand.select("a", "b", hamming.alias("hamming"))
+
+
+def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs at hamming <= max_hamming: banded candidates (capture
+    guaranteed by h+1 banding), then exact hamming filter."""
+    sigs = simhash_signatures(documents, id_col, text_col)
+    return simhash_candidate_pairs(sigs, max_hamming).filter(
         F.col("hamming") <= max_hamming
     )

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
 from nutch_spark.corpus import page_signature
+from nutch_spark.functions.urls import choose_repr_url
 
 FETCH_OUT_SCHEMA = T.StructType(
     list(schemas.FETCH_SCHEMA.fields)
@@ -90,7 +91,10 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         n = len(pdf)
 
         # ---- vectorized per-row facts -----------------------------------
-        host_codes, hosts_u = pd.factorize(pdf["host"])  # codes = insertion order
+        # null hosts (parse_url can null out hosts urlsplit accepted) get
+        # their own '' queue — factorize's -1 sentinel would otherwise file
+        # them into the LAST host's queue (and crash on all-null partitions)
+        host_codes, hosts_u = pd.factorize(pdf["host"].fillna(""))  # codes = insertion order
         crawl_delay_s = pdf["crawl_delay"].to_numpy(dtype=float)
         robots_delay_ms = crawl_delay_s * 1000.0  # NaN stays NaN
         too_long = (~np.isnan(robots_delay_ms)) & (
@@ -217,18 +221,30 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         redirect_temp = np.full(m, None, dtype=object)
         redirect_temp[redir_mask] = is_rt[sel][redir_mask]
 
+        # repr-URL on redirects (C4/R5): chooseRepr(src, dst, temp) decides
+        # the canonical identity of the redirect target
+        # (util/URLUtil.java:343-449, Fetcher.java:963-1024). Python loop
+        # touches redirect rows only (a small fraction of any fetch batch).
+        urls_sel = pdf["url"].to_numpy(dtype=object)[sel]
+        repr_arr = np.full(m, None, dtype=object)
+        for j in np.nonzero(redir_mask)[0]:
+            if redirect_to[j] is not None:
+                repr_arr[j] = choose_repr_url(
+                    urls_sel[j], redirect_to[j], bool(redirect_temp[j])
+                )
+
         cl_obj = np.full(m, None, dtype=object)
         cl_ok = ~np.isnan(content_len)
         cl_obj[cl_ok] = content_len[cl_ok].astype(np.int64)
 
         out = pd.DataFrame(
             {
-                "url": pdf["url"].to_numpy(dtype=object)[sel],
+                "url": urls_sel,
                 "host": pdf["host"].to_numpy(dtype=object)[sel],
                 "fetch_status": status,
                 "fetch_ts": emit_ts[:m],
                 "seq": np.arange(m, dtype=np.int64),
-                "repr_url": np.full(m, None, dtype=object),
+                "repr_url": repr_arr,
                 "signature": sig,
                 "content_length": cl_obj,
                 "truncated": trunc,

@@ -13,7 +13,7 @@ media table is keyed by media_ref so span-level joins are equi-joins.
 
 from __future__ import annotations
 
-import hashlib
+import re
 from typing import Iterator
 
 import numpy as np
@@ -42,20 +42,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def ref_index(ref: str) -> int:
+    """Deterministic integer per media_ref: the first digit run in the ref
+    (so an ANSI-SQL oracle can recompute it with regexp_extract), else a
+    byte-sum fallback for digit-free refs."""
+    m = re.search(r"\d+", ref)
+    if m:
+        return int(m.group(0))
+    return sum(ref.encode("utf-8")) % 100003
+
+
 def synth_media_table(spark, media_refs: list[str], seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows for the given refs (payload = seeded
-    bytes; dimensions derived from the ref hash)."""
+    """Deterministic fake media rows for the given refs. Payload bytes are
+    pure arithmetic in the ref's index (payload[j] = (idx + j) % 256) so the
+    decoded stub features are recomputable in plain SQL — the oracle for the
+    multimodal plumbing gate."""
     rows = []
     for ref in media_refs:
-        h = hashlib.md5(ref.encode()).digest()
+        idx = ref_index(ref)
         kind = "image" if ref.endswith((".jpg", ".png")) else "video" if ref.endswith(".mp4") else "audio"
         rows.append(
             {
                 "media_ref": ref, "kind": kind,
-                "payload": bytes(h * 4),
-                "width": 64 + h[0] % 192 if kind == "image" else None,
-                "height": 64 + h[1] % 192 if kind == "image" else None,
-                "duration_ms": (1000 + h[2] * 100) if kind != "image" else None,
+                "payload": bytes((idx + j) % 256 for j in range(64)),
+                "width": 64 + (idx * 3) % 192 if kind == "image" else None,
+                "height": 64 + (idx * 5) % 192 if kind == "image" else None,
+                "duration_ms": (1000 + (idx % 256) * 100) if kind != "image" else None,
             }
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

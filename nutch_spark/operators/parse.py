@@ -210,6 +210,12 @@ def run_parse(
 
     Returns dict with: span_rows, documents, parse_text, parse_data,
     parse_updates (linked/signature rows for updatedb).
+
+    CACHE CONTRACT: the returned `docs_nested` and `links` frames are
+    .cache()d (they feed multiple outputs). Every caller that materializes
+    any output MUST unpersist both once done with the cycle's results —
+    crawl_cycle does; ad-hoc callers (bench/queries/tests) must too, or
+    cached blocks leak across a long run.
     """
     url_filter = url_filter or RegexUrlFilter()
     ok = fetch_out.filter(
@@ -220,7 +226,9 @@ def run_parse(
 
     content = ok.select("url", "score", "signature").join(raw_content, "url", "inner")
     docs_nested = extract_documents(content).cache()
-    documents = docs_nested.select("doc_id", "spans")
+    # the committed documents table keeps only pages with >=1 span (matching
+    # the pre-nested-extractor semantics: span-free pages contribute nothing)
+    documents = docs_nested.filter(F.size("spans") > 0).select("doc_id", "spans")
     # flat span rows via narrow explode (no shuffle); parse_text is a pure
     # array fold over the nested column — the old groupBy+collect_list
     # re-assembly shuffles are gone

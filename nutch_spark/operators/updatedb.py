@@ -127,6 +127,7 @@ def update_frontier(
             F.col("fetch_status"),
             F.col("fetch_ts"),
             F.col("signature").alias("fetch_signature"),
+            F.col("repr_url"),
             F.col("fetch_interval").alias("f_interval"),
             F.col("retries").alias("f_retries"),
             F.col("score").alias("f_score"),
@@ -253,10 +254,21 @@ def update_frontier(
         .otherwise(F.coalesce(F.col("o_modified"), F.lit(0)))
     )
     # drop the generate-time key after a completed cycle (CrawlDbReducer:289-293)
-    metadata = F.when(
+    meta_base = F.when(
         F.col("o_metadata").isNotNull() & has_fetch,
         F.map_filter(F.col("o_metadata"), lambda k, _: k != F.lit("_ngt_")),
     ).otherwise(F.col("o_metadata"))
+    # repr-URL from redirects rides in metadata['_repr_'] (C4;
+    # CrawlDatum metadata key Nutch.WRITABLE_REPR_URL_KEY,
+    # crawl/CrawlDbReducer.java:106-120 / fetcher/Fetcher.java:1009-1024)
+    empty_meta = F.create_map().cast("map<string,string>")
+    metadata = F.when(
+        F.col("repr_url").isNotNull(),
+        F.map_concat(
+            F.map_filter(F.coalesce(meta_base, empty_meta), lambda k, _: k != F.lit("_repr_")),
+            F.create_map(F.lit("_repr_"), F.col("repr_url")),
+        ),
+    ).otherwise(meta_base)
 
     out = j.select(
         F.col("url"),

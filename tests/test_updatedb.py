@@ -203,3 +203,69 @@ def test_adaptive_schedule(spark):
     out = {r.url: r for r in update_frontier(old, fetch, empty_updates(spark), cfg, T0).collect()}
     assert out[url_m].fetch_interval == 800   # x(1-0.2)
     assert out[url_u].fetch_interval == 1400  # x(1+0.4)
+
+
+def test_repr_url_carried_in_metadata(spark):
+    """C4/R5: chooseRepr result from the fetch stage lands in
+    metadata['_repr_'] (util/URLUtil.java:343-449 subset: perm redirect ->
+    target; temp redirect -> source unless same-host + shorter)."""
+    cfg = CrawlConfig()
+    rows = [
+        {"url": "http://a.com/old", "fetch_status": S.STATUS_FETCH_REDIR_PERM,
+         "redirect_to": "http://a.com/new"},
+        {"url": "http://a.com/session/long/path", "fetch_status": S.STATUS_FETCH_REDIR_TEMP,
+         "redirect_to": "http://b.com/x"},
+    ]
+    full = [
+        {
+            "url": r["url"], "host": "a.com",
+            "fetch_status": r["fetch_status"], "fetch_ts": FETCH_TS, "seq": i,
+            "repr_url": None, "signature": None,
+            "content_length": 100, "truncated": False,
+            "score": 1.0, "fetch_interval": IV,
+            "retries": 0, "partition_id": 0,
+            "redirect_to": r["redirect_to"],
+            "redirect_temp": r["fetch_status"] == S.STATUS_FETCH_REDIR_TEMP,
+        }
+        for i, r in enumerate(rows)
+    ]
+    # run the chooseRepr logic the way the fetch kernel does
+    from nutch_spark.functions.urls import choose_repr_url
+    for r in full:
+        r["repr_url"] = choose_repr_url(
+            r["url"], r["redirect_to"], r["redirect_temp"])
+    fetch = spark.createDataFrame(full, FETCH_COLS)
+    out = {r.url: r for r in
+           update_frontier(None, fetch, empty_updates(spark), cfg, T0).collect()}
+    perm = out["http://a.com/old"]
+    assert perm.status == S.STATUS_DB_REDIR_PERM
+    assert perm.metadata["_repr_"] == "http://a.com/new"  # perm -> target
+    temp = out["http://a.com/session/long/path"]
+    assert temp.status == S.STATUS_DB_REDIR_TEMP
+    # temp redirect to a DIFFERENT host keeps the source as repr
+    assert temp.metadata["_repr_"] == "http://a.com/session/long/path"
+
+
+def test_fetch_kernel_emits_repr_url(spark):
+    """The fetch kernel itself fills repr_url on redirect rows (was
+    hard-coded None)."""
+    from nutch_spark.config import CrawlConfig as CC
+    from nutch_spark.corpus import SyntheticWeb
+    from nutch_spark.operators.fetch import run_fetch
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject
+
+    cfg = CC(num_partitions=2, topn=5000, fetcher_threads=2,
+             fetch_duration_ms=10, fetcher_server_delay_ms=50)
+    tables = SyntheticWeb(n_hosts=8, pages_per_host=4, mega_factor=5).to_spark(spark)
+    frontier = inject(None, tables["seeds"], cfg, T0)
+    fl = generate(frontier, cfg, T0)
+    out = run_fetch(fl, tables["web_graph"], tables["robots"], cfg, 1, T0)
+    redirs = out.filter(F.col("redirect_to").isNotNull()).collect()
+    if redirs:  # corpus plants redirects; every redirect row must carry repr
+        assert all(r.repr_url is not None for r in redirs)
+        from nutch_spark.functions.urls import choose_repr_url
+        for r in redirs:
+            assert r.repr_url == choose_repr_url(r.url, r.redirect_to, bool(r.redirect_temp))
+    nonredir = out.filter(F.col("redirect_to").isNull()).limit(5).collect()
+    assert all(r.repr_url is None for r in nonredir)
