@@ -29,4 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in QUERIES.items()
+        if sql is not None
+    }

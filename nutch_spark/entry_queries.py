@@ -766,29 +766,93 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 # rows-only queries (non-SQL-expressible kernels) — no oracle entry
 # ---------------------------------------------------------------------------
 
-def q_fetch_kernel(spark, sf_dir):
-    """R1-R9: virtual-clock politeness fetch over the synthetic corpus
-    (stateful per-partition kernel — not SQL-expressible)."""
-    from nutch_spark.config import CrawlConfig
-    from nutch_spark.corpus import SyntheticWeb
-    from nutch_spark.operators.fetch import run_fetch
-    from nutch_spark.operators.generate import generate
-    from nutch_spark.operators.inject import inject
+_FETCH_FIXTURE = dict(threads=3, duration_ms=100, server_delay_ms=1000,
+                      max_crawl_delay_ms=30000, max_exc=2, t0=1_700_000_000_000)
 
-    cfg = CrawlConfig(num_partitions=4, topn=5000, fetcher_threads=4,
-                      fetch_duration_ms=10, fetcher_server_delay_ms=100)
-    tables = SyntheticWeb(n_hosts=8, pages_per_host=4, mega_factor=5).to_spark(spark)
-    t0 = 1_700_000_000_000
-    frontier = inject(None, tables["seeds"], cfg, t0)
-    fl = generate(frontier, cfg, t0)
-    return run_fetch(fl, tables["web_graph"], tables["robots"], cfg, 1, t0).select(
-        "url", "host", "fetch_status", "seq"
+_FETCH_FIXTURE_SCHEMA = (
+    "url string, host string, page_status string, crawl_delay double, "
+    "robots_allowed boolean, redirect_to string, content_length long, "
+    "declared_length long, signature_seed long, score double, "
+    "fetch_interval int, retries int, sort_hash int"
+)
+
+
+def _fetch_fixture_rows() -> list[dict]:
+    """Deterministic fetchlist exercising every politeness path: multi-URL
+    host queues with default + robots crawl delays, robots denial, per-queue
+    exception purge, Crawl-Delay > max (gone), redirects, notmodified, gone,
+    missing pages, and a null-host row (its own '' queue)."""
+    rows: list[dict] = []
+
+    def add(url, host, page_status="ok", crawl_delay=None, robots_allowed=True,
+            redirect_to=None):
+        rows.append({
+            "url": url, "host": host, "page_status": page_status,
+            "crawl_delay": crawl_delay, "robots_allowed": robots_allowed,
+            "redirect_to": redirect_to, "content_length": 100,
+            "declared_length": 100, "signature_seed": 7, "score": 1.0,
+            "fetch_interval": 2592000, "retries": 0, "sort_hash": len(rows),
+        })
+
+    for i in range(5):
+        add(f"http://a.com/{i}", "a.com")
+    for i in range(4):
+        add(f"http://b.com/{i}", "b.com", crawl_delay=2.0)
+    add("http://c.com/private/0", "c.com", robots_allowed=False)
+    add("http://c.com/ok", "c.com")
+    add("http://c.com/private/1", "c.com", robots_allowed=False)
+    add("http://d.com/x0", "d.com", page_status="exception")
+    add("http://d.com/ok", "d.com")
+    add("http://d.com/x1", "d.com", page_status="exception")
+    add("http://d.com/never0", "d.com")  # purged after 2nd exception
+    add("http://d.com/never1", "d.com")
+    add("http://e.com/slow", "e.com", crawl_delay=40.0)  # > max -> gone
+    add("http://f.com/rp", "f.com", page_status="redir_perm", redirect_to="http://f.com/t")
+    add("http://f.com/rt", "f.com", page_status="redir_temp", redirect_to="http://f.com/u")
+    add("http://f.com/nm", "f.com", page_status="notmodified")
+    add("http://f.com/gone", "f.com", page_status="gone")
+    add("http://f.com/miss", "f.com", page_status=None)
+    add("http://no-host-row/x", None)
+    return rows
+
+
+def q_fetch_kernel(spark, sf_dir):
+    """R1-R9: virtual-clock politeness kernel over a fixed fetchlist fixture.
+    Oracled against an INDEPENDENT pure-Python scheduler simulation
+    (nutch_spark.oracles.simulate_fetch_reference) rendered to SQL VALUES —
+    the full inject->generate->fetch integration stays covered by pytest."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.fetch import FETCH_OUT_SCHEMA, fetch_partition_kernel
+
+    fx = _FETCH_FIXTURE
+    cfg = CrawlConfig(
+        num_partitions=1, fetcher_threads=fx["threads"],
+        fetch_duration_ms=fx["duration_ms"],
+        fetcher_server_delay_ms=fx["server_delay_ms"],
+        fetcher_max_crawl_delay_ms=fx["max_crawl_delay_ms"],
+        fetcher_max_exceptions_per_queue=fx["max_exc"],
+    )
+    df = spark.createDataFrame(_fetch_fixture_rows(), schema=_FETCH_FIXTURE_SCHEMA)
+    fl = df.repartition(1).sortWithinPartitions("sort_hash")
+    kernel = fetch_partition_kernel(cfg, 1, fx["t0"])
+    return fl.mapInPandas(kernel, FETCH_OUT_SCHEMA).select(
+        "url", "host",
+        F.col("fetch_status").cast("long").alias("fetch_status"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("fetch_ts").cast("long").alias("fetch_ts"),
     )
 
 
+def _sql_fetch_kernel():
+    from nutch_spark.oracles import sql_fetch_kernel
+
+    return sql_fetch_kernel(_fetch_fixture_rows(), **_FETCH_FIXTURE)
+
+
 def q_span_extraction(spark, sf_dir):
-    """X1-X5: span extraction over the synthetic corpus (order-preserving
-    kernel; verified by span-equality pytest suite)."""
+    """X1-X5: span extraction over the synthetic corpus. Oracle = the
+    corpus's ground-truth ordered segment lists (built independently of the
+    regex parse kernel) as SQL VALUES."""
     from nutch_spark.corpus import SyntheticWeb
     from nutch_spark.operators.parse import extract_spans
 
@@ -796,6 +860,12 @@ def q_span_extraction(spark, sf_dir):
     return extract_spans(tables["raw_content"]).select(
         "doc_id", "offset", "kind", "text", "media_ref"
     )
+
+
+def _sql_span_extraction():
+    from nutch_spark.oracles import sql_span_extraction
+
+    return sql_span_extraction(n_hosts=6, pages_per_host=3, mega_factor=3)
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -815,23 +885,40 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (scale path of q_cosine_topk)."""
+    """Multi-table LSH ANN top-k (scale path of q_cosine_topk): 2 tables x
+    6 planes, exact cosine within shared buckets only."""
     from nutch_spark.functions.similarity import ann_cosine_topk
 
     e = load(spark, sf_dir, "embeddings")
     q = e.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ann_cosine_topk(e, q, k=3, n_planes=6)
+    return ann_cosine_topk(e, q, k=3, n_planes=6, n_tables=2, dim=64,
+                           exclude_self=True)
+
+
+def _sql_ann_topk():
+    from nutch_spark.functions.similarity import hyperplanes
+    from nutch_spark.oracles import sql_ann_topk
+
+    return sql_ann_topk(hyperplanes(64, 6, 2), k=3)
 
 
 def q_linkrank(spark, sf_dir):
-    """L2: iterative LinkRank over the derived edge graph."""
+    """L2: iterative LinkRank over a DETERMINISTIC edge subset
+    (l_orderkey % 3 = 0 — a filter, not a limit, so the oracle sees the
+    identical graph). Oracle unrolls the 3 iterations as SQL CTEs."""
     from nutch_spark.operators.webgraph import linkrank
 
-    e = derived_edges(spark, sf_dir).select(
-        F.col("from_url").alias("src"), F.col("to_url").alias("dst")
-    ).distinct().limit(20000)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    sk = (F.col("l_suppkey") % 50).cast("string")
+    pk = (F.col("l_partkey") % 40).cast("string")
+    e = li.select(
+        F.concat(F.lit("http://h"), sk, F.lit(".example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("http://p"), pk, F.lit(".example.com/part/"),
+                 F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
     nodes = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))
@@ -840,6 +927,12 @@ def q_linkrank(spark, sf_dir):
     return linkrank(e, nodes, iterations=3).select(
         "url", F.round("rank", 6).alias("rank")
     )
+
+
+def _sql_linkrank():
+    from nutch_spark.oracles import sql_linkrank
+
+    return sql_linkrank(iterations=3, damping=0.85)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -855,23 +948,55 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join."""
+    """Embedding-cosine near-duplicate pairs via multi-table LSH-bucketed
+    self-join (2 tables x 4 planes)."""
     from nutch_spark.functions.similarity import embedding_near_duplicates
 
     e = load(spark, sf_dir, "embeddings")
     # synthetic embeddings are near-orthogonal (p99 cosine ~0.29), so the
     # near-dup threshold is set where real pairs exist at test scale
-    return embedding_near_duplicates(e, threshold=0.3, n_planes=4)
+    return embedding_near_duplicates(e, threshold=0.3, n_planes=4, n_tables=2, dim=64)
+
+
+def _sql_embedding_neardup():
+    from nutch_spark.functions.similarity import hyperplanes
+    from nutch_spark.oracles import sql_embedding_neardup
+
+    return sql_embedding_neardup(hyperplanes(64, 4, 2), threshold=0.3)
 
 
 def q_quality_score(spark, sf_dir):
-    """Composite quality heuristic (functions/text.py:quality_score) —
-    rows-only: the float blend's 4th decimal can round differently across
-    engines, so the oracle gate uses q_doc_quality's integer features."""
+    """Composite quality heuristic (functions/text.py:quality_score). The
+    oracle mirrors the blend expression-for-expression (same association
+    order -> bit-identical doubles before round(4))."""
     from nutch_spark.functions.text import quality_score
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _sql_quality_score():
+    from nutch_spark.oracles import sql_quality_score
+
+    return sql_quality_score()
+
+
+def _sql_minhash_neardup():
+    from nutch_spark.oracles import sql_minhash_neardup
+
+    return sql_minhash_neardup(threshold=0.5)
+
+
+def _sql_simhash_neardup():
+    from nutch_spark.oracles import sql_simhash_neardup
+
+    return sql_simhash_neardup(max_hamming=6)
+
+
+def _sql_ngram_jaccard():
+    from nutch_spark.oracles import sql_ngram_jaccard
+
+    return sql_ngram_jaccard()
 
 
 def q_media_features(spark, sf_dir):
@@ -941,15 +1066,17 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    # rows-only kernels (no SQL equivalent)
-    "fetch_kernel": (q_fetch_kernel, None),
-    "span_extraction": (q_span_extraction, None),
-    "minhash_neardup": (q_minhash_neardup, None),
-    "simhash_neardup": (q_simhash_neardup, None),
-    "ann_topk": (q_ann_topk, None),
-    "linkrank": (q_linkrank, None),
+    # kernel queries — oracles are SQL-builder callables (resolved lazily by
+    # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
+    # independent reference computation into the SQL)
+    "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
+    "span_extraction": (q_span_extraction, _sql_span_extraction),
+    "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
+    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),
+    "ann_topk": (q_ann_topk, _sql_ann_topk),
+    "linkrank": (q_linkrank, _sql_linkrank),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "ngram_jaccard": (q_ngram_jaccard, None),
-    "embedding_neardup": (q_embedding_neardup, None),
-    "quality_score": (q_quality_score, None),
+    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup),
+    "quality_score": (q_quality_score, _sql_quality_score),
 }

@@ -2,12 +2,18 @@
 
 - brute-force cosine top-k: native F.zip_with/F.aggregate dot products —
   JVM-side, no UDF; exact baseline;
-- LSH-bucketed ANN: random-hyperplane signatures (sign of dot with seeded
-  gaussian planes) -> candidates share a bucket -> exact cosine within
-  bucket only. The scale path: the cross join is confined to buckets, and
-  the planes are a broadcast literal.
+- multi-table random-hyperplane LSH (ANN + embedding near-dup): L tables of
+  p planes each; a vector lands in one bucket per table (2^p buckets/table),
+  candidates are pairs sharing any table's bucket, exact cosine runs within
+  buckets only. Recall grows with L (union of tables), precision/cost with p.
 
-Embedding-cosine near-dup dedup = ann_cosine_topk with a threshold filter.
+100-TB scaling: bucket count per table is 2^p — p scales with log2(N) (e.g.
+p=30 -> ~10^9 buckets for 10^10 vectors, expected bucket size ~10), so the
+per-bucket self-join stays bounded; `bucket_cap` hard-bounds pathological
+buckets (rank by xxhash64 -> deterministic). The planes ride to executors as
+literal columns (a few KB per table) — no join, no broadcast table. This
+replaces the round-1 single-table fixed-2^n_planes design whose intra-bucket
+join was quadratic at scale.
 """
 
 from __future__ import annotations
@@ -17,13 +23,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
 
 
 def cosine_col(a, b):
@@ -40,71 +50,107 @@ def brute_force_cosine_topk(
     e = embeddings.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"))
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))
     scored = q.crossJoin(e).select(
-        "q_id", "nn_id", F.round(cosine_col(F.col("q_vec"), F.col("nn_vec")), 6).alias("cosine")
+        "q_id", "nn_id", F.round(cosine_col(F.col("q_vec"), F.col("nn_vec")), 4).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+def hyperplanes(dim: int, n_planes: int, n_tables: int = 1, seed: int = 42) -> np.ndarray:
+    """(n_tables, n_planes, dim) seeded gaussian planes — also consumed by
+    the DuckDB oracle builder as full-precision literals."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id from random hyperplanes (broadcast literal)."""
-    bits = [
-        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in planes
-    ]
+def _bucket_col(vec_col, table_planes: np.ndarray):
+    """Sign-pattern bucket id for one table's planes (first plane = MSB)."""
     bucket = F.lit(0)
-    for b in bits:
-        bucket = bucket * 2 + b
+    for p in table_planes:
+        bit = F.when(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
     return bucket
 
 
+def lsh_bucket_col(vec_col, planes) -> "F.Column":
+    """Back-compat single-table bucket (planes: list[list[float]])."""
+    return _bucket_col(vec_col, np.asarray(planes))
+
+
+def _bucketed(df: DataFrame, id_name: str, vec_name: str, planes: np.ndarray,
+              bucket_cap: int | None = None) -> DataFrame:
+    """Explode each vector to (tbl, bucket) rows — one per table. The explode
+    is narrow (no shuffle); the only exchange is the downstream bucket join."""
+    out = df.select(
+        id_name, vec_name,
+        F.posexplode(
+            F.array(*[_bucket_col(F.col(vec_name), planes[t]) for t in range(len(planes))])
+        ).alias("tbl", "bucket"),
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy(F.xxhash64(id_name))
+        out = (
+            out.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= bucket_cap).drop("_r")
+        )
+    return out
+
+
 def ann_cosine_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
-    dim: int | None = None, seed: int = 42,
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_planes: int = 8, n_tables: int = 1, dim: int = 64, seed: int = 42,
+    bucket_cap: int | None = None, exclude_self: bool = False,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact cosine only within the query's bucket.
-    Recall < 1.0 by design; multiprobe = union over plane subsets if needed."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    """Multi-table LSH ANN: exact cosine only within buckets the query
+    shares with data vectors (union over tables). `dim` is declared by the
+    caller — no driver-side .first() probe in the library path."""
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    e = _bucketed(
+        embeddings.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")),
+        "nn_id", "nn_vec", planes, bucket_cap,
     )
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
-        lsh_bucket_col(F.col(q_vec_col), planes).alias("bucket"),
+    q = _bucketed(
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")),
+        "q_id", "q_vec", planes,
     )
-    scored = q.join(e, "bucket").select(
-        "q_id", "nn_id", F.round(cosine_col(F.col("q_vec"), F.col("nn_vec")), 6).alias("cosine")
+    pairs = q.join(e, ["tbl", "bucket"])
+    if exclude_self:
+        pairs = pairs.filter(F.col("nn_id") != F.col("q_id"))
+    pairs = pairs.dropDuplicates(["q_id", "nn_id"])  # union over tables
+    scored = pairs.select(
+        "q_id", "nn_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("nn_vec")), 4).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
-def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
-                              n_planes: int = 8, seed: int = 42,
-                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs via bucketed self-join."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_planes: int = 8, n_tables: int = 1, dim: int = 64, seed: int = 42,
+    bucket_cap: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table bucketed self-join."""
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    e = _bucketed(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id", "vec", planes, bucket_cap,
     )
     l, r = e.alias("l"), e.alias("r")
-    return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-            F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = (
+        l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("l.vec").alias("va"),
+                F.col("r.id").alias("b"), F.col("r.vec").alias("vb"))
+        .dropDuplicates(["a", "b"])
     )
+    return pairs.select(
+        "a", "b",
+        F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -93,8 +93,11 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         # ---- vectorized per-row facts -----------------------------------
         # null hosts (parse_url can null out hosts urlsplit accepted) get
         # their own '' queue — factorize's -1 sentinel would otherwise file
-        # them into the LAST host's queue (and crash on all-null partitions)
-        host_codes, hosts_u = pd.factorize(pdf["host"].fillna(""))  # codes = insertion order
+        # them into the LAST host's queue (and crash on all-null partitions);
+        # '' is also what the output row carries (host is non-null in
+        # FETCH_SCHEMA: the queue identity IS the emitted host)
+        host_filled = pdf["host"].fillna("")
+        host_codes, hosts_u = pd.factorize(host_filled)  # codes = insertion order
         crawl_delay_s = pdf["crawl_delay"].to_numpy(dtype=float)
         robots_delay_ms = crawl_delay_s * 1000.0  # NaN stays NaN
         too_long = (~np.isnan(robots_delay_ms)) & (
@@ -240,7 +243,7 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         out = pd.DataFrame(
             {
                 "url": urls_sel,
-                "host": pdf["host"].to_numpy(dtype=object)[sel],
+                "host": host_filled.to_numpy(dtype=object)[sel],
                 "fetch_status": status,
                 "fetch_ts": emit_ts[:m],
                 "seq": np.arange(m, dtype=np.int64),

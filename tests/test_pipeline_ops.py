@@ -133,7 +133,7 @@ def test_embedding_near_duplicates(spark):
         [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]), (3, [0.0, 1.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
-    pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4)
+    pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4, dim=3)
     assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
 
 
@@ -186,3 +186,138 @@ def test_media_pipeline_plumbing(spark, corpus_tables):
     docs = spans_to_documents(spans.select("doc_id", "offset", "kind", "text", "media_ref"))
     joined = media_span_join(docs, feats)
     assert joined.filter(F.col("feature").isNotNull()).count() > 0
+
+
+def test_simhash_vectorized_matches_scalar_reference(spark):
+    """The factorize+reduceat simhash equals a straightforward per-doc
+    reference computation (semantics lock for the vectorized kernel)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content here entirely",
+        "", "repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from nutch_spark.operators.dedup import simhash_signatures
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+
+    tok_re = _re.compile(r"\w+", _re.UNICODE)
+    for i, t in enumerate(texts):
+        toks = tok_re.findall(t.lower())
+        if not toks:
+            assert got[i] == 0
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            for bi in range(64):
+                acc[bi] += 1 if (h >> bi) & 1 else -1
+        v = 0
+        for bi in range(64):
+            if acc[bi] > 0:
+                v |= 1 << bi
+        expect = np.uint64(v).astype(np.int64)
+        assert got[i] == expect, i
+
+
+def test_minhash_vectorized_matches_scalar_reference(spark):
+    """Same lock for minhash: unique-hash + matrix path equals the per-doc
+    definition (incl. the deliberate uint64 wrap in (a*h+b))."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from nutch_spark.operators.dedup import minhash_permutation_coeffs, minhash_signatures
+
+    texts = ["alpha beta gamma delta epsilon", "alpha beta gamma delta zeta", "x y"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.sig for r in minhash_signatures(df, num_perm=16).collect()}
+    a, b = minhash_permutation_coeffs(16)
+    tok_re = _re.compile(r"\w+", _re.UNICODE)
+    M = (1 << 61) - 1
+    for i, t in enumerate(texts):
+        toks = tok_re.findall(t.lower())
+        sh = ([" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+              if len(toks) >= 3 else [" ".join(toks)])
+        expect = []
+        for p in range(16):
+            vals = []
+            for s in sh:
+                h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                vals.append(int((np.uint64(a[p]) * np.uint64(h) + np.uint64(b[p])) % np.uint64(M)))
+            expect.append(np.uint64(min(vals)).astype(np.int64))
+        assert list(got[i]) == [int(x) for x in expect], i
+
+
+def test_simhash_banding_planted_recall(spark):
+    """Recall lock for the h+1 banding: pairs planted at hamming 4-6 with
+    differing bits SPREAD ACROSS ALL FOUR of the old 16-bit bands (the
+    round-1 recall bug's blind spot) must all be captured at max_hamming=6."""
+    from nutch_spark.operators.dedup import simhash_band_bounds, simhash_candidate_pairs
+
+    base = 0x0123456789ABCDEF
+    planted = []
+    # flip bits in different 16-bit quarters so every old band differs
+    flips = [
+        [0, 16, 32, 48],           # hamming 4, one per old band
+        [1, 17, 33, 49, 60],       # hamming 5
+        [2, 18, 34, 50, 61, 15],   # hamming 6
+    ]
+    rows = [(0, base)]
+    for i, fl in enumerate(flips, start=1):
+        v = base
+        for bit in fl:
+            v ^= 1 << bit
+        rows.append((i, v))
+        planted.append((0, i, len(fl)))
+    import numpy as np
+    sigs = spark.createDataFrame(
+        [(d, int(np.uint64(v).astype(np.int64))) for d, v in rows],
+        "doc_id long, simhash long",
+    )
+    got = {(r.a, r.b): r.hamming for r in
+           simhash_candidate_pairs(sigs, max_hamming=6).collect()}
+    for a_, b_, h in planted:
+        assert (a_, b_) in got, f"planted pair at hamming {h} missed"
+        assert got[(a_, b_)] == h
+    # sanity: band bounds tile all 64 bits with h+1 bands
+    bounds = simhash_band_bounds(6)
+    assert len(bounds) == 7 and sum(w for _, w in bounds) == 64
+
+
+def test_ann_planted_recall_at_scale_params():
+    """ANN recall lock (sf0.1): queries are perturbed copies of 100 real
+    vectors, so each query's true nearest neighbor is its source vector at
+    cosine ~0.99. Multi-table LSH (8 tables x 12 planes, bucket_cap=500)
+    must recover >=90% of them. (Raw top-10 recall over the UNperturbed
+    corpus is not a meaningful LSH target here: the synthetic embeddings
+    are near-orthogonal — nearest neighbors sit at ~72 degrees, where the
+    per-plane collision probability is ~0.6 and no sublinear bucketing
+    recovers them by construction.)"""
+    import numpy as np
+
+    from nutch_spark.functions.similarity import ann_cosine_topk
+    from nutch_spark.session import get_spark
+
+    spark = get_spark("ann-recall", master="local[8]", shuffle_partitions=8)
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    base = e.orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(7)
+    qrows = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        q = v + 0.05 * np.linalg.norm(v) / 8.0 * rng.standard_normal(v.size)
+        qrows.append((int(r.vec_id), [float(x) for x in q]))
+    qdf = spark.createDataFrame(qrows, "q_id long, q_vec array<float>")
+    got = ann_cosine_topk(
+        e, qdf, k=1, n_planes=12, n_tables=8, dim=64, bucket_cap=500
+    ).collect()
+    hits = sum(1 for r in got if r.rk == 1 and r.nn_id == r.q_id)
+    recall = hits / len(base)
+    assert recall >= 0.9, f"planted-NN recall {recall:.2f} < 0.9"
