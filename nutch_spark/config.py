@@ -58,6 +58,7 @@ class CrawlConfig:
     db_max_anchor_length: int = 100          # db.max.anchor.length
     db_max_inlinks: int = 10_000             # db.max.inlinks
     parse_skip_truncated: bool = True        # parser.skip.truncated
+    db_parsemeta_to_crawldb: tuple = ()      # db.parsemeta.to.crawldb (ParseOutputFormat.java:154-166)
 
     # --- scoring: OPIC (reference: scoring/opic/OPICScoringFilter.java) ---
     db_score_link_internal: float = 1.0      # db.score.link.internal

@@ -32,12 +32,26 @@ WORDS = (
     "xray yankee zulu amber basalt cobalt dune ember flint garnet heath iris"
 ).split()
 
+# 15 simulated e-commerce platforms — one per fork ItemParser plugin; URL
+# shapes mirror each plugin's accept pattern on '-sim' hosts
+# (plugin/parse-html/.../​*ItemParser.java accept regexes; Taobao via
+# parse-url/.../TaobaoItemIndexProcessor.java:66-72 query-param id)
 PLATFORMS = {
     "taobao": {"host": "item.taobao-sim.com", "url_tpl": "http://item.taobao-sim.com/item.htm?id={iid}"},
     "jingdong": {"host": "www.jd-sim.com", "url_tpl": "http://www.jd-sim.com/product/{iid}.html"},
     "amazon": {"host": "www.amazon-sim.com", "url_tpl": "http://www.amazon-sim.com/dp/{iid}"},
     "suning": {"host": "www.suning-sim.com", "url_tpl": "http://www.suning-sim.com/item/{iid}.html"},
     "dangdang": {"host": "product.dangdang-sim.com", "url_tpl": "http://product.dangdang-sim.com/{iid}.html"},
+    "coo8": {"host": "www.coo8-sim.com", "url_tpl": "http://www.coo8-sim.com/product/{iid}.html"},
+    "efeihu": {"host": "www.efeihu-sim.com", "url_tpl": "http://www.efeihu-sim.com/Product/{iid}.html"},
+    "five1buy": {"host": "item.51buy-sim.com", "url_tpl": "http://item.51buy-sim.com/item-{iid}.html"},
+    "gome": {"host": "www.gome-sim.com.cn", "url_tpl": "http://www.gome-sim.com.cn/ec/homeus/jump/product/{iid}.html"},
+    "lusen": {"host": "www.lusen-sim.com", "url_tpl": "http://www.lusen-sim.com/Product/ProductInfo.aspx?id={iid}"},
+    "new7": {"host": "www.new7-sim.com", "url_tpl": "http://www.new7-sim.com/product/{iid}.html"},
+    "newegg": {"host": "www.newegg-sim.com.cn", "url_tpl": "http://www.newegg-sim.com.cn/Product/{iid}.htm"},
+    "no1shop": {"host": "www.yihaodian-sim.com", "url_tpl": "http://www.yihaodian-sim.com/product/{iid}"},
+    "ouku": {"host": "www.ouku-sim.com", "url_tpl": "http://www.ouku-sim.com/goods{iid}/"},
+    "redbaby": {"host": "www.redbaby-sim.com.cn", "url_tpl": "http://www.redbaby-sim.com.cn/yingyang/{iid}.html"},
 }
 CATEGORIES = [
     ["home", "electronics", "phone"],
@@ -60,6 +74,9 @@ class Page:
     truncated: bool = False
     title: str = ""
     item: dict | None = None                  # platform item ground truth
+    robots_meta: str | None = None            # <meta name="robots" content=...>
+    refresh_meta: str | None = None           # <meta http-equiv="refresh" content=...>
+    meta_tags: dict = field(default_factory=dict)  # generic <meta name= content=>
 
 
 def _txt(rng: np.random.Generator, n: int) -> str:
@@ -68,7 +85,14 @@ def _txt(rng: np.random.Generator, n: int) -> str:
 
 def render_html(p: Page) -> str:
     """Render segments to the mini-HTML the parse kernel consumes."""
-    out = [f"<html><head><title>{p.title}</title></head><body>"]
+    head = [f"<title>{p.title}</title>"]
+    if p.robots_meta is not None:
+        head.append(f'<meta name="robots" content="{p.robots_meta}">')
+    if p.refresh_meta is not None:
+        head.append(f'<meta http-equiv="refresh" content="{p.refresh_meta}">')
+    for name, content in p.meta_tags.items():
+        head.append(f'<meta name="{name}" content="{content}">')
+    out = ["<html><head>" + "".join(head) + "</head><body>"]
     for kind, text, media_ref in p.segments:
         if kind == "text":
             out.append(f"<p>{text}</p>")
@@ -177,6 +201,30 @@ class SyntheticWeb:
         self._add(Page(url=f"http://{h6}/gone.html", host=h6, status="gone"))
         nm = self._add(Page(url=f"http://{h6}/cached.html", host=h6, status="notmodified"))
         self._fill_content(nm, n_paras=1, media=0)
+
+        # meta-directive pages (X6/X7: HTMLMetaProcessor.java:38-165)
+        h9 = hosts[self.n_hosts - 1]
+        pni = self._add(Page(url=f"http://{h9}/meta/noindex.html", host=h9,
+                             robots_meta="noindex"))
+        self._fill_content(pni, n_paras=1, media=0,
+                           links=[(all_urls[h9][0], "home")])
+        pnf = self._add(Page(url=f"http://{h9}/meta/nofollow.html", host=h9,
+                             robots_meta="nofollow"))
+        self._fill_content(pnf, n_paras=1, media=0,
+                           links=[(all_urls[h9][0], "home"),
+                                  (all_urls[hosts[0]][0], "mega")])
+        pno = self._add(Page(url=f"http://{h9}/meta/none.html", host=h9,
+                             robots_meta="none"))
+        self._fill_content(pno, n_paras=1, media=0,
+                           links=[(all_urls[h9][0], "home")])
+        prf = self._add(Page(url=f"http://{h9}/meta/refresh.html", host=h9,
+                             refresh_meta=f"3;url=http://{h9}/meta/target.html"))
+        self._fill_content(prf, n_paras=1, media=0)
+        ptg = self._add(Page(url=f"http://{h9}/meta/target.html", host=h9))
+        self._fill_content(ptg, n_paras=1, media=0)
+        pau = self._add(Page(url=f"http://{h9}/meta/tagged.html", host=h9,
+                             meta_tags={"author": "sim-bot", "keywords": "alpha,beta"}))
+        self._fill_content(pau, n_paras=1, media=0)
 
         h7 = hosts[7 % self.n_hosts]                                  # robots-disallowed pages
         for j in range(3):

@@ -1036,6 +1036,62 @@ FROM refs
 """
 
 
+def q_regex_normalize(spark, sf_dir):
+    """F3 RegexURLNormalizer (urlnormalizer-regex/.../RegexURLNormalizer.java:182-191):
+    session-id stripping, default-page collapsing, anchor removal, query
+    cleanup — native Java-regex chain (whole-stage codegen). The oracle runs
+    the RE2-dialect port of the same rules; both dialects verified against
+    the reference's regex-normalize-default.test pairs."""
+    from nutch_spark.functions.normalizers import RegexURLNormalizer
+
+    o = load(spark, sf_dir, "orders")
+    base = F.concat(F.lit("http://h"), (F.col("o_custkey") % 50).cast("string"),
+                    F.lit(".example.com/"))
+    ok = F.col("o_orderkey")
+    url = (
+        F.when(ok % 4 == 0, F.concat(base, F.lit("foo.php?PHPSESSID="), F.md5(ok.cast("string"))))
+        .when(ok % 4 == 1, F.concat(base, F.lit("a/index.html")))
+        .when(ok % 4 == 2, F.concat(base, F.lit("p.html#anchor?x="), ok.cast("string")))
+        .otherwise(F.concat(base, F.lit("q.html?a=1&&b="), ok.cast("string")))
+    )
+    rn = RegexURLNormalizer()
+    return o.select(url.alias("url")).select("url", rn.col(F.col("url")).alias("normalized"))
+
+
+def _sql_regex_normalize():
+    from nutch_spark.oracles import sql_regex_normalize
+
+    return sql_regex_normalize()
+
+
+def q_items(spark, sf_dir):
+    """X11: all 15 platform item extractors over the synthetic corpus
+    (spans -> documents -> config-driven extraction incl. the price-image
+    OCR-lookup analogue). Oracle = the corpus's planted item ground truth."""
+    from nutch_spark.corpus import SyntheticWeb
+    from nutch_spark.operators.items import extract_items
+    from nutch_spark.operators.parse import extract_spans, spans_to_documents
+
+    tables = SyntheticWeb(n_hosts=6, pages_per_host=3, mega_factor=3).to_spark(spark)
+    docs = spans_to_documents(
+        extract_spans(tables["raw_content"]).select(
+            "doc_id", "offset", "kind", "text", "media_ref"
+        )
+    )
+    items = extract_items(docs, tables["price_images"])
+    return items.select(
+        "doc_id", "platform", "item_id", "name",
+        F.array_join("category", " > ").alias("category_path"),
+        F.round("price", 2).alias("price"), "photo_ref",
+    )
+
+
+def _sql_items():
+    from nutch_spark.oracles import sql_items
+
+    return sql_items(n_hosts=6, pages_per_host=3, mega_factor=3)
+
+
 QUERIES: dict[str, tuple] = {
     # SQL-oracled operators
     "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
@@ -1066,6 +1122,8 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "regex_normalize": (q_regex_normalize, _sql_regex_normalize),
+    "items": (q_items, _sql_items),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -1,0 +1,193 @@
+"""Scoped URL-normalizer chains: Basic -> Host-alias -> Regex.
+
+Reference semantics:
+- RegexURLNormalizer (plugin/urlnormalizer-regex/.../RegexURLNormalizer.java:64+,
+  core loop :182-191): ordered regex substitution rules, each applied once
+  with replaceAll; per-scope rule sets fall back to the default set. The
+  shipped default rules are ported from
+  plugin/urlnormalizer-regex/sample/regex-normalize-default.xml (session-id
+  stripping, default-page collapsing, anchor removal, query cleanup) and
+  verified against regex-normalize-default.test pair-for-pair.
+- Host-alias normalizer (plugin/urlnormalizer-host, conf/host-urlnormalizer.txt):
+  "host target" lines, '*.domain' wildcards; rewrites the URL's host.
+- Scopes (net/URLNormalizers.java:81-99): default, partition,
+  generate_host_count, fetcher, crawldb, linkdb, inject, outlink, indexer;
+  chain per scope; unknown scope -> default rules (URLNormalizers.java:132+).
+
+Every rule ships in BOTH dialects: the Java pattern/substitution feeds
+Spark's native regexp_replace (JVM Matcher semantics = the reference's,
+whole-stage codegen, zero Python), and a hand-ported Python re equivalent
+(scoped (?i:...) groups, \\N backrefs) feeds the scalar/pandas paths used by
+tests and driver-side code. Rule tuples: (java_pat, java_sub, py_pat, py_sub).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+SCOPES = (
+    "default", "partition", "generate_host_count", "fetcher",
+    "crawldb", "linkdb", "inject", "outlink", "indexer",
+)
+
+# regex-normalize-default.xml, in file order (order matters)
+DEFAULT_REGEX_RULES: list[tuple[str, str, str, str]] = [
+    # strip session ids (sid/phpsessid/sessionid with optional l/j/bv_ prefix)
+    (r"([;_]?((?i)l|j|bv_)?((?i)sid|phpsessid|sessionid)=.*?)(\?|&|#|$)", r"$4",
+     r"([;_]?((?i:l|j|bv_))?((?i:sid|phpsessid|sessionid))=.*?)(\?|&|#|$)", r"\4"),
+    # collapse default pages (index.html, default.asp, ...) to the directory
+    (r"/((?i)index|default)\.((?i)js[pf]{1}?[afx]?|cgi|cfm|asp[x]?|[psx]?htm[l]?|php[3456]?)(\?|&|#|$)", r"/$3",
+     r"/((?i:index|default))\.((?i:js[pf]{1}?[afx]?|cgi|cfm|asp[x]?|[psx]?htm[l]?|php[3456]?))(\?|&|#|$)", r"/\3"),
+    # drop interpage anchors (keep a following query)
+    (r"#.*?(\?|&|$)", r"$1", r"#.*?(\?|&|$)", r"\1"),
+    # '?&' -> '?'
+    (r"\?&", r"\?", r"\?&", r"?"),
+    # '&&&' -> '&'
+    (r"&{2,}", r"&", r"&{2,}", r"&"),
+    # trailing '?', '&' or '.'
+    (r"[\?&\.]$", r"", r"[\?&\.]$", r""),
+]
+
+# regex-normalize-scope1.xml: reduce any URL to its registered-domain root
+# (the sample per-scope override used by the reference's scope tests)
+SCOPE1_SAMPLE_RULES: list[tuple[str, str, str, str]] = [
+    (r"(^[a-z]{3,5}://)([\w]+\.)*?(\w+\.\w+)[/$].*", r"$1$3/",
+     r"(^[a-z]{3,5}://)([\w]+\.)*?(\w+\.\w+)[/$].*", r"\1\3/"),
+]
+
+
+class RegexURLNormalizer:
+    """Ordered substitution chain (one replaceAll pass per rule)."""
+
+    def __init__(self, rules: list[tuple[str, str, str, str]] | None = None):
+        self.rules = rules if rules is not None else DEFAULT_REGEX_RULES
+        self._compiled = [(re.compile(py_p), py_s) for _jp, _js, py_p, py_s in self.rules]
+
+    def normalize(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        for pat, sub in self._compiled:
+            url = pat.sub(sub, url)
+        return url
+
+    def series(self, urls: pd.Series) -> pd.Series:
+        out = urls
+        for pat, sub in self._compiled:
+            out = out.str.replace(pat, sub, regex=True)
+        return out
+
+    def col(self, url_col: Column) -> Column:
+        """Native regexp_replace fold — Java Matcher semantics match the
+        reference exactly; stays inside whole-stage codegen."""
+        out = url_col
+        for java_pat, java_sub, _pp, _ps in self.rules:
+            out = F.regexp_replace(out, java_pat, java_sub)
+        return out
+
+
+class HostAliasNormalizer:
+    """host->target alias map with '*.domain' wildcards
+    (conf/host-urlnormalizer.txt format)."""
+
+    _URL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/:?#]+)(.*)$", re.S)
+
+    def __init__(self, aliases: dict[str, str] | None = None):
+        self.exact = {h: t for h, t in (aliases or {}).items() if not h.startswith("*.")}
+        self.wild = {h[2:]: t for h, t in (aliases or {}).items() if h.startswith("*.")}
+
+    @classmethod
+    def from_text(cls, text: str) -> "HostAliasNormalizer":
+        aliases = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) == 2:
+                aliases[parts[0]] = parts[1]
+        return cls(aliases)
+
+    def _target(self, host: str) -> str | None:
+        if host in self.exact:
+            return self.exact[host]
+        for dom, tgt in self.wild.items():
+            if host == dom or host.endswith("." + dom):
+                return tgt
+        return None
+
+    def normalize(self, url: str | None) -> str | None:
+        if url is None:
+            return None
+        m = self._URL_RE.match(url)
+        if not m:
+            return url
+        tgt = self._target(m.group(2).lower())
+        return url if tgt is None else m.group(1) + tgt + m.group(3)
+
+    def series(self, urls: pd.Series) -> pd.Series:
+        if not self.exact and not self.wild:
+            return urls
+        return urls.map(self.normalize, na_action="ignore")
+
+    def col(self, url_col: Column) -> Column:
+        """Native when-chain per alias (alias maps are small config files).
+        Wildcards become host-suffix regexes; exact hosts anchored equality."""
+        out = url_col
+        for host, tgt in self.exact.items():
+            pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*://)" + re.escape(host) + r"(?=[/:?#]|$)"
+            out = F.regexp_replace(out, pat, "$1" + tgt)
+        for dom, tgt in self.wild.items():
+            pat = (r"^([a-zA-Z][a-zA-Z0-9+.-]*://)(?:[^/:?#]+\.)?"
+                   + re.escape(dom) + r"(?=[/:?#]|$)")
+            out = F.regexp_replace(out, pat, "$1" + tgt)
+        return out
+
+
+class ScopedNormalizers:
+    """Per-scope chains (URLNormalizers.java:81-99,132+): Basic ->
+    Host-alias -> Regex, with per-scope regex rule overrides falling back to
+    the default set (RegexURLNormalizer.regexNormalize scope fallback)."""
+
+    def __init__(self,
+                 regex_rules_by_scope: dict[str, list] | None = None,
+                 host_aliases: dict[str, str] | None = None):
+        self.regex_by_scope = regex_rules_by_scope or {}
+        self.host = HostAliasNormalizer(host_aliases)
+        self._default_regex = RegexURLNormalizer(
+            self.regex_by_scope.get("default", DEFAULT_REGEX_RULES))
+
+    def regex_for(self, scope: str) -> RegexURLNormalizer:
+        if scope in self.regex_by_scope:
+            return RegexURLNormalizer(self.regex_by_scope[scope])
+        return self._default_regex
+
+    def normalize(self, url: str | None, scope: str = "default") -> str | None:
+        from nutch_spark.functions.urls import normalize_url
+
+        url = normalize_url(url)
+        if url is None:
+            return None
+        url = self.host.normalize(url)
+        return self.regex_for(scope).normalize(url)
+
+    def post_basic_col(self, url_col: Column, scope: str = "default") -> Column:
+        """The native Host+Regex tail of the chain (callers run the basic
+        normalizer first via urls.normalize_split's hybrid path)."""
+        return self.regex_for(scope).col(self.host.col(url_col))
+
+
+def normalize_chain_split(df: DataFrame, in_col: str, out_col: str,
+                          scope: str = "default",
+                          normalizers: ScopedNormalizers | None = None) -> DataFrame:
+    """Full scoped chain over a DataFrame column: basic normalization via
+    the split fast/slow path (urls.normalize_split), then the host+regex
+    tail as native regexp_replace — the whole hot path stays JVM-side for
+    already-normal URLs."""
+    from nutch_spark.functions.urls import normalize_split
+
+    ns = normalizers or ScopedNormalizers()
+    out = normalize_split(df, in_col, out_col)
+    return out.withColumn(out_col, ns.post_basic_col(F.col(out_col), scope))

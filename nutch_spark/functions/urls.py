@@ -138,17 +138,12 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
 
 _HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)")
 
-# minimal public-suffix set; URLUtil uses conf/domain-suffixes.xml. The full
-# table drops in here unchanged (host -> registered domain is a pure lookup).
-_SUFFIXES_2 = {
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
-    "io", "co", "cn", "de", "uk", "fr", "jp", "ru", "br", "it", "nl", "au",
-    "us", "ca", "eu", "ch", "se", "no", "es", "kr", "in", "tv", "me", "cc",
-}
-_SUFFIXES_MULTI = {
-    "com.cn", "net.cn", "org.cn", "gov.cn", "co.uk", "org.uk", "ac.uk",
-    "com.au", "co.jp", "com.br", "co.kr", "com.tw",
-}
+# full public-suffix set generated from the reference's public data file
+# conf/domain-suffixes.xml (tools/gen_suffixes.py; 2675 entries — IANA TLDs
+# + the Mozilla/publicsuffix.org effective-TLD list)
+from nutch_spark.functions.suffixes import DOMAIN_SUFFIXES
+
+_IP_RE = re.compile(r"(\d{1,3}\.){3}\d{1,3}")  # URLUtil.java:144 IP_PATTERN
 
 
 def extract_host_series(urls: pd.Series) -> pd.Series:
@@ -158,21 +153,55 @@ def extract_host_series(urls: pd.Series) -> pd.Series:
 
 @lru_cache(maxsize=1 << 16)
 def registered_domain(host: str | None) -> str | None:
-    """host -> registered domain (reference: util/URLUtil.java:153-193)."""
+    """host -> registered domain: exact port of the left-shrinking walk in
+    util/URLUtil.getDomainName (URLUtil.java:153-172) over the full suffix
+    table — the part after the first dot is tested against the suffix set;
+    first hit wins; IPs and bare labels pass through."""
     if host is None:
         return None
-    labels = host.lower().split(".")
-    if len(labels) <= 2:
-        return host.lower()
-    last2 = ".".join(labels[-2:])
-    if last2 in _SUFFIXES_MULTI:
-        return ".".join(labels[-3:])
-    last3 = ".".join(labels[-3:])
-    if last3 in _SUFFIXES_MULTI:
-        return ".".join(labels[-4:]) if len(labels) >= 4 else host.lower()
-    if labels[-1] in _SUFFIXES_2 or len(labels[-1]) == 2:
-        return last2
-    return last2
+    host = host.lower()
+    if host.endswith("."):
+        host = host[:-1]
+    if _IP_RE.fullmatch(host):
+        return host
+    candidate = host
+    while True:
+        i = candidate.find(".")
+        sub = candidate[i + 1:]  # i == -1 -> the whole candidate
+        if sub in DOMAIN_SUFFIXES or i < 0:
+            return candidate
+        candidate = sub
+
+
+@lru_cache(maxsize=1 << 16)
+def domain_suffix(host: str | None) -> str | None:
+    """host -> its matched public suffix (URLUtil.getDomainSuffix:196-213
+    analogue: the first suffix-set hit while shrinking from the left); None
+    when the host has no recognized suffix (or is an IP)."""
+    if host is None:
+        return None
+    host = host.lower()
+    if host.endswith("."):
+        host = host[:-1]
+    if _IP_RE.fullmatch(host):
+        return None
+    candidate = host
+    while True:
+        i = candidate.find(".")
+        if i < 0:
+            return candidate if candidate in DOMAIN_SUFFIXES else None
+        candidate = candidate[i + 1:]
+        if candidate in DOMAIN_SUFFIXES:
+            return candidate
+
+
+def top_level_domain(host: str | None) -> str | None:
+    """host -> top-level domain = last label of its suffix
+    (URLUtil.getTopLevelDomainName:188-201)."""
+    sfx = domain_suffix(host)
+    if sfx is None:
+        return None
+    return sfx.rsplit(".", 1)[-1]
 
 
 def extract_domain_series(urls: pd.Series) -> pd.Series:
@@ -187,6 +216,16 @@ def host_udf(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def domain_udf(urls: pd.Series) -> pd.Series:
     return extract_domain_series(urls)
+
+
+@F.pandas_udf(StringType())
+def suffix_udf(urls: pd.Series) -> pd.Series:
+    return extract_host_series(urls).map(domain_suffix, na_action="ignore")
+
+
+@F.pandas_udf(StringType())
+def tld_udf(urls: pd.Series) -> pd.Series:
+    return extract_host_series(urls).map(top_level_domain, na_action="ignore")
 
 
 def host_col(url_col):

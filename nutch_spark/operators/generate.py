@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.urls import fetch_order_hash_udf
+from nutch_spark.functions.urls import domain_udf, fetch_order_hash_udf
 
 GENERATE_TIME_KEY = "_ngt_"  # crawl/Generator.java:64
 
@@ -78,6 +78,12 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
     politeness partitioning, hash-ordered within partition."""
     due = select_due(frontier, cfg, cur_time_ms)
 
+    # byDomain mode (URLPartitioner.java:36-93 PARTITION_MODE_DOMAIN):
+    # derive the registered domain once; byIP falls back to host (no
+    # resolver in this environment — declared, not silent)
+    needs_domain = "byDomain" in (cfg.partition_mode, cfg.gen_count_mode)
+    if needs_domain and "domain" not in due.columns:
+        due = due.withColumn("domain", domain_udf(F.col("url")))
     key = F.col(cfg.politeness_key) if cfg.politeness_key in due.columns else F.col("host")
     df = due.withColumn("partition_id", partition_expr(key, cfg))
 
@@ -96,10 +102,10 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
         .drop("salt", "salt_rank")
     )
 
-    # --- per-host cap with segment spill (G4/G5, Generator.java:277-313) ---
+    # --- per-host/domain cap with segment spill (G4/G5, Generator.java:277-313) ---
     if cfg.gen_max_count > 0:
-        count_key = "host" if cfg.gen_count_mode == "byHost" else "domain"
-        kcol = F.col(count_key) if count_key in df.columns else F.col("host")
+        # byDomain counts against the registered domain; byIP -> host fallback
+        kcol = F.col("domain") if cfg.gen_count_mode == "byDomain" else F.col("host")
         w_host = Window.partitionBy(kcol).orderBy(F.desc("score"), F.asc("url"))
         df = df.withColumn("host_rank", F.row_number().over(w_host))
         df = df.withColumn(
@@ -130,10 +136,13 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
     )
 
     # --- politeness placement + intra-partition spread (P1/P3/P4) ---
-    # physical placement hashes the host (balanced across all partitions);
-    # partition_id stays the LOGICAL reducer id for topN semantics + metrics
+    # physical placement hashes the politeness unit (balanced across all
+    # partitions; byDomain co-locates a domain's hosts — a superset of the
+    # per-host politeness invariant); partition_id stays the LOGICAL reducer
+    # id for topN semantics + metrics
+    place = F.col("domain") if (cfg.partition_mode == "byDomain" and "domain" in df.columns) else F.col("host")
     df = df.withColumn("sort_hash", fetch_order_hash_udf(F.col("url")))
-    df = df.repartition(cfg.num_partitions, F.col("host")).sortWithinPartitions(
+    df = df.repartition(cfg.num_partitions, place).sortWithinPartitions(
         "sort_hash", "url"
     )
     return df

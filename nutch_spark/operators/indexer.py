@@ -40,10 +40,15 @@ def build_index(
     fetched = fetch_out.filter(
         F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
     ).select("url", "fetch_ts")
+    pd_cols = parse_data
+    if "noindex" in parse_data.columns:
+        # robots-noindex pages never reach the index (X6; IndexerMapReduce
+        # honors the meta directive via the parse status)
+        pd_cols = parse_data.filter(~F.coalesce(F.col("noindex"), F.lit(False)))
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
-        .join(parse_data.select("url", "title"), "url", "inner")
+        .join(pd_cols.select("url", "title"), "url", "inner")
     )
     if linkdb is not None:
         anchors = linkdb.select(

@@ -20,16 +20,26 @@ from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.normalizers import ScopedNormalizers
 from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_split
 
 RESERVED_KEYS = ("nutch.score", "nutch.fetchInterval", "nutch.fetchInterval.fixed")
 
+_DEFAULT_NORMALIZERS = ScopedNormalizers()
 
-def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int, url_filter: RegexUrlFilter | None = None) -> DataFrame:
-    """Normalize/filter seeds and build injected frontier rows (map side)."""
+
+def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
+                  url_filter: RegexUrlFilter | None = None,
+                  normalizers: ScopedNormalizers | None = None) -> DataFrame:
+    """Normalize/filter seeds and build injected frontier rows (map side).
+    The scope='inject' chain (basic split path + native host/regex tail,
+    Injector.java:95 URLNormalizers(conf, SCOPE_INJECT)) runs before the
+    filter chain, matching the reference's normalize-then-filter order."""
     url_filter = url_filter or RegexUrlFilter()
+    ns = normalizers or _DEFAULT_NORMALIZERS
     s = (
         normalize_split(seeds.withColumnRenamed("url", "_raw_url"), "_raw_url", "url")
+        .withColumn("url", ns.post_basic_col(F.col("url"), "inject"))
         .drop("_raw_url")
         .filter(F.col("url").isNotNull())
         .filter(url_filter.col(F.col("url")))

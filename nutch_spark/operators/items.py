@@ -24,13 +24,40 @@ from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark.functions.urls import host_col
 
-# platform -> (host, item-id extraction kind, pattern)
+# platform -> (host, item-id extraction kind, pattern) — one rule per fork
+# ItemParser plugin, mirroring each accept pattern's URL shape on the
+# simulated hosts (citations per platform):
 PLATFORM_RULES: dict[str, dict] = {
+    # parse-url/.../TaobaoItemIndexProcessor.java:66-72 (query-param id)
     "taobao": {"host": "item.taobao-sim.com", "id_from": "query", "param": "id"},
+    # JingdongItemParser.java:28-33 (^http://www.360buy.com/product/(\d+).html)
     "jingdong": {"host": "www.jd-sim.com", "id_from": "path", "re": r"/product/(\d+)\.html"},
+    # AmazonItemParser.java:28-33 (/dp/ paths)
     "amazon": {"host": "www.amazon-sim.com", "id_from": "path", "re": r"/dp/(\d+)"},
+    # SuningItemParser.java:28-33 (emall/prd_*.html)
     "suning": {"host": "www.suning-sim.com", "id_from": "path", "re": r"/item/(\d+)\.html"},
+    # DangdangItemParser.java:28-33 (product.aspx?product_id=)
     "dangdang": {"host": "product.dangdang-sim.com", "id_from": "path", "re": r"/(\d+)\.html"},
+    # Coo8ItemParser.java:28-33 (^http://www.coo8.com/product/(\S)*\.html)
+    "coo8": {"host": "www.coo8-sim.com", "id_from": "path", "re": r"/product/(\d+)\.html"},
+    # EfeihuItemParser.java:29-34 (^http://www.efeihu.com/Product/(\S)*.html)
+    "efeihu": {"host": "www.efeihu-sim.com", "id_from": "path", "re": r"/Product/(\d+)\.html"},
+    # Five1BuyItemParser.java:29-34 (^http://item.51buy.com/item-(\S)*.html)
+    "five1buy": {"host": "item.51buy-sim.com", "id_from": "path", "re": r"/item-(\d+)\.html"},
+    # GomeItemParser.java:29-34 (^http://www.gome.com.cn/ec/homeus/jump/product/...)
+    "gome": {"host": "www.gome-sim.com.cn", "id_from": "path", "re": r"/jump/product/(\d+)\.html"},
+    # LusenItemParser.java:29-34 (^http://www.lusen.com/Product/ProductInfo.aspx?...)
+    "lusen": {"host": "www.lusen-sim.com", "id_from": "query", "param": "id"},
+    # New7ItemParser.java:29-34 (^http://www.new7.com/product/(\S)*.html)
+    "new7": {"host": "www.new7-sim.com", "id_from": "path", "re": r"/product/(\d+)\.html"},
+    # NewEggItemParser.java:28-33 (^http://www.newegg.com.cn/Product/(\S)*.htm)
+    "newegg": {"host": "www.newegg-sim.com.cn", "id_from": "path", "re": r"/Product/(\d+)\.htm"},
+    # No1ShopItemParser.java:29-34 (^http://www.yihaodian.com/product/(\S)*)
+    "no1shop": {"host": "www.yihaodian-sim.com", "id_from": "path", "re": r"/product/(\d+)"},
+    # OukuItemParser.java:29-34 (^http://www.ouku.com/goods(\S)*)
+    "ouku": {"host": "www.ouku-sim.com", "id_from": "path", "re": r"/goods(\d+)"},
+    # RedBabyItemParser.java:29-34 (^http://www.redbaby.com.cn/(\S)+/(\S)*.html)
+    "redbaby": {"host": "www.redbaby-sim.com.cn", "id_from": "path", "re": r"/(\d+)\.html"},
 }
 
 _PRICE_RE = r"price: (\d+\.\d+)"

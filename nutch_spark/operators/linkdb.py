@@ -36,14 +36,19 @@ def invert_links(parse_data: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
     if cfg.db_ignore_internal_links:  # LinkDb.java:108-113 (default true)
         edges = edges.filter(host_col(F.col("to_url")) != host_col(F.col("from_url")))
-    # dedupe (to,from) keeping first anchor deterministically, then cap per target
-    w_dup = Window.partitionBy("to_url", "from_url").orderBy("anchor")
+    return _dedupe_and_cap(edges, cfg)
+
+
+def _dedupe_and_cap(edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Dedupe (to,from) via a hash aggregate (map-side partial agg — min
+    anchor == 'first anchor ordered by anchor', no per-pair sort exchange),
+    then cap per target with one window."""
+    deduped = edges.groupBy("to_url", "from_url").agg(F.min("anchor").alias("anchor"))
     w_cap = Window.partitionBy("to_url").orderBy("from_url")
     return (
-        edges.withColumn("rk", F.row_number().over(w_dup)).filter(F.col("rk") == 1)
-        .withColumn("cap", F.row_number().over(w_cap))
+        deduped.withColumn("cap", F.row_number().over(w_cap))
         .filter(F.col("cap") <= cfg.db_max_inlinks)
-        .drop("rk", "cap")
+        .drop("cap")
     )
 
 
@@ -63,11 +68,4 @@ def merge_linkdbs(dbs: list[DataFrame], cfg: CrawlConfig) -> DataFrame:
     un = dbs[0]
     for d in dbs[1:]:
         un = un.unionByName(d)
-    w_dup = Window.partitionBy("to_url", "from_url").orderBy("anchor")
-    w_cap = Window.partitionBy("to_url").orderBy("from_url")
-    return (
-        un.withColumn("rk", F.row_number().over(w_dup)).filter(F.col("rk") == 1)
-        .withColumn("cap", F.row_number().over(w_cap))
-        .filter(F.col("cap") <= cfg.db_max_inlinks)
-        .drop("rk", "cap")
-    )
+    return _dedupe_and_cap(un, cfg)

@@ -31,9 +31,12 @@ from pyspark.sql import types as T
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.normalizers import ScopedNormalizers
 from nutch_spark.functions.urls import (
     RegexUrlFilter, host_col, normalize_split, normalize_url, normalize_url_udf,
 )
+
+_DEFAULT_NORMALIZERS = ScopedNormalizers()
 
 # one ordered scan = the document-order DOM walk of the mini-HTML
 _SEG_RE = re.compile(
@@ -45,6 +48,55 @@ _SEG_RE = re.compile(
 )
 
 _WS_RE = re.compile(r"\s+")
+
+# meta directives (X6/X7: parse-html/.../HTMLMetaProcessor.java:38-165);
+# scanned over the head only (the reference walk stops at <body>)
+_META_RE = re.compile(
+    r'<meta (?:name="(?P<name>[^"]*)"|http-equiv="(?P<equiv>[^"]*)") content="(?P<content>[^"]*)">'
+)
+
+
+def parse_meta_directives(content: str, base_url: str):
+    """-> (noindex, nofollow, refresh_to, general_tags) with the reference's
+    directive semantics: 'none' sets both, substring matches for
+    noindex/nofollow (HTMLMetaProcessor.java:82-112); refresh content is
+    'N[;url=U]' with an int time and relative-URL resolution
+    (HTMLMetaProcessor.java:120-165)."""
+    from urllib.parse import urljoin
+
+    noindex = nofollow = False
+    refresh_to = None
+    general: dict[str, str] = {}
+    head = (content or "").split("<body", 1)[0]
+    for m in _META_RE.finditer(head):
+        text = m.group("content")
+        if m.group("name") is not None:
+            name = m.group("name").lower()
+            general[name] = text
+            if name == "robots":
+                d = text.lower()
+                if "none" in d:
+                    noindex = nofollow = True
+                if "noindex" in d:
+                    noindex = True
+                if "nofollow" in d:
+                    nofollow = True
+        elif (m.group("equiv") or "").lower() == "refresh":
+            idx = text.find(";")
+            time_part = text if idx == -1 else text[:idx]
+            try:
+                int(time_part)
+            except ValueError:
+                continue  # unparseable time -> no refresh (reference skips)
+            if idx != -1:
+                low = text.lower()
+                u = low.find("url=")
+                pos = idx + 1 if u == -1 else u + 4
+                try:
+                    refresh_to = urljoin(base_url, text[pos:])
+                except ValueError:
+                    refresh_to = None
+    return noindex, nofollow, refresh_to, general
 
 SPAN_ROWS_SCHEMA = T.StructType(
     [
@@ -62,6 +114,10 @@ DOCS_NESTED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("title", T.StringType(), True),
+        T.StructField("noindex", T.BooleanType(), False),
+        T.StructField("nofollow", T.BooleanType(), False),
+        T.StructField("refresh_to", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField(
             "spans",
             T.ArrayType(
@@ -90,6 +146,10 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     ids: list[str] = []
     titles: list[str | None] = []
     span_lists: list[list[dict]] = []
+    noindexes: list[bool] = []
+    nofollows: list[bool] = []
+    refreshes: list[str | None] = []
+    metas: list[dict] = []
     for url, content in zip(pdf["url"], pdf["content"]):
         title = None
         spans: list[dict] = []
@@ -108,10 +168,19 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 spans.append({"kind": "link", "text": _WS_RE.sub(" ", mch.group("anchor")).strip(),
                               "media_ref": mch.group("href"), "offset": off})
             off += 1
+        noindex, nofollow, refresh_to, general = parse_meta_directives(content or "", url)
         ids.append(url)
         titles.append(title)
         span_lists.append(spans)
-    return pd.DataFrame({"doc_id": ids, "title": titles, "spans": span_lists})
+        noindexes.append(noindex)
+        nofollows.append(nofollow)
+        refreshes.append(refresh_to)
+        metas.append(general)
+    return pd.DataFrame({
+        "doc_id": ids, "title": titles, "noindex": noindexes,
+        "nofollow": nofollows, "refresh_to": refreshes, "meta": metas,
+        "spans": span_lists,
+    })
 
 
 def _docs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,14 +326,24 @@ def run_parse(
     # split-normalize: already-normal targets never cross into Python
     # (at steady state that is ~all of them); the filter chain is a native
     # rlike cascade — the whole hot path stays in whole-stage codegen
-    raw_links = span_rows.filter(F.col("kind") == "link").select(
-        F.col("doc_id").alias("url"),
-        F.col("offset"),
-        F.col("media_ref"),
-        F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
+    # robots-nofollow pages contribute NO outlinks (X6,
+    # HTMLMetaProcessor directives consumed by HtmlParser.getParse)
+    nofollow_docs = docs_nested.filter(F.col("nofollow")).select("doc_id")
+    raw_links = (
+        span_rows.filter(F.col("kind") == "link")
+        .join(F.broadcast(nofollow_docs), "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").alias("url"),
+            F.col("offset"),
+            F.col("media_ref"),
+            F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
+        )
     )
     links = (
         normalize_split(raw_links, "media_ref", "to_url")
+        # scope='outlink' regex/host chain (ParseOutputFormat.java:119
+        # URLNormalizers SCOPE_OUTLINK) — native regexp_replace tail
+        .withColumn("to_url", _DEFAULT_NORMALIZERS.post_basic_col(F.col("to_url"), "outlink"))
         .drop("media_ref")
         .filter(F.col("to_url").isNotNull())
         .filter(F.col("to_url") != F.col("url"))  # self-link drop
@@ -288,8 +367,8 @@ def run_parse(
     )
     links = links.cache()  # used by parse_data, OPIC distribution, linked rows
 
-    # parse_data: title + ordered outlinks per page
-    titles = docs_nested.select("doc_id", "title")
+    # parse_data: title + meta directives + ordered outlinks per page
+    titles = docs_nested.select("doc_id", "title", "noindex", "nofollow")
     parse_data = (
         links.groupBy("url")
         .agg(
@@ -352,8 +431,42 @@ def run_parse(
         .filter(F.col("url").isNotNull())
     )
 
-    parse_updates = linked.unionByName(sig_rows).unionByName(redirs)
+    # meta-refresh targets -> linked rows (X7: HTMLMetaProcessor refresh ->
+    # ParseStatus SUCCESS_REDIRECT -> ParseOutputFormat linked datum)
+    refreshes = (
+        docs_nested.filter(F.col("refresh_to").isNotNull())
+        .join(ok.select(F.col("url").alias("doc_id"), F.col("score")), "doc_id")
+        .select(
+            normalize_url_udf(F.col("refresh_to")).alias("url"),
+            F.lit(schemas.STATUS_LINKED).alias("kind"),
+            F.col("score").alias("score"),
+            F.lit(None).cast("string").alias("signature"),
+            F.lit(None).cast("string").alias("anchor"),
+            F.col("doc_id").alias("from_url"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+
+    # parse-meta passthrough rows (X10, ParseOutputFormat.java:154-166):
+    # configured keys from the page's general meta tags ride to the crawldb
+    keys = list(cfg.db_parsemeta_to_crawldb)
+    if keys:
+        parse_meta = (
+            docs_nested.select(
+                F.col("doc_id").alias("url"),
+                F.map_filter(
+                    F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>")),
+                    lambda k, _: k.isin(*keys),
+                ).alias("parse_meta"),
+            )
+            .filter(F.size(F.map_keys(F.col("parse_meta"))) > 0)
+        )
+    else:
+        parse_meta = None
+
+    parse_updates = linked.unionByName(sig_rows).unionByName(redirs).unionByName(refreshes)
     return {
+        "parse_meta": parse_meta,
         "docs_nested": docs_nested,  # cached — caller unpersists after the cycle
         "span_rows": span_rows,
         "links": links,              # cached — caller unpersists after the cycle

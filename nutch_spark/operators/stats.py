@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nutch_spark.functions.urls import domain_udf, host_col
+from nutch_spark.functions.urls import domain_udf, host_col, suffix_udf, tld_udf
 
 
 def crawldb_stats(frontier: DataFrame) -> DataFrame:
@@ -45,16 +45,18 @@ def crawldb_topn(frontier: DataFrame, n: int, min_score: float = 0.0) -> DataFra
 
 
 def domain_statistics(frontier: DataFrame, mode: str = "host") -> DataFrame:
-    """URL counts per host/domain/suffix/tld (DomainStatistics.java:47+)."""
+    """URL counts per host/domain/suffix/tld (DomainStatistics.java:47+).
+    suffix = the matched public suffix (e.g. co.uk); tld = its last label
+    (e.g. uk) — distinct modes over the full domain-suffixes table."""
     url = F.col("url")
     if mode == "host":
         key = host_col(url)
     elif mode == "domain":
         key = domain_udf(url)
     elif mode == "suffix":
-        key = F.element_at(F.split(host_col(url), r"\."), -1)
+        key = suffix_udf(url)
     elif mode == "tld":
-        key = F.element_at(F.split(host_col(url), r"\."), -1)
+        key = tld_udf(url)
     else:
         raise ValueError(mode)
     return frontier.select(key.alias(mode)).groupBy(mode).agg(F.count("*").alias("n"))

@@ -109,8 +109,17 @@ def update_frontier(
     parse_updates: DataFrame,
     cfg: CrawlConfig,
     cur_time_ms: int,
+    include_new_flag: bool = False,
+    parse_meta: DataFrame | None = None,
 ) -> DataFrame:
-    """Merge a cycle's fetch + parse results into the frontier."""
+    """Merge a cycle's fetch + parse results into the frontier.
+
+    include_new_flag=True appends a boolean `is_new` column (row had no
+    prior frontier entry) so callers can update the seen sketch
+    incrementally without re-deriving novelty via a join.
+
+    parse_meta (url, parse_meta map) carries configured parse metadata into
+    the frontier's metadata (X10; CrawlDbReducer STATUS_PARSE_META overlay)."""
     linked = aggregate_linked(parse_updates, cfg)
     sigs = aggregate_signatures(parse_updates)
 
@@ -138,6 +147,12 @@ def update_frontier(
         fetch.join(sigs, "url", "full_outer")
         .join(linked, "url", "full_outer")
     )
+    if parse_meta is not None:
+        updates = updates.join(parse_meta, "url", "full_outer")
+    else:
+        updates = updates.withColumn(
+            "parse_meta", F.lit(None).cast("map<string,string>")
+        )
 
     if frontier is not None:
         old = frontier.select(
@@ -269,6 +284,17 @@ def update_frontier(
             F.create_map(F.lit("_repr_"), F.col("repr_url")),
         ),
     ).otherwise(meta_base)
+    # parse-meta overlay (X10): configured keys overwrite previous values
+    metadata = F.when(
+        F.col("parse_meta").isNotNull(),
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(metadata, empty_meta),
+                lambda k, _: ~F.map_contains_key(F.col("parse_meta"), k),
+            ),
+            F.col("parse_meta"),
+        ),
+    ).otherwise(metadata)
 
     out = j.select(
         F.col("url"),
@@ -281,10 +307,12 @@ def update_frontier(
         signature.alias("signature"),
         modified_time.cast("long").alias("modified_time"),
         metadata.alias("metadata"),
+        (~has_old).alias("is_new"),
         (~has_old & ~has_fetch & has_link).alias("_new_linked"),
     )
     if not cfg.db_update_additions_allowed:
         out = out.filter(~F.col("_new_linked"))
     if cfg.db_update_purge_404:  # CrawlDb.java:49,78
         out = out.filter(F.col("status") != S.STATUS_DB_GONE)
-    return out.drop("_new_linked")
+    out = out.drop("_new_linked")
+    return out if include_new_flag else out.drop("is_new")

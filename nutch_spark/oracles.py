@@ -480,3 +480,68 @@ def sql_span_extraction(n_hosts: int, pages_per_host: int, mega_factor: int) -> 
 SELECT doc_id, CAST("offset" AS INTEGER) AS "offset", kind, text, media_ref
 FROM (VALUES {vals}) t(doc_id, "offset", kind, text, media_ref)
 """
+
+
+# --------------------------------------------------------------------------
+# regex URL normalization (RegexURLNormalizer rules as an RE2 chain)
+# --------------------------------------------------------------------------
+
+def regex_normalize_expr(col_expr: str) -> str:
+    """DuckDB regexp_replace fold over the ported default rules (the RE2
+    dialect column of DEFAULT_REGEX_RULES; verified pair-for-pair against
+    plugin/urlnormalizer-regex/sample/regex-normalize-default.test)."""
+    from nutch_spark.functions.normalizers import DEFAULT_REGEX_RULES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = col_expr
+    for _jp, _js, pp, ps in DEFAULT_REGEX_RULES:
+        expr = f"regexp_replace({expr}, '{esc(pp)}', '{esc(ps)}', 'g')"
+    return expr
+
+
+def sql_regex_normalize() -> str:
+    """Oracle for q_regex_normalize: the same deterministic messy-URL
+    derivation + the RE2-dialect rule chain."""
+    url = """CASE CAST(o_orderkey % 4 AS INTEGER)
+      WHEN 0 THEN base || 'foo.php?PHPSESSID=' || md5(CAST(o_orderkey AS VARCHAR))
+      WHEN 1 THEN base || 'a/index.html'
+      WHEN 2 THEN base || 'p.html#anchor?x=' || CAST(o_orderkey AS VARCHAR)
+      ELSE base || 'q.html?a=1&&b=' || CAST(o_orderkey AS VARCHAR)
+    END"""
+    return f"""
+WITH u AS (
+  SELECT {url} AS url FROM (
+    SELECT o_orderkey,
+           'http://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/' AS base
+    FROM orders
+  )
+)
+SELECT url, {regex_normalize_expr("url")} AS normalized FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# item extraction: corpus item ground truth -> VALUES
+# --------------------------------------------------------------------------
+
+def sql_items(n_hosts: int, pages_per_host: int, mega_factor: int) -> str:
+    """Ground-truth items planted by the corpus generator (independent of
+    the span parser + extractor under test)."""
+    from nutch_spark.corpus import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=n_hosts, pages_per_host=pages_per_host,
+                       mega_factor=mega_factor)
+    vals = ", ".join(
+        f"({_sql_str(e['doc_id'])}, {_sql_str(e['platform'])}, "
+        f"{_sql_str(e['item_id'])}, {_sql_str(e['name'])}, "
+        f"{_sql_str(' > '.join(e['category']))}, {e['price']!r}, "
+        f"{_sql_str(e['photo_ref'])})"
+        for e in web.expected_items_rows()
+    )
+    return f"""
+SELECT doc_id, platform, item_id, name, category_path,
+       ROUND(CAST(price AS DOUBLE), 2) AS price, photo_ref
+FROM (VALUES {vals}) t(doc_id, platform, item_id, name, category_path, price, photo_ref)
+"""

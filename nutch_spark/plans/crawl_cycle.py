@@ -21,7 +21,7 @@ from nutch_spark.operators.fetch import fetch_metrics, run_fetch
 from nutch_spark.operators.generate import generate
 from nutch_spark.operators.inject import inject
 from nutch_spark.operators.parse import run_parse
-from nutch_spark.operators.seen import build_seen_sketch
+from nutch_spark.operators.seen import build_seen_sketch, update_seen_sketch
 from nutch_spark.operators.updatedb import update_frontier
 from nutch_spark.storage import Catalog
 
@@ -79,6 +79,10 @@ class CrawlDriver:
         frontier = inject(None, seeds, self.cfg, self.t0_ms)
         n = frontier.count()
         self.frontier_t.commit(frontier, tag="inject")
+        # seed the seen sketch: the incremental per-cycle OR requires the
+        # invariant sketch ⊇ frontier (bloom negatives short-circuit the
+        # exact join, so the sketch must cover every frontier URL)
+        self.sketch_t.commit(build_seen_sketch(self.frontier(), self.cfg), tag="inject")
         return n
 
     def run_cycle(self, cycle: int) -> CycleResult:
@@ -121,15 +125,27 @@ class CrawlDriver:
 
         obs_front = Observation()
         new_frontier = (
-            update_frontier(frontier, fetch_out, parsed["parse_updates"], cfg, cur)
+            update_frontier(frontier, fetch_out, parsed["parse_updates"], cfg, cur,
+                            include_new_flag=True,
+                            parse_meta=parsed.get("parse_meta"))
             .observe(obs_front, F.count(F.lit(1)).alias("n"))
             .cache()
         )
 
-        # seen sketch rebuilt incrementally each cycle (bitmap OR is the
-        # production path; full rebuild is exact and cheap relative to fetch);
-        # this action also materializes the new frontier cache + its count
-        self.sketch_t.commit(build_seen_sketch(new_frontier, cfg), tag=f"cycle-{cycle}")
+        # seen sketch updated INCREMENTALLY: only this cycle's new URLs are
+        # OR'd into the previous cycle's bitmaps (O(new) per cycle, not
+        # O(frontier) — at 10^10 frontier URLs the full rebuild was a
+        # per-cycle scan of the whole crawl history). This action also
+        # materializes the new frontier cache + its count.
+        if self.sketch_t.exists():
+            new_sketch = update_seen_sketch(
+                self.sketch_t.read(self.spark),
+                new_frontier.filter(F.col("is_new")).select("url"),
+                cfg,
+            )
+        else:  # catalog predates the sketch: restore the ⊇-frontier invariant
+            new_sketch = build_seen_sketch(new_frontier, cfg)
+        self.sketch_t.commit(new_sketch, tag=f"cycle-{cycle}")
         new_n = int(obs_front.get["n"])
 
         # metrics + lineage (north_rule: per-partition rows)
@@ -147,7 +163,7 @@ class CrawlDriver:
         self.lineage_t.append(lineage, tag=f"cycle-{cycle}")
 
         # atomic install — THE commit that marks the cycle complete
-        self.frontier_t.commit(new_frontier, tag=f"cycle-{cycle}")
+        self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}")
 
         frontier.unpersist()
         fetchlist.unpersist()

@@ -1,0 +1,116 @@
+"""Meta directives (X6/X7) + parse-meta passthrough (X10):
+robots noindex/nofollow/none, http-equiv refresh, db.parsemeta.to.crawldb."""
+
+from pyspark.sql import functions as F
+
+from nutch_spark import schemas as S
+from nutch_spark.config import CrawlConfig
+from nutch_spark.corpus import SyntheticWeb
+from nutch_spark.operators.parse import parse_meta_directives, run_parse
+from nutch_spark.operators.updatedb import update_frontier
+
+
+def _meta_urls(n_hosts=8):
+    h = f"h{n_hosts - 1:03d}.example.com"
+    return {
+        "noindex": f"http://{h}/meta/noindex.html",
+        "nofollow": f"http://{h}/meta/nofollow.html",
+        "none": f"http://{h}/meta/none.html",
+        "refresh": f"http://{h}/meta/refresh.html",
+        "target": f"http://{h}/meta/target.html",
+        "tagged": f"http://{h}/meta/tagged.html",
+    }
+
+
+def _fetch_ok(spark, urls):
+    rows = [
+        {"url": u, "host": "x", "fetch_status": S.STATUS_FETCH_SUCCESS,
+         "fetch_ts": 0, "seq": i, "repr_url": None, "signature": "aa",
+         "content_length": 1, "truncated": False, "score": 1.0,
+         "fetch_interval": 86400, "retries": 0, "partition_id": 0,
+         "redirect_to": None, "redirect_temp": None}
+        for i, u in enumerate(urls)
+    ]
+    from tests.test_updatedb import FETCH_COLS
+    return spark.createDataFrame(rows, FETCH_COLS)
+
+
+def test_parse_meta_directives_scalar():
+    ni, nf, rt, gen = parse_meta_directives(
+        '<html><head><meta name="robots" content="noindex,nofollow">'
+        '<meta name="author" content="me"></head><body></body></html>',
+        "http://a.com/x",
+    )
+    assert ni and nf and rt is None and gen["author"] == "me"
+    # 'none' sets both (HTMLMetaProcessor.java:85-90)
+    ni, nf, _, _ = parse_meta_directives(
+        '<head><meta name="robots" content="none"></head>', "http://a.com/")
+    assert ni and nf
+    # refresh with relative url resolves against the page
+    _, _, rt, _ = parse_meta_directives(
+        '<head><meta http-equiv="refresh" content="5;url=/next.html"></head>',
+        "http://a.com/dir/page.html",
+    )
+    assert rt == "http://a.com/next.html"
+    # unparseable time -> no refresh
+    _, _, rt, _ = parse_meta_directives(
+        '<head><meta http-equiv="refresh" content="soon;url=/x"></head>',
+        "http://a.com/",
+    )
+    assert rt is None
+    # meta under body ignored (reference walk stops at <body>)
+    ni, _, _, _ = parse_meta_directives(
+        '<head></head><body><meta name="robots" content="noindex"></body>',
+        "http://a.com/",
+    )
+    assert not ni
+
+
+def test_run_parse_honors_directives(spark):
+    web = SyntheticWeb(n_hosts=8, pages_per_host=3, mega_factor=2)
+    tables = web.to_spark(spark)
+    mu = _meta_urls(8)
+    cfg = CrawlConfig(db_parsemeta_to_crawldb=("author",))
+    fetch_out = _fetch_ok(spark, list(mu.values()))
+    parsed = run_parse(fetch_out, tables["raw_content"], cfg)
+    try:
+        docs = {r.doc_id: r for r in parsed["docs_nested"].collect()}
+        assert docs[mu["noindex"]].noindex and not docs[mu["noindex"]].nofollow
+        assert docs[mu["nofollow"]].nofollow and not docs[mu["nofollow"]].noindex
+        assert docs[mu["none"]].noindex and docs[mu["none"]].nofollow
+        assert docs[mu["refresh"]].refresh_to == mu["target"]
+        assert docs[mu["tagged"]].meta["author"] == "sim-bot"
+
+        # nofollow page contributes no outlinks; noindex page still does
+        links = parsed["links"].collect()
+        from_urls = {r.url for r in links}
+        assert mu["nofollow"] not in from_urls
+        assert mu["noindex"] in from_urls
+
+        # refresh target becomes a linked row for the next cycle
+        linked = parsed["parse_updates"].filter(
+            (F.col("kind") == S.STATUS_LINKED) & (F.col("from_url") == mu["refresh"])
+        ).collect()
+        assert [r.url for r in linked] == [mu["target"]]
+
+        # parse_meta carries only configured keys
+        pm = {r.url: r.parse_meta for r in parsed["parse_meta"].collect()}
+        assert pm == {mu["tagged"]: {"author": "sim-bot"}}
+
+        # updatedb overlays parse_meta into frontier metadata
+        out = update_frontier(None, fetch_out, parsed["parse_updates"], cfg, 0,
+                              parse_meta=parsed["parse_meta"]).collect()
+        meta = {r.url: r.metadata for r in out}
+        assert meta[mu["tagged"]]["author"] == "sim-bot"
+
+        # noindex page excluded from the index, others present
+        from nutch_spark.operators.indexer import build_index
+        frontier = update_frontier(None, fetch_out, parsed["parse_updates"], cfg, 0)
+        idx = build_index(frontier, fetch_out, parsed["parse_text"],
+                          parsed["parse_data"], None, cfg)
+        idx_urls = {r.url for r in idx.collect()}
+        assert mu["noindex"] not in idx_urls and mu["none"] not in idx_urls
+        assert mu["nofollow"] in idx_urls and mu["tagged"] in idx_urls
+    finally:
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()

@@ -38,3 +38,43 @@ def test_sketch_deterministic(spark):
     s2 = {(r.bucket, bytes(r.bitmap)) for r in
           build_seen_sketch(mk(spark, urls).repartition(7), cfg).collect()}
     assert s1 == s2
+
+
+def test_incremental_update_equals_full_build(spark):
+    """OR-ing new URLs into a prior sketch == building from the union
+    (the per-cycle incremental path is exact)."""
+    from nutch_spark.operators.seen import update_seen_sketch
+
+    cfg = CrawlConfig(seen_buckets=4, seen_bits_per_bucket=1 << 16)
+    first = [f"http://h{i % 7}.com/p/{i}.html" for i in range(200)]
+    second = [f"http://n{i % 3}.com/q/{i}.html" for i in range(80)]
+    s1 = build_seen_sketch(mk(spark, first), cfg)
+    s2 = update_seen_sketch(s1, mk(spark, second), cfg)
+    full = build_seen_sketch(mk(spark, first + second), cfg)
+    got = {(r.bucket, bytes(r.bitmap)) for r in s2.collect()}
+    want = {(r.bucket, bytes(r.bitmap)) for r in full.collect()}
+    assert got == want
+
+
+def test_probe_flags_route_positives_to_exact_check(spark):
+    """new_urls must equal the exact sketchless anti-join even when the
+    bloom fires false positives (tiny bitmap forces FPs)."""
+    from nutch_spark.operators.seen import probe_seen_flags
+
+    cfg = CrawlConfig(seen_buckets=2, seen_bits_per_bucket=1 << 8,
+                      seen_num_hashes=2)  # 256-bit bitmaps -> many FPs
+    seen = [f"http://h{i}.com/a.html" for i in range(120)]
+    novel = [f"http://x{i}.com/b.html" for i in range(60)]
+    frontier = mk(spark, seen)
+    sketch = build_seen_sketch(frontier, cfg)
+    flagged = probe_seen_flags(mk(spark, seen + novel), sketch, cfg)
+    # invariant: every truly-seen URL must be flagged maybe_seen (no false negs)
+    assert flagged.filter(~F.col("maybe_seen")).join(
+        frontier, "url", "inner").count() == 0
+    # some novel URL should STILL be flagged maybe_seen here (the FP case)…
+    n_fp = flagged.filter(F.col("maybe_seen")).join(
+        frontier, "url", "left_anti").count()
+    assert n_fp > 0, "fixture did not produce bloom FPs; shrink the bitmap"
+    # …and new_urls must nevertheless return exactly the novel set
+    got = {r.url for r in new_urls(mk(spark, seen + novel), frontier, cfg, sketch).collect()}
+    assert got == set(novel)

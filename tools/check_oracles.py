@@ -3,11 +3,13 @@ and its oracle_sql() on DuckDB at the same sf dir; compare row count,
 column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+       python tools/check_oracles.py --json OUT.json [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 
 import duckdb
@@ -34,8 +36,14 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from nutch_spark.session import get_spark
@@ -60,11 +68,13 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(ex).__name__}: {ex}"))
             print(f"FAIL {name}: spark error {ex}")
+            results[name] = {"status": "spark_error", "err": str(ex)[:500]}
             continue
         if sql is None:
             print(f"ok(rows-only) {name}: {len(srows)} rows")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(sql)
@@ -73,6 +83,7 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL {name}: duckdb error {ex}")
+            results[name] = {"status": "duckdb_error", "err": str(ex)[:500]}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -84,12 +95,19 @@ def main() -> int:
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")
+            results[name] = {"status": "mismatch", "err": "; ".join(problems),
+                             "spark_rows": len(srows), "oracle_rows": len(drows)}
         else:
             print(f"ok {name}: {len(srows)} rows")
+            results[name] = {"status": "pass", "spark_rows": len(srows),
+                             "oracle_rows": len(drows)}
 
     print(f"\n{len(failures)} failures")
     for name, why in failures:
         print(f"  {name}: {why}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     spark.stop()
     return 1 if failures else 0
 
