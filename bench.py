@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "token_count",
     "minhash_neardup",
+    "simhash_neardup",
+    "ann_topk",
+    "regex_normalize",
     "cosine_topk",
     "events_hourly",
 ]

@@ -1036,6 +1036,87 @@ FROM refs
 """
 
 
+def _derived_graph(spark, sf_dir):
+    e = derived_edges(spark, sf_dir).select(
+        F.col("from_url").alias("src"), F.col("to_url").alias("dst")
+    ).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    nodes = (
+        out_deg.select(F.col("src").alias("url"), "out_deg")
+        .join(in_deg.select(F.col("dst").alias("url"), "in_deg"), "url", "full_outer")
+        .fillna(0, ["in_deg", "out_deg"])
+    )
+    return e, nodes
+
+
+def q_nodedump(spark, sf_dir):
+    """J7 NodeDumper (scoring/webgraph/NodeDumper.java:58-220): top-200 urls
+    by inlink count, desc, url tiebreak."""
+    from nutch_spark.operators.webgraph import node_dump
+
+    e, nodes = _derived_graph(spark, sf_dir)
+    return node_dump(nodes, by="inlinks", topn=200)
+
+
+SQL_NODEDUMP = f"""
+WITH {EDGES_CTE},
+e AS (SELECT DISTINCT from_url AS src, to_url AS dst FROM edges),
+outd AS (SELECT src AS url, COUNT(*) AS out_deg FROM e GROUP BY src),
+ind AS (SELECT dst AS url, COUNT(*) AS in_deg FROM e GROUP BY dst),
+nodes AS (
+  SELECT COALESCE(o.url, i.url) AS url, COALESCE(i.in_deg, 0) AS in_deg
+  FROM outd o FULL OUTER JOIN ind i ON o.url = i.url
+)
+SELECT url, CAST(in_deg AS DOUBLE) AS value
+FROM nodes ORDER BY value DESC, url ASC LIMIT 200
+"""
+
+
+def q_linkdump(spark, sf_dir):
+    """J7 LinkDumper (scoring/webgraph/LinkDumper.java:60-130): per-target
+    inlink-node view, projected to scalar columns for the gate (count +
+    first inlink in sorted order)."""
+    from nutch_spark.operators.webgraph import link_dump
+
+    e, nodes = _derived_graph(spark, sf_dir)
+    ld = link_dump(e, nodes)
+    return ld.select(
+        "url", "n_inlinks",
+        F.element_at("inlink_nodes", 1)["src"].alias("top_src"),
+    )
+
+
+SQL_LINKDUMP = f"""
+WITH {EDGES_CTE},
+e AS (SELECT DISTINCT from_url AS src, to_url AS dst FROM edges)
+SELECT dst AS url, COUNT(*) AS n_inlinks, MIN(src) AS top_src
+FROM e GROUP BY dst
+"""
+
+
+def q_http_dates(spark, sf_dir):
+    """C12 HttpDateFormat (net/protocols/HttpDateFormat.java:37): RFC-822
+    GMT format + lenient parse roundtrip over frontier fetch times."""
+    from nutch_spark.functions.dates import http_date_format_udf, http_date_parse_udf
+
+    f = derived_frontier(spark, sf_dir)
+    return (
+        f.select("url", http_date_format_udf(F.col("fetch_time")).alias("http_date"))
+        .withColumn("parsed_ms", http_date_parse_udf(F.col("http_date")))
+    )
+
+
+SQL_HTTP_DATES = f"""
+WITH {FRONTIER_CTE}
+SELECT url,
+       strftime(to_timestamp(fetch_time / 1000.0) AT TIME ZONE 'UTC',
+                '%a, %d %b %Y %H:%M:%S GMT') AS http_date,
+       fetch_time AS parsed_ms
+FROM frontier
+"""
+
+
 def q_regex_normalize(spark, sf_dir):
     """F3 RegexURLNormalizer (urlnormalizer-regex/.../RegexURLNormalizer.java:182-191):
     session-id stripping, default-page collapsing, anchor removal, query
@@ -1124,6 +1205,9 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "regex_normalize": (q_regex_normalize, _sql_regex_normalize),
     "items": (q_items, _sql_items),
+    "nodedump": (q_nodedump, SQL_NODEDUMP),
+    "linkdump": (q_linkdump, SQL_LINKDUMP),
+    "http_dates": (q_http_dates, SQL_HTTP_DATES),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

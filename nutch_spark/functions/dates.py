@@ -1,0 +1,48 @@
+"""HTTP date handling (C12; reference: net/protocols/HttpDateFormat.java:37
+'EEE, dd MMM yyyy HH:mm:ss zzz' in Locale.US, GMT).
+
+Formatting is a vectorized pandas strftime (session-timezone-independent);
+parsing is lenient multi-format (dateutil via pandas), mirroring the
+reference's tolerant header parsing. Scalar twins serve tests/driver code.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+_FMT = "%a, %d %b %Y %H:%M:%S GMT"
+
+
+def http_date_format(ts_ms: int | None) -> str | None:
+    if ts_ms is None:
+        return None
+    return datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc).strftime(_FMT)
+
+
+def http_date_parse(s: str | None) -> int | None:
+    """Lenient parse -> epoch ms (None on failure)."""
+    if not s:
+        return None
+    t = pd.to_datetime(s, utc=True, errors="coerce")
+    if pd.isna(t):
+        return None
+    return int(t.value // 1_000_000)
+
+
+@F.pandas_udf(StringType())
+def http_date_format_udf(ts_ms: pd.Series) -> pd.Series:
+    t = pd.to_datetime(ts_ms, unit="ms", utc=True)
+    return t.dt.strftime(_FMT)
+
+
+@F.pandas_udf(LongType())
+def http_date_parse_udf(dates: pd.Series) -> pd.Series:
+    t = pd.to_datetime(dates, utc=True, errors="coerce", format="mixed")
+    return pd.Series(
+        [None if pd.isna(x) else int(x.value // 1_000_000) for x in t],
+        index=dates.index, dtype="object",
+    )

@@ -86,6 +86,59 @@ def linkrank(edges: DataFrame, nodes: DataFrame, iterations: int = 10,
     return rank
 
 
+def node_dump(nodes: DataFrame, rank: DataFrame | None = None,
+              by: str = "scores", topn: int | None = None,
+              descending: bool = True) -> DataFrame:
+    """NodeDumper (scoring/webgraph/NodeDumper.java:58-220): top urls by
+    number of inlinks, number of outlinks, or link-analysis score, asc or
+    desc, optionally capped at topn. Pure Catalyst: project + global sort
+    (+ limit pushes a TakeOrdered at scale)."""
+    if by == "inlinks":
+        df = nodes.select("url", F.col("in_deg").cast("double").alias("value"))
+    elif by == "outlinks":
+        df = nodes.select("url", F.col("out_deg").cast("double").alias("value"))
+    elif by == "scores":
+        if rank is None:
+            raise ValueError("by='scores' needs the linkrank frame")
+        df = nodes.select("url").join(rank, "url", "left").select(
+            "url", F.coalesce(F.col("rank"), F.lit(0.0)).alias("value")
+        )
+    else:
+        raise ValueError(by)
+    order = [F.desc("value") if descending else F.asc("value"), F.asc("url")]
+    df = df.orderBy(*order)
+    return df.limit(topn) if topn is not None else df
+
+
+def link_dump(edges: DataFrame, nodes: DataFrame, rank: DataFrame | None = None) -> DataFrame:
+    """LinkDumper (scoring/webgraph/LinkDumper.java:60-130 analogue): per
+    target url, its inlink nodes with their score/degree state — the
+    "why does this url rank this way" debugging view, as a queryable table
+    instead of a MapFile."""
+    info = nodes
+    if rank is not None:
+        info = info.join(rank, "url", "left")
+    else:
+        info = info.withColumn("rank", F.lit(None).cast("double"))
+    src_info = info.select(
+        F.col("url").alias("src"), F.col("in_deg").alias("src_in_deg"),
+        F.col("out_deg").alias("src_out_deg"), F.col("rank").alias("src_rank"),
+    )
+    return (
+        edges.select("src", "dst")
+        .join(src_info, "src")
+        .groupBy(F.col("dst").alias("url"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("src", "src_rank", "src_in_deg", "src_out_deg")
+                )
+            ).alias("inlink_nodes"),
+            F.count("*").alias("n_inlinks"),
+        )
+    )
+
+
 def update_scores(frontier: DataFrame, rank: DataFrame) -> DataFrame:
     """ScoreUpdater: overwrite frontier score with graph score (J5)."""
     return (

@@ -133,3 +133,87 @@ def test_webgraph_and_linkrank(spark):
     f = mk_frontier(spark, [("http://c.com/", "c.com", 1, T0, 0.5)])
     upd = update_scores(f, rank).collect()[0]
     assert abs(upd.score - rk["http://c.com/"]) < 1e-5
+
+
+def test_node_dump_modes(spark):
+    """J7 NodeDumper: top urls by inlinks/outlinks/scores, asc/desc."""
+    from nutch_spark.operators.webgraph import node_dump
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    nodes = (out_deg.withColumnRenamed("src", "url")
+             .join(in_deg.withColumnRenamed("dst", "url"), "url", "full_outer")
+             .fillna(0, ["in_deg", "out_deg"]))
+    top_in = [(r.url, r.value) for r in node_dump(nodes, by="inlinks", topn=2).collect()]
+    assert top_in == [("c", 2.0), ("a", 1.0)]
+    top_out = [(r.url, r.value) for r in node_dump(nodes, by="outlinks", topn=1).collect()]
+    assert top_out == [("a", 2.0)]
+    rank = spark.createDataFrame([("a", 0.5), ("b", 0.9), ("c", 0.1)], "url string, rank double")
+    asc = [r.url for r in node_dump(nodes, rank, by="scores", descending=False).collect()]
+    assert asc == ["c", "a", "b"]
+
+
+def test_link_dump_inlink_view(spark):
+    from nutch_spark.operators.webgraph import link_dump
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    nodes = (out_deg.withColumnRenamed("src", "url")
+             .join(in_deg.withColumnRenamed("dst", "url"), "url", "full_outer")
+             .fillna(0, ["in_deg", "out_deg"]))
+    got = {r.url: r for r in link_dump(edges, nodes).collect()}
+    assert got["c"].n_inlinks == 2
+    assert [n.src for n in got["c"].inlink_nodes] == ["a", "b"]
+    assert got["c"].inlink_nodes[0].src_out_deg == 1
+
+
+def test_csv_dump_roundtrip(spark, tmp_path):
+    """S7 CrawlDb CSV dump (CrawlDbReader.java:95-146)."""
+    import pandas as pd
+
+    from nutch_spark.operators.stats import dump_csv
+
+    frontier = spark.createDataFrame(
+        [("http://a.com/", 1, 1000, 0, 86400, 1.5, "aa", 0),
+         ("http://b.com/", 2, 2000, 1, 86400, 2.5, "bb", 5)],
+        "url string, status int, fetch_time long, retries int, "
+        "fetch_interval int, score float, signature string, modified_time long")
+    path = str(tmp_path / "dump")
+    dump_csv(frontier, path)
+    import glob
+    parts = sorted(glob.glob(path + "/*.csv"))
+    back = pd.concat([pd.read_csv(p) for p in parts]).sort_values("url")
+    assert list(back["url"]) == ["http://a.com/", "http://b.com/"]
+    assert list(back["status"]) == [1, 2]
+
+
+def test_http_date_roundtrip():
+    """C12: RFC-822 GMT format + lenient parse."""
+    from nutch_spark.functions.dates import http_date_format, http_date_parse
+
+    ms = 1_700_000_000_000
+    s = http_date_format(ms)
+    assert s == "Tue, 14 Nov 2023 22:13:20 GMT"
+    assert http_date_parse(s) == ms
+    # lenient alternates (HttpDateFormat parse tolerance)
+    assert http_date_parse("14 Nov 2023 22:13:20 GMT") == ms
+    assert http_date_parse("2023-11-14T22:13:20Z") == ms
+    assert http_date_parse("not a date") is None
+    assert http_date_parse(None) is None
+
+
+def test_http_date_udfs(spark):
+    from nutch_spark.functions.dates import (
+        http_date_format, http_date_format_udf, http_date_parse_udf,
+    )
+
+    df = spark.createDataFrame([(1_700_000_000_000,), (0,)], "ts long")
+    out = (df.withColumn("s", http_date_format_udf(F.col("ts")))
+           .withColumn("back", http_date_parse_udf(F.col("s"))).collect())
+    for r in out:
+        assert r.s == http_date_format(r.ts)
+        assert r.back == r.ts

@@ -1,0 +1,57 @@
+"""Dedicated URL filters (F7): prefix / suffix / domain."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nutch_spark.functions.urlfilters import (
+    DomainUrlFilter, PrefixUrlFilter, SuffixUrlFilter,
+)
+
+
+def test_prefix_filter(spark):
+    f = PrefixUrlFilter(["http://a.com/", "https://b.com/shop/"])
+    assert f.accepts("http://a.com/x.html")
+    assert f.accepts("https://b.com/shop/1")
+    assert not f.accepts("https://b.com/blog/1")
+    assert not f.accepts(None)
+    urls = ["http://a.com/x", "http://c.com/", None]
+    assert list(f.accepts_series(pd.Series(urls))) == [True, False, False]
+    df = spark.createDataFrame([(u,) for u in urls if u], "url string")
+    got = [r.ok for r in df.select(f.col(F.col("url")).alias("ok")).collect()]
+    assert got == [True, False]
+
+
+def test_suffix_filter_default_reject_mode(spark):
+    # SuffixURLFilter example 1: '-' default + .html/.htm accepted only
+    f = SuffixUrlFilter.from_text("# comment\n-\n.html\n.htm\n")
+    assert f.accepts("http://a.com/x.html")
+    assert not f.accepts("http://a.com/x.HTML")  # case-sensitive by default
+    assert not f.accepts("http://a.com/pic.gif")
+    df = spark.createDataFrame([("http://a.com/x.html",), ("http://a.com/p.gif",)], "url string")
+    got = [r.ok for r in df.select(f.col(F.col("url")).alias("ok")).collect()]
+    assert got == [f.accepts("http://a.com/x.html"), f.accepts("http://a.com/p.gif")]
+
+
+def test_suffix_filter_default_accept_ignorecase(spark):
+    # example 2: '+I' allow all except listed graphic suffixes
+    f = SuffixUrlFilter.from_text("+I\n.gif\n.png\n.jpg\n")
+    assert f.accepts("http://a.com/page.html")
+    assert not f.accepts("http://a.com/pic.GIF")
+    # P flag: match the path only (ignores query suffix)
+    fp = SuffixUrlFilter.from_text("+IP\n.gif\n")
+    assert not fp.accepts("http://a.com/pic.gif?x=1.html")
+    assert fp.accepts("http://a.com/page.html?x=.gif")
+
+
+def test_domain_filter(spark):
+    f = DomainUrlFilter.from_text("# entries\ncom\napache.org\nwww.example.co.uk\n")
+    assert f.accepts("http://anything.com/x")          # suffix 'com'
+    assert f.accepts("http://lucene.apache.org/")       # registered domain
+    assert f.accepts("http://www.example.co.uk/p")      # exact host
+    assert not f.accepts("http://other.example.co.uk/") # host not listed, domain example.co.uk not listed
+    assert not f.accepts("http://foo.org/")             # org not listed
+    urls = ["http://a.com/", "http://foo.org/", "http://lucene.apache.org/"]
+    assert list(f.accepts_series(pd.Series(urls))) == [True, False, True]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.ok for r in df.select(f.udf()(F.col("url")).alias("ok")).collect()]
+    assert got == [True, False, True]
