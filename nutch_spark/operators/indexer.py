@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
+from nutch_spark.functions.dates import http_date_format_udf
 from nutch_spark.functions.urls import domain_udf, host_col
 
 
@@ -39,7 +40,7 @@ def build_index(
     ).select("url", "status", "score", "fetch_time", "signature")
     fetched = fetch_out.filter(
         F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
-    ).select("url", "fetch_ts")
+    ).select("url", "fetch_ts", "content_length")
     pd_cols = parse_data
     if "noindex" in parse_data.columns:
         # robots-noindex pages never reach the index (X6; IndexerMapReduce
@@ -71,6 +72,10 @@ def build_index(
         F.col("signature").alias("digest"),
         F.col("fetch_ts").alias("tstamp"),
         F.pow(F.col("score").cast("double"), F.lit(cfg.indexer_score_power)).alias("boost"),
+        # index-more fields (plugin/index-more MoreIndexingFilter: date,
+        # contentLength; content-type is constant text/html in this corpus)
+        F.col("content_length").alias("content_length"),
+        http_date_format_udf(F.col("fetch_ts")).alias("date"),
     )
 
 

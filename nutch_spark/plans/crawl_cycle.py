@@ -96,8 +96,14 @@ class CrawlDriver:
         t_start = time.time()
         cfg = self.cfg
         cur = self.t0_ms + cycle * CYCLE_VIRTUAL_MS
-        frontier = self.frontier().cache()
-        frontier_n = frontier.count()
+        # frontier size rides an Observation on the scan instead of a
+        # dedicated count() action (one less driver barrier per cycle)
+        obs_frontier = Observation()
+        frontier = (
+            self.frontier()
+            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
 
         obs_gen, obs_fetch = Observation(), Observation()
         fetchlist = (
@@ -110,10 +116,11 @@ class CrawlDriver:
             .observe(obs_fetch, F.count(F.lit(1)).alias("n"))
             .cache()
         )
-        # the append materializes fetchlist + fetch_out and yields both counts
+        # the append materializes fetchlist + fetch_out and yields all counts
         self.fetch_t.append(fetch_out, tag=f"cycle-{cycle}")
         n_gen = int(obs_gen.get["n"])
         n_fetch = int(obs_fetch.get["n"])
+        frontier_n = int(obs_frontier.get["n"])
 
         parsed = run_parse(fetch_out, self.raw_content, cfg)
         obs_docs = Observation()
