@@ -45,7 +45,8 @@ from nutch_spark.functions.urls import choose_repr_url
 FETCH_OUT_SCHEMA = T.StructType(
     list(schemas.FETCH_SCHEMA.fields)
     + [T.StructField("redirect_to", T.StringType(), True),
-       T.StructField("redirect_temp", T.BooleanType(), True)]
+       T.StructField("redirect_temp", T.BooleanType(), True),
+       T.StructField("kernel_wall_ms", T.LongType(), True)]
 )
 
 
@@ -82,6 +83,9 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        t_kernel = _time.monotonic()
         parts = [b for b in batches if len(b)]
         if not parts:
             return
@@ -257,6 +261,11 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 "partition_id": np.full(m, pid, dtype=np.int64),
                 "redirect_to": redirect_to,
                 "redirect_temp": redirect_temp,
+                # real per-partition kernel wall (north_rule: per-partition
+                # metrics; constant within the partition)
+                "kernel_wall_ms": np.full(
+                    m, int((_time.monotonic() - t_kernel) * 1000), dtype=np.int64
+                ),
             }
         )
         yield out
@@ -336,5 +345,5 @@ def fetch_metrics(fetch_out: DataFrame, cycle: int, start_ms: int) -> DataFrame:
         F.count("*").alias("rows_in"),
         F.count("*").alias("rows_out"),
         (F.max("fetch_ts") - F.lit(start_ms)).alias("virtual_ms"),
-        F.lit(0).cast("long").alias("wall_ms"),
+        F.coalesce(F.max("kernel_wall_ms"), F.lit(0)).cast("long").alias("wall_ms"),
     ).select("cycle", "partition_id", "hosts", "rows_in", "rows_out", "virtual_ms", "wall_ms")

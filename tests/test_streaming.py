@@ -20,7 +20,7 @@ def _write_batch(spark, path, rows):
 
     df = spark.createDataFrame(
         [
-            (u, h, st, ts, i, None, None, 100, False, 1.0, 3600, 0, 0, None, None)
+            (u, h, st, ts, i, None, None, 100, False, 1.0, 3600, 0, 0, None, None, 0)
             for i, (u, h, st, ts) in enumerate(rows)
         ],
         schema=FETCH_OUT_SCHEMA,
