@@ -195,6 +195,54 @@ def extract_documents(content_df: DataFrame) -> DataFrame:
     return content_df.select("url", "content").mapInPandas(_docs_kernel, DOCS_NESTED_SCHEMA)
 
 
+def _plain_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """parse-text analogue: the whole body is one text span, no outlinks,
+    no meta (plugin parse-text TextParser semantics)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield pd.DataFrame({
+            "doc_id": pdf["url"],
+            "title": [None] * len(pdf),
+            "noindex": [False] * len(pdf),
+            "nofollow": [False] * len(pdf),
+            "refresh_to": [None] * len(pdf),
+            "meta": [{} for _ in range(len(pdf))],
+            "spans": [
+                [{"kind": "text", "text": _WS_RE.sub(" ", c or "").strip(),
+                  "media_ref": None, "offset": 0}]
+                for c in pdf["content"]
+            ],
+        })
+
+
+# MIME dispatch registry (X2; parse/ParseSegment.java:110-141 plugin
+# dispatch by contentType): content_type prefix -> nested-docs extractor.
+# Unregistered types are skipped, like ParseSegment's ParserNotFound path.
+MIME_PARSERS = {
+    "text/html": _docs_kernel,
+    "application/xhtml": _docs_kernel,
+    "text/plain": _plain_kernel,
+}
+
+
+def extract_documents_by_mime(content_df: DataFrame) -> DataFrame:
+    """Dispatch (url, content, content_type) to the registered extractor per
+    MIME family; unregistered types produce no documents. Each family runs
+    as its own mapInPandas over a filtered slice (predicate pushes to the
+    scan; no per-row Python dispatch)."""
+    outs = []
+    for mime, kernel in MIME_PARSERS.items():
+        part = content_df.filter(
+            F.col("content_type").startswith(mime)
+        ).select("url", "content")
+        outs.append(part.mapInPandas(kernel, DOCS_NESTED_SCHEMA))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """One document-order pass per page -> flat span rows."""
     out: list[dict] = []
@@ -294,7 +342,10 @@ def run_parse(
         ok = ok.filter(~F.coalesce(F.col("truncated"), F.lit(False)))
 
     content = ok.select("url", "score", "signature").join(raw_content, "url", "inner")
-    docs_nested = extract_documents(content).cache()
+    if "content_type" in content.columns:
+        docs_nested = extract_documents_by_mime(content).cache()  # X2 dispatch
+    else:
+        docs_nested = extract_documents(content).cache()
     # the committed documents table keeps only pages with >=1 span (matching
     # the pre-nested-extractor semantics: span-free pages contribute nothing)
     documents = docs_nested.filter(F.size("spans") > 0).select("doc_id", "spans")

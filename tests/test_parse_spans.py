@@ -89,3 +89,25 @@ def test_parse_text_document_order(spark, corpus, corpus_tables):
     page = next(p for p in corpus.pages.values() if len([s for s in p.segments if s[0] == "text"]) >= 2)
     want = " ".join(" ".join(s[1].split()) for s in page.segments if s[0] == "text")
     assert pt[page.url] == want
+
+
+def test_mime_dispatch(spark):
+    """X2 (ParseSegment.java:110-141 dispatch): html -> span walk, plain ->
+    single text span, unregistered types skipped."""
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/h", "<html><head><title>t</title></head><body><p>hello  world</p></body></html>", "text/html"),
+            ("http://a.com/p", "plain   body text", "text/plain; charset=utf-8"),
+            ("http://a.com/b", "%PDF-1.4 ...", "application/pdf"),
+        ],
+        "url string, content string, content_type string",
+    )
+    got = {r.doc_id: r for r in extract_documents_by_mime(df).collect()}
+    assert set(got) == {"http://a.com/h", "http://a.com/p"}  # pdf skipped
+    assert got["http://a.com/h"].title == "t"
+    assert [s["text"] for s in got["http://a.com/h"].spans] == ["hello world"]
+    p = got["http://a.com/p"]
+    assert p.title is None and len(p.spans) == 1
+    assert p.spans[0]["kind"] == "text" and p.spans[0]["text"] == "plain body text"
