@@ -46,6 +46,12 @@ class CrawlConfig:
     http_redirect_max: int = 0               # http.redirect.max (1.6 default: 0 -> defer)
     fetcher_store_content: bool = True
     fetch_duration_ms: int = 100             # deterministic simulated fetch cost
+    # in-fetch parse + outlink following (R10, nutch-default.xml:793-836)
+    fetcher_parse: bool = False              # fetcher.parse
+    follow_outlinks_depth: int = -1          # fetcher.follow.outlinks.depth
+    follow_outlinks_num_links: int = 4       # fetcher.follow.outlinks.num.links
+    follow_outlinks_depth_divisor: int = 2   # fetcher.follow.outlinks.depth.divisor
+    follow_outlinks_ignore_external: bool = True  # fetcher.follow.outlinks.ignore.external
 
     # --- robots ---
     robots_agent: str = "nutch-spark"

@@ -1173,6 +1173,375 @@ def _sql_items():
     return sql_items(n_hosts=6, pages_per_host=3, mega_factor=3)
 
 
+# ---------------------------------------------------------------------------
+# round-2 surface: C8-C10 content kernels, S8 ARC, S9 DMOZ, R10 follow,
+# duplicate clustering
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIR = "/root/repo/.gate_fixtures"
+
+
+def q_mime_resolve(spark, sf_dir):
+    """C10 MIME resolution (util/MimeUtil.java:145-199) over six derived
+    cases: declared-clean, octet-stream->extension, magic override,
+    extension+plain magic, magic only, unresolvable->octet-stream."""
+    from nutch_spark.functions.content import resolve_mime_udf
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 6
+    i = F.col("o_orderkey").cast("string")
+    url = (
+        F.when(k == 0, F.concat(F.lit("http://m.example.com/a"), i, F.lit(".html")))
+        .when(k == 1, F.concat(F.lit("http://m.example.com/p"), i, F.lit(".png")))
+        .when(k == 2, F.concat(F.lit("http://m.example.com/x"), i, F.lit(".bin")))
+        .when(k == 3, F.concat(F.lit("http://m.example.com/t"), i, F.lit(".txt")))
+        .otherwise(F.concat(F.lit("http://m.example.com/n"), i))
+    )
+    declared = (
+        F.when(k == 0, F.lit("text/html; charset=utf-8"))
+        .when(k == 1, F.lit("application/octet-stream"))
+        .when(k == 2, F.lit("text/html"))
+        .when(k == 5, F.lit("application/octet-stream"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    content = (
+        F.when(k == 0, F.encode(F.lit("<html><p>x</p></html>"), "utf-8"))
+        .when(k == 1, F.unhex(F.lit("89504E470D0A1A0A00")))     # PNG magic
+        .when(k == 2, F.encode(F.lit("%PDF-1.4 body"), "utf-8"))
+        .when(k == 3, F.encode(F.lit("plain words only"), "utf-8"))
+        .when(k == 4, F.encode(F.lit("GIF89a-data"), "utf-8"))
+        .otherwise(F.unhex(F.lit("000102030405")))               # binary junk
+    )
+    df = o.select(url.alias("url"), declared.alias("declared"),
+                  content.alias("content"), k.cast("long").alias("kind_case"))
+    return df.select(
+        "url", "kind_case",
+        resolve_mime_udf(F.col("declared"), F.col("url"), F.col("content")).alias("mime"),
+    )
+
+
+SQL_MIME_RESOLVE = """
+SELECT 'http://m.example.com/' ||
+       CASE o_orderkey % 6
+         WHEN 0 THEN 'a' || CAST(o_orderkey AS VARCHAR) || '.html'
+         WHEN 1 THEN 'p' || CAST(o_orderkey AS VARCHAR) || '.png'
+         WHEN 2 THEN 'x' || CAST(o_orderkey AS VARCHAR) || '.bin'
+         WHEN 3 THEN 't' || CAST(o_orderkey AS VARCHAR) || '.txt'
+         ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS url,
+       CAST(o_orderkey % 6 AS BIGINT) AS kind_case,
+       CASE o_orderkey % 6
+         WHEN 0 THEN 'text/html'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'application/pdf'
+         WHEN 3 THEN 'text/plain'
+         WHEN 4 THEN 'image/gif'
+         ELSE 'application/octet-stream' END AS mime
+FROM orders
+"""
+
+
+def q_charset_sniff(spark, sf_dir):
+    """C8 charset detection (HtmlParser.java:95-121 meta sniff +
+    EncodingDetector clue order): BOM > meta (alias-resolved) > header >
+    UTF-8 validity > default."""
+    from nutch_spark.functions.content import charset_udf
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 5
+    content = (
+        F.when(k == 0, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(F.lit("<p>x</p>"), "utf-8")))
+        .when(k == 1, F.encode(
+            F.lit('<meta http-equiv="content-type" content="text/html; charset=gb2312"><p>x</p>'),
+            "utf-8"))
+        .when(k == 2, F.encode(F.lit("plain ascii body"), "utf-8"))
+        .when(k == 3, F.encode(F.lit("café utf-8 bytes"), "utf-8"))
+        .otherwise(F.unhex(F.lit("FDFF81FE")))
+    )
+    header = F.when(k == 2, F.lit("ISO-8859-1")).otherwise(F.lit(None).cast("string"))
+    df = o.select(F.col("o_orderkey").cast("long").alias("rec_id"),
+                  content.alias("content"), header.alias("header_charset"))
+    return df.select(
+        "rec_id", charset_udf(F.col("content"), F.col("header_charset")).alias("charset")
+    )
+
+
+SQL_CHARSET_SNIFF = """
+SELECT CAST(o_orderkey AS BIGINT) AS rec_id,
+       CASE o_orderkey % 5
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'gb18030'
+         WHEN 2 THEN 'windows-1252'
+         WHEN 3 THEN 'utf-8'
+         ELSE 'windows-1252' END AS charset
+FROM orders
+"""
+
+
+def _gzip_fixture_df(spark, n: int = 200):
+    """(rec_id, gz) rows: gzip of a text both engines can restate exactly.
+    Compression happens at plan-build time (driver); the DISTRIBUTED kernel
+    under test is the decompression UDF."""
+    import gzip as _gzip
+
+    rows = [
+        (i, bytearray(_gzip.compress(
+            f"doc {i} {'x' * (i % 50)}".encode(), mtime=0)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "rec_id long, gz binary")
+
+
+def q_gzip_decompress(spark, sf_dir):
+    """C9 gzip decompress (GZIPUtils.java:44-92): unzip_best_effort inverts
+    the fixture's compression; digest + length restated arithmetically by
+    the oracle (truncated/corrupt best-effort paths are pytest-covered)."""
+    from nutch_spark.functions.content import unzip_udf
+
+    df = _gzip_fixture_df(spark)
+    out = df.withColumn("plain", unzip_udf(F.col("gz")))
+    return out.select(
+        "rec_id",
+        F.md5(F.col("plain")).alias("digest"),
+        F.length(F.col("plain")).cast("long").alias("n_bytes"),
+    )
+
+
+SQL_GZIP_DECOMPRESS = """
+SELECT CAST(i AS BIGINT) AS rec_id,
+       md5('doc ' || CAST(i AS VARCHAR) || ' ' || repeat('x', CAST(i % 50 AS INTEGER))) AS digest,
+       CAST(length('doc ' || CAST(i AS VARCHAR) || ' ' || repeat('x', CAST(i % 50 AS INTEGER))) AS BIGINT) AS n_bytes
+FROM range(200) t(i)
+"""
+
+
+def _write_arc_gate_fixture() -> str:
+    """Deterministic 2-file ARC fixture under the repo-scratch dir
+    (idempotent rewrite per call)."""
+    import os
+
+    from nutch_spark.sources.arc import write_arc_file
+
+    d = os.path.join(_FIXTURE_DIR, "arc")
+    os.makedirs(d, exist_ok=True)
+    for f in range(2):
+        recs = [
+            {
+                "url": f"http://h{i % 7}.example.com/arc/{i}",
+                "ip": "10.0.0.1",
+                "archive_date": "20080101000000",
+                "content_type": "text/html",
+                "content": f"<html><p>arc doc {i}</p></html>".encode(),
+            }
+            for i in range(f * 100, f * 100 + 100)
+        ]
+        write_arc_file(os.path.join(d, f"part{f}.arc.gz"), recs)
+    return d
+
+
+def q_arc_import(spark, sf_dir):
+    """S8 ARC import (tools/arc/ArcRecordReader.java:42-270 +
+    ArcSegmentCreator.java:276-330): gzip-member splitting, header parse,
+    version-block skip, fetcher-scope normalize + filter."""
+    from nutch_spark.sources.arc import arc_to_segment, read_arc
+
+    d = _write_arc_gate_fixture()
+    seg = arc_to_segment(read_arc(spark, d + "/*.arc.gz"))
+    return seg.select(
+        "url", "content_type",
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
+SQL_ARC_IMPORT = """
+SELECT 'http://h' || CAST(i % 7 AS VARCHAR) || '.example.com/arc/' || CAST(i AS VARCHAR) AS url,
+       'text/html' AS content_type,
+       CAST(length('<html><p>arc doc ' || CAST(i AS VARCHAR) || '</p></html>') AS BIGINT) AS n_bytes
+FROM range(200) t(i)
+"""
+
+
+def _dmoz_gate_rdf(n: int = 600) -> str:
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n<RDF>']
+    topics = ["Top/Computers/Software", "Top/Adult/Stuff", "Top/Sports/Soccer"]
+    for i in range(n):
+        t = topics[i % 3]
+        parts.append(f'<Topic r:id="{t}"></Topic>')
+        parts.append(
+            f'<ExternalPage about="http://d{i}.example.com/">'
+            f"<d:Title>Site {i}</d:Title></ExternalPage>"
+        )
+    parts.append("</RDF>")
+    return "\n".join(parts)
+
+
+def q_dmoz_import(spark, sf_dir):
+    """S9 DMOZ import (tools/DmozParser.java:54-400): structure walk, adult
+    filter, md5-quarter-digest subset sampling (denominator 4)."""
+    import os
+
+    from nutch_spark.sources.dmoz import read_dmoz
+
+    d = os.path.join(_FIXTURE_DIR, "dmoz")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "content.rdf.u8"), "w") as f:
+        f.write(_dmoz_gate_rdf())
+    return read_dmoz(spark, os.path.join(d, "content.rdf.u8"), subset_denom=4)
+
+
+# The oracle replays the adult filter + the exact sampling arithmetic:
+# signed int32 of the first 4 md5 bytes (Hadoop MD5Hash.quarterDigest),
+# Java abs, % 4 == 0 (DmozParser.java:146-150).
+SQL_DMOZ_IMPORT = """
+WITH pages AS (
+  SELECT i,
+         'http://d' || CAST(i AS VARCHAR) || '.example.com/' AS url,
+         'Site ' || CAST(i AS VARCHAR) AS title,
+         CASE i % 3 WHEN 0 THEN 'Top/Computers/Software'
+                    WHEN 1 THEN 'Top/Adult/Stuff'
+                    ELSE 'Top/Sports/Soccer' END AS topic
+  FROM range(600) t(i)
+),
+hashed AS (
+  SELECT url, title, topic,
+         ('0x' || substr(md5(url), 1, 8))::BIGINT AS h_unsigned
+  FROM pages WHERE topic NOT LIKE 'Top/Adult%'
+),
+signed AS (
+  SELECT url, title, topic,
+         h_unsigned - CASE WHEN h_unsigned >= 2147483648 THEN 4294967296 ELSE 0 END AS h32
+  FROM hashed
+)
+SELECT url, title, topic FROM signed WHERE abs(h32) % 4 = 0
+"""
+
+
+def _follow_edges(spark, sf_dir):
+    """Bidirectional follow graph: order->part edges (offset=l_linenumber)
+    plus the reversed part->order edges, so depth-2 following has real
+    targets."""
+    e = derived_edges(spark, sf_dir)
+    fwd = e.select(
+        F.col("from_url").alias("url"), F.col("to_url"),
+        F.col("segment").cast("int").alias("offset"),
+    )
+    rev = e.select(
+        F.col("to_url").alias("url"), F.col("from_url").alias("to_url"),
+        F.col("segment").cast("int").alias("offset"),
+    )
+    return fwd.unionByName(rev).distinct()
+
+
+def q_outlink_follow(spark, sf_dir):
+    """R10 outlink following (Fetcher.java:1160-1192): per-page cap =
+    num.links in outlink order (the loop bound; the computed per-depth
+    budget is dead code in the reference), cross-depth dedupe, 2 depths."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.followup import select_followup_outlinks
+
+    cfg = CrawlConfig(follow_outlinks_depth=2, follow_outlinks_num_links=4,
+                      follow_outlinks_ignore_external=False)
+    edges = _follow_edges(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 199 == 0)
+    )
+    sk = (F.col("l_suppkey") % 50).cast("string")
+    seeds = li.select(
+        F.concat(F.lit("http://h"), sk, F.lit(".example.com/order/"),
+                 F.col("l_orderkey").cast("string")).alias("url")
+    ).distinct()
+    seen = seeds
+    frontier = seeds
+    outs = []
+    for depth in range(2):
+        links = edges.join(frontier, "url")
+        nxt = (
+            select_followup_outlinks(links, depth, cfg)
+            .join(seen, "url", "left_anti")
+            .select("url")
+            .distinct()
+        )
+        outs.append(nxt.withColumn("depth", F.lit(depth + 1).cast("long")))
+        seen = seen.unionByName(nxt).distinct()
+        frontier = nxt
+    return outs[0].unionByName(outs[1])
+
+
+SQL_OUTLINK_FOLLOW = f"""
+WITH {EDGES_CTE},
+fedges AS (
+  SELECT from_url AS url, to_url, CAST(segment AS INTEGER) AS off FROM edges
+  UNION
+  SELECT to_url AS url, from_url AS to_url, CAST(segment AS INTEGER) AS off FROM edges
+),
+seeds AS (
+  SELECT DISTINCT 'http://h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/order/'
+           || CAST(l_orderkey AS VARCHAR) AS url
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 199 = 0
+),
+d1_ranked AS (
+  SELECT f.url, f.to_url,
+         ROW_NUMBER() OVER (PARTITION BY f.url ORDER BY f.off, f.to_url) AS rk
+  FROM fedges f JOIN seeds s ON f.url = s.url
+),
+d1 AS (
+  SELECT DISTINCT to_url AS url FROM d1_ranked
+  WHERE rk <= 4 AND to_url NOT IN (SELECT url FROM seeds)
+),
+d2_ranked AS (
+  SELECT f.url, f.to_url,
+         ROW_NUMBER() OVER (PARTITION BY f.url ORDER BY f.off, f.to_url) AS rk
+  FROM fedges f JOIN d1 ON f.url = d1.url
+),
+d2 AS (
+  SELECT DISTINCT to_url AS url FROM d2_ranked
+  WHERE rk <= 4
+    AND to_url NOT IN (SELECT url FROM seeds)
+    AND to_url NOT IN (SELECT url FROM d1)
+)
+SELECT url, CAST(1 AS BIGINT) AS depth FROM d1
+UNION ALL
+SELECT url, CAST(2 AS BIGINT) AS depth FROM d2
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: near-dup PAIRS -> connected components
+    (hash-min propagation; groups keyed by min doc_id). Pairs are derived
+    chains over the documents ids: (d, d+1) when d%10 in {0,1,2} — pair
+    A~B, B~C must yield one group even though A~C never appears."""
+    from nutch_spark.operators.dedup import duplicate_clusters
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    pairs = (
+        d.filter(F.col("doc_id") % 10 < 3)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(d.select(F.col("doc_id").alias("b")), "b")  # keep in-table ends
+    )
+    return duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS a, CAST(d.doc_id + 1 AS BIGINT) AS b
+  FROM documents d
+  JOIN documents e ON e.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 < 3
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # SQL-oracled operators
     "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
@@ -1208,6 +1577,14 @@ QUERIES: dict[str, tuple] = {
     "nodedump": (q_nodedump, SQL_NODEDUMP),
     "linkdump": (q_linkdump, SQL_LINKDUMP),
     "http_dates": (q_http_dates, SQL_HTTP_DATES),
+    # round-2 surface
+    "mime_resolve": (q_mime_resolve, SQL_MIME_RESOLVE),
+    "charset_sniff": (q_charset_sniff, SQL_CHARSET_SNIFF),
+    "gzip_decompress": (q_gzip_decompress, SQL_GZIP_DECOMPRESS),
+    "arc_import": (q_arc_import, SQL_ARC_IMPORT),
+    "dmoz_import": (q_dmoz_import, SQL_DMOZ_IMPORT),
+    "outlink_follow": (q_outlink_follow, SQL_OUTLINK_FOLLOW),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

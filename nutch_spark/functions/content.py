@@ -1,0 +1,326 @@
+"""Raw-content kernels: charset sniffing, gzip/deflate decompress, MIME
+resolution (SURVEY C8-C10 — previously declared out of scope; implemented
+here so fetched bytes can be carried as opaque binary and decoded inside
+the parse stage, the same boundary the reference draws).
+
+Reference semantics (cited per function):
+- charset meta sniff: parse-html/.../HtmlParser.java:68-121
+  (sniffCharacterEncoding: first 2000 bytes, byte-inflated to chars, meta
+  http-equiv=content-type regex then charset= regex);
+- encoding clue resolution: util/EncodingDetector.java:60+ (clues in
+  priority order; ICU4J's statistical detector is replaced by a BOM check +
+  UTF-8 validation — the only non-library signal available here, divergence
+  documented);
+- gzip best-effort: util/GZIPUtils.java:44-92 (unzipBestEffort: decompress
+  until error or sizeLimit, return None only when nothing extractable);
+- deflate best-effort: util/DeflateUtils.java:40+;
+- MIME resolution: util/MimeUtil.java:145-199 (autoResolveContentType:
+  cleaned declared type -> url-extension fallback when missing/octet-stream
+  -> mime-magic override when it disagrees and is specific). Tika's
+  registry is replaced by an explicit magic table + extension map.
+
+All Spark entry points are Arrow-batched pandas UDFs over binary columns —
+one Python pass per batch, no per-row Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+# ---------------------------------------------------------------------------
+# C8: charset sniffing (HtmlParser.java:65-121, EncodingDetector.java)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 2000  # HtmlParser.java:66 (meta tags can sit past 1000 bytes)
+
+# HtmlParser.java:71-76 (NUTCH-1006: single quotes accepted)
+_META_CT_RE = re.compile(
+    r"<meta\s+([^>]*http-equiv=(\"|')?content-type(\"|')?[^>]*)>", re.I
+)
+_CHARSET_RE = re.compile(r"charset=\s*([a-z][_\-0-9a-z]*)", re.I)
+
+_BOMS: list[tuple[bytes, str]] = [
+    # longest first so UTF-32 wins over its UTF-16 prefix
+    (b"\x00\x00\xfe\xff", "utf-32be"),
+    (b"\xff\xfe\x00\x00", "utf-32le"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xfe\xff", "utf-16be"),
+    (b"\xff\xfe", "utf-16le"),
+]
+
+# EncodingDetector.ALIASES analogue (:86-101): common wrong names -> real ones
+CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "latin1": "windows-1252",
+    "gb2312": "gb18030",
+    "big-5": "big5",
+}
+
+
+def _clean_charset(name: str | None) -> str | None:
+    """Lowercase + alias resolution (EncodingDetector.resolveEncodingAlias)."""
+    if not name:
+        return None
+    name = name.strip().strip("\"'").lower()
+    if not name:
+        return None
+    return CHARSET_ALIASES.get(name, name)
+
+
+def sniff_charset_meta(data: bytes | None) -> str | None:
+    """Meta-tag charset from the first CHUNK_SIZE bytes
+    (HtmlParser.sniffCharacterEncoding:95-121). Bytes are inflated 1:1 to
+    chars (latin-1 decode) exactly like the reference's ASCII padding."""
+    if not data:
+        return None
+    head = data[:CHUNK_SIZE].decode("latin-1", errors="replace")
+    m = _META_CT_RE.search(head)
+    if not m:
+        return None
+    cm = _CHARSET_RE.search(m.group(1))
+    return cm.group(1) if cm else None
+
+
+def detect_bom(data: bytes | None) -> str | None:
+    if not data:
+        return None
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc
+    return None
+
+
+def _utf8_valid(data: bytes) -> bool:
+    try:
+        data.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def guess_encoding(data: bytes | None, header_charset: str | None = None,
+                   default: str = "windows-1252") -> str:
+    """Clue resolution (EncodingDetector.guessEncoding:150+): highest-
+    confidence signal wins. Here: BOM (certain) > meta sniff > declared
+    header > UTF-8 validity of the sampled bytes > default. The ICU4J
+    statistical detector slot is filled by the UTF-8 validity check."""
+    bom = detect_bom(data)
+    if bom:
+        return bom
+    sniffed = _clean_charset(sniff_charset_meta(data))
+    if sniffed:
+        return sniffed
+    header = _clean_charset(header_charset)
+    if header:
+        return header
+    if data and _utf8_valid(data[:CHUNK_SIZE]):
+        return "utf-8"
+    return default
+
+
+def decode_content(data: bytes | None, header_charset: str | None = None,
+                   default: str = "windows-1252") -> str | None:
+    """bytes -> text with the guessed encoding (replacement on errors —
+    the reference's String(byte[], charset) behavior)."""
+    if data is None:
+        return None
+    enc = guess_encoding(data, header_charset, default)
+    try:
+        return data.decode(enc, errors="replace")
+    except LookupError:  # unknown label sniffed from the wild
+        return data.decode(default, errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# C9: gzip / deflate best-effort decompress (GZIPUtils.java:44-92,
+# DeflateUtils.java:40-90)
+# ---------------------------------------------------------------------------
+
+def unzip_best_effort(data: bytes | None, size_limit: int | None = None) -> bytes | None:
+    """Gunzip; on truncated/corrupted input return as much as decompresses
+    (GZIPUtils.unzipBestEffort — the reference reads until the first error
+    and returns partial output; None only when nothing could be read)."""
+    if data is None:
+        return None
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)  # gzip wrapper
+    try:
+        if size_limit is not None:
+            out = d.decompress(data, size_limit)
+        else:
+            out = d.decompress(data)
+    except zlib.error:
+        # header parsed but stream corrupt mid-way: partial bytes were
+        # already produced by previous decompress calls; with one-shot
+        # decompress we get nothing -> retry incrementally
+        out = _unzip_incremental(data, size_limit)
+        if out is None:
+            return None
+    if not out and not d.eof:
+        # empty output and no complete stream: distinguish "empty payload"
+        # from "not gzip at all"
+        if not data.startswith(b"\x1f\x8b"):
+            return None
+    return out
+
+
+def _unzip_incremental(data: bytes, size_limit: int | None) -> bytes | None:
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    chunks: list[bytes] = []
+    written = 0
+    step = 1 << 14
+    for i in range(0, len(data), step):
+        try:
+            part = d.decompress(data[i:i + step])
+        except zlib.error:
+            break
+        if part:
+            if size_limit is not None and written + len(part) > size_limit:
+                chunks.append(part[: size_limit - written])
+                written = size_limit
+                break
+            chunks.append(part)
+            written += len(part)
+    if not chunks:
+        return None
+    return b"".join(chunks)
+
+
+def inflate_best_effort(data: bytes | None, size_limit: int | None = None) -> bytes | None:
+    """Raw-deflate analogue of unzip_best_effort (DeflateUtils.java:44+;
+    tries raw first, then zlib-wrapped, like the reference's fallback)."""
+    if data is None:
+        return None
+    for wbits in (-zlib.MAX_WBITS, zlib.MAX_WBITS):
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(data) if size_limit is None else d.decompress(data, size_limit)
+            if out or d.eof:
+                return out
+        except zlib.error:
+            continue
+    return None
+
+
+# ---------------------------------------------------------------------------
+# C10: MIME resolution (MimeUtil.java:145-199)
+# ---------------------------------------------------------------------------
+
+OCTET_STREAM = "application/octet-stream"
+PLAIN_TEXT = "text/plain"
+
+# magic table (Tika registry analogue; longest/most-specific prefix first)
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x1f\x8b", "application/gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"%PDF-", "application/pdf"),
+    (b"<?xml", "application/xml"),
+]
+_HTML_MAGIC_RE = re.compile(rb"^\s*(?:<!doctype\s+html|<html|<head|<body)", re.I)
+
+EXTENSION_TYPES = {
+    "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
+    "txt": "text/plain", "xml": "application/xml", "json": "application/json",
+    "pdf": "application/pdf", "gz": "application/gzip", "zip": "application/zip",
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "css": "text/css", "js": "application/javascript",
+    "mp4": "video/mp4", "mp3": "audio/mpeg", "wav": "audio/x-wav",
+}
+
+_EXT_RE = re.compile(r"\.([A-Za-z0-9]{1,6})(?:[?#].*)?$")
+
+
+def clean_mime_type(declared: str | None) -> str | None:
+    """MimeUtil.cleanMimeType:128-137: strip parameters after ';', trim,
+    lowercase; empty -> None."""
+    if declared is None:
+        return None
+    t = declared.split(";", 1)[0].strip().lower()
+    return t or None
+
+
+def magic_type(data: bytes | None) -> str | None:
+    """Content-sniffed type from the magic table (tika.detect(data) slot)."""
+    if not data:
+        return None
+    for magic, mt in _MAGIC:
+        if data.startswith(magic):
+            return mt
+    if _HTML_MAGIC_RE.match(data[:64]):
+        return "text/html"
+    # printable-ASCII heuristic = Tika's text detection fallback
+    sample = data[:512]
+    if sample and all(c in (9, 10, 13) or 32 <= c < 127 or c >= 128 for c in sample):
+        return PLAIN_TEXT
+    return OCTET_STREAM
+
+
+def url_extension_type(url: str | None) -> str | None:
+    """mimeTypes.getMimeType(url) slot: extension map over the URL path."""
+    if not url:
+        return None
+    path = url.split("?", 1)[0].split("#", 1)[0]
+    m = _EXT_RE.search(path)
+    if not m:
+        return None
+    return EXTENSION_TYPES.get(m.group(1).lower())
+
+
+def resolve_content_type(declared: str | None, url: str | None,
+                         data: bytes | None, mime_magic: bool = True) -> str:
+    """Port of MimeUtil.autoResolveContentType:145-199:
+    1. clean the declared type;
+    2. if missing or octet-stream, fall back to the url extension;
+    3. if magic is enabled and the sniffed type is specific (not
+       octet-stream/plain-text) and disagrees, the magic type wins."""
+    ret = clean_mime_type(declared)
+    if ret is None or ret == OCTET_STREAM:
+        ret = url_extension_type(url) or ret or OCTET_STREAM
+    if mime_magic:
+        magic = magic_type(data)
+        if magic is not None and magic not in (OCTET_STREAM, PLAIN_TEXT) and ret != magic:
+            ret = magic
+    return ret
+
+
+# ---------------------------------------------------------------------------
+# Spark surface — Arrow-batched pandas UDFs
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def charset_udf(content: pd.Series, header_charset: pd.Series) -> pd.Series:
+    return pd.Series(
+        [guess_encoding(c, h) for c, h in zip(content, header_charset)],
+        index=content.index,
+    )
+
+
+@F.pandas_udf(StringType())
+def decode_content_udf(content: pd.Series, header_charset: pd.Series) -> pd.Series:
+    return pd.Series(
+        [decode_content(c, h) for c, h in zip(content, header_charset)],
+        index=content.index,
+    )
+
+
+@F.pandas_udf(BinaryType())
+def unzip_udf(content: pd.Series) -> pd.Series:
+    return pd.Series([unzip_best_effort(c) for c in content], index=content.index)
+
+
+@F.pandas_udf(StringType())
+def resolve_mime_udf(declared: pd.Series, url: pd.Series, content: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve_content_type(d, u, c) for d, u, c in zip(declared, url, content)],
+        index=content.index,
+    )

@@ -285,3 +285,60 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3,
     return simhash_candidate_pairs(sigs, max_hamming).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
+                       a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Near-dup PAIRS -> duplicate GROUPS: (doc_id, component) where
+    component = min doc_id reachable through the pair graph. The keep-one-
+    per-group policy at 100 TB needs components, not pairs (A~B, B~C must
+    collapse to one group even when A~C was never a candidate pair).
+
+    Hash-min label propagation: each round every node adopts the minimum
+    label in its closed neighborhood; converges in O(diameter) rounds
+    (near-dup clusters are shallow — chains longer than a few hops are
+    rare), each round one self-contained shuffle pair (groupBy-min + join).
+    Convergence is detected with a changed-labels count riding the loop
+    (one action per round). localCheckpoint cuts the growing lineage so
+    round N's plan does not replay rounds 0..N-1.
+
+    Columns are doc_id (long) + component (long)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label over the closed neighborhood (own + neighbors')
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"),
+                (F.col("n_comp") < F.col("component")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.coalesce(F.col("_chg"), F.lit(False))).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
