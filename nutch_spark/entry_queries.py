@@ -1504,6 +1504,60 @@ SELECT url, CAST(2 AS BIGINT) AS depth FROM d2
 """
 
 
+def q_video_frames(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: one row per sampled timestamp
+    (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
+    kernel). duration = 1000 + (idx%256)*100 by the synth table's
+    construction — restated arithmetically by the oracle."""
+    from nutch_spark.operators.media import sample_video_frames, synth_media_table
+
+    refs = [f"http://cdn.example.com/vid/{i}.mp4" for i in range(80)]
+    frames = sample_video_frames(synth_media_table(spark, refs), every_ms=700)
+    return frames.select("media_ref", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+SQL_VIDEO_FRAMES = """
+SELECT 'http://cdn.example.com/vid/' || CAST(i AS VARCHAR) || '.mp4' AS media_ref,
+       CAST(ts AS BIGINT) AS frame_ts_ms
+FROM range(80) t(i),
+     LATERAL unnest(generate_series(0, 1000 + (i % 256) * 100, 700)) u(ts)
+"""
+
+
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing (stub resample: every 2nd payload byte,
+    dims halved). payload[j] = (idx+j)%256 by construction, so the resized
+    checksum = sum((idx+2j)%256, j<32) is plain arithmetic for the oracle."""
+    from nutch_spark.operators.media import resize_media, synth_media_table
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    refs = [f"http://img.example-cdn.com/{i}.jpg" for i in range(120)]
+    rs = resize_media(synth_media_table(spark, refs), scale=2)
+
+    byte_sum = F.pandas_udf(
+        lambda p: p.map(lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())),
+        LongType(),
+    )
+
+    return rs.select(
+        "media_ref",
+        F.col("width").cast("long").alias("out_width"),
+        F.col("height").cast("long").alias("out_height"),
+        byte_sum(F.col("payload")).alias("checksum"),
+    )
+
+
+SQL_MEDIA_RESIZE = """
+SELECT 'http://img.example-cdn.com/' || CAST(i AS VARCHAR) || '.jpg' AS media_ref,
+       CAST((64 + (i * 3) % 192) // 2 AS BIGINT) AS out_width,
+       CAST((64 + (i * 5) % 192) // 2 AS BIGINT) AS out_height,
+       (SELECT SUM((i + 2 * j.k) % 256) FROM range(32) j(k)) AS checksum
+FROM range(120) t(i)
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate clustering: near-dup PAIRS -> connected components
     (hash-min propagation; groups keyed by min doc_id). Pairs are derived
@@ -1585,6 +1639,8 @@ QUERIES: dict[str, tuple] = {
     "dmoz_import": (q_dmoz_import, SQL_DMOZ_IMPORT),
     "outlink_follow": (q_outlink_follow, SQL_OUTLINK_FOLLOW),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -125,6 +125,35 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, scale: int = 2) -> DataFrame:
+    """Resize plumbing (images): payload + dimensions cross the Arrow
+    boundary, the kernel emits the downsampled payload and scaled dims. The
+    resample body is the STUB (every `scale`-th byte — deterministic and
+    SQL-recomputable); production swaps in a real resampler, the Spark
+    contract (schema, batching, binary in/out) is unchanged."""
+
+    out_schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                payloads.append(bytes(payload[::scale]) if payload is not None else None)
+                ws.append(int(w) // scale if pd.notna(w) else None)
+                hs.append(int(h) // scale if pd.notna(h) else None)
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"], "width": ws, "height": hs,
+                "payload": payloads,
+            })
+
+    return media.filter(F.col("kind") == "image").mapInPandas(kernel, out_schema)
+
+
 def media_span_join(documents: DataFrame, media_features: DataFrame) -> DataFrame:
     """documents(doc_id, spans) ⋈ media features on media_ref — the
     interleaved-corpus join pattern (span explode is the only shuffle)."""

@@ -155,19 +155,26 @@ class CrawlDriver:
         self.sketch_t.commit(new_sketch, tag=f"cycle-{cycle}")
         new_n = int(obs_front.get["n"])
 
-        # metrics + lineage (north_rule: per-partition rows)
-        met = fetch_metrics(fetch_out, cycle, cur)
-        self.metrics_t.append(met, tag=f"cycle-{cycle}")
-        lineage = self.spark.createDataFrame(
+        # metrics + lineage (north_rule: per-partition rows). The metrics
+        # aggregate is one collect over the CACHED fetch output (~1 row per
+        # partition); both log tables then append via a driver-side pyarrow
+        # write — one Spark job instead of two write jobs + two serial
+        # output-committer passes per cycle.
+        met_rows = [r.asDict() for r in fetch_metrics(fetch_out, cycle, cur).collect()]
+        if met_rows:
+            self.metrics_t.append_rows(met_rows, tag=f"cycle-{cycle}")
+        self.lineage_t.append_rows(
             [
-                (cycle, "generate", frontier_n, n_gen),
-                (cycle, "fetch", n_gen, n_fetch),
-                (cycle, "parse", n_fetch, n_parsed),
-                (cycle, "updatedb", frontier_n + n_fetch, new_n),
+                {"cycle": cycle, "stage": s, "rows_in": ri, "rows_out": ro}
+                for s, ri, ro in (
+                    ("generate", frontier_n, n_gen),
+                    ("fetch", n_gen, n_fetch),
+                    ("parse", n_fetch, n_parsed),
+                    ("updatedb", frontier_n + n_fetch, new_n),
+                )
             ],
-            "cycle int, stage string, rows_in long, rows_out long",
+            tag=f"cycle-{cycle}",
         )
-        self.lineage_t.append(lineage, tag=f"cycle-{cycle}")
 
         # atomic install — THE commit that marks the cycle complete
         self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}")

@@ -119,6 +119,33 @@ class SnapshotTable:
         self._install_log(log)
         return Snapshot(**snap)
 
+    def append_rows(self, rows: list[dict], tag: str | None = None) -> Snapshot:
+        """Append tiny driver-side log rows (lineage, per-partition metrics)
+        without a Spark write job: one pyarrow file + pointer swap. A Spark
+        parquet write costs task launch + the output-committer rename dance
+        per cycle — pure serial driver time for a ~36-row table, i.e.
+        exactly the fraction the N->4N scaling criterion punishes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        log = self._load_log()
+        sid = (log[-1]["snapshot_id"] + 1) if log else 1
+        path = os.path.join(self.root, f"snap-{sid:06d}")
+        os.makedirs(path, exist_ok=True)
+        table = pa.Table.from_pylist(rows)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        snap = {
+            "snapshot_id": sid,
+            "tag": tag,
+            "path": path,
+            "committed_at_ms": int(time.time() * 1000),
+            "parent_id": log[-1]["snapshot_id"] if log else None,
+            "append": True,
+        }
+        log.append(snap)
+        self._install_log(log)
+        return Snapshot(**snap)
+
     def read(self, spark: SparkSession, tag: str | None = None, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is not None:
             snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)

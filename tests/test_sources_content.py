@@ -329,6 +329,17 @@ def test_fetch_with_outlink_following(spark, corpus_tables):
         p["links"].unpersist()
 
 
+def test_resize_media(spark):
+    from nutch_spark.operators.media import resize_media, synth_media_table
+
+    refs = ["http://img.example-cdn.com/7.jpg", "http://cdn.example.com/v/9.mp4"]
+    out = resize_media(synth_media_table(spark, refs), scale=2).collect()
+    assert len(out) == 1  # only images resize
+    r = out[0]
+    assert r["width"] == (64 + 7 * 3 % 192) // 2
+    assert bytes(r["payload"]) == bytes((7 + j) % 256 for j in range(0, 64, 2))
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering
 # ---------------------------------------------------------------------------
