@@ -1504,6 +1504,71 @@ SELECT url, CAST(2 AS BIGINT) AS depth FROM d2
 """
 
 
+def q_loops(spark, sf_dir):
+    """L3 Loops (scoring/webgraph/Loops.java:79-560) over a planted graph:
+    orders rows rank into triples that form 3-rings (plus acyclic skip
+    edges rn -> rn+7); depth=2 must find every ring membership and nothing
+    on the skip chain. Output scalar-sortable (loop_set joined)."""
+    from nutch_spark.operators.webgraph import find_loops
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    base = o.select((F.row_number().over(w) - 1).alias("rn")).cache()
+    url = lambda c: F.concat(F.lit("http://l.example.com/"), c.cast("string"))  # noqa: E731
+    ring_next = (F.col("rn") - F.col("rn") % 3) + (F.col("rn") + 1) % 3
+    n_total = base.count()
+    ring = base.filter(ring_next < n_total).select(
+        url(F.col("rn")).alias("src"), url(ring_next).alias("dst")
+    )
+    skip = base.filter(F.col("rn") + 7 < n_total).select(
+        url(F.col("rn")).alias("src"), url(F.col("rn") + 7).alias("dst")
+    )
+    res = find_loops(ring.unionByName(skip), depth=2)
+    return res.select(
+        "url", F.array_join("loop_set", ",").alias("loop_set"), "n_loops"
+    )
+
+
+SQL_LOOPS = """
+WITH base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+),
+n AS (SELECT COUNT(*) AS total FROM base),
+ring AS (
+  SELECT 'http://l.example.com/' || CAST(rn AS VARCHAR) AS src,
+         'http://l.example.com/' || CAST((rn - rn % 3) + (rn + 1) % 3 AS VARCHAR) AS dst
+  FROM base, n WHERE (rn - rn % 3) + (rn + 1) % 3 < total
+),
+skip AS (
+  SELECT 'http://l.example.com/' || CAST(rn AS VARCHAR) AS src,
+         'http://l.example.com/' || CAST(rn + 7 AS VARCHAR) AS dst
+  FROM base, n WHERE rn + 7 < total
+),
+e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM ring UNION ALL SELECT * FROM skip)),
+inlinked AS (SELECT DISTINCT dst AS src FROM e),
+r0 AS (
+  SELECT DISTINCT e.src AS lf, e.dst AS fh, e.dst AS pos
+  FROM e JOIN inlinked i ON e.src = i.src
+),
+f1 AS (
+  SELECT DISTINCT r.lf, r.fh FROM r0 r JOIN e ON e.src = r.pos WHERE e.dst = r.lf
+),
+r1 AS (
+  SELECT DISTINCT r.lf, r.fh, e.dst AS pos
+  FROM r0 r JOIN e ON e.src = r.pos
+  WHERE NOT EXISTS (SELECT 1 FROM f1 WHERE f1.lf = r.lf AND f1.fh = r.fh)
+),
+f2 AS (
+  SELECT DISTINCT r.lf, r.fh FROM r1 r JOIN e ON e.src = r.pos WHERE e.dst = r.lf
+),
+found AS (SELECT * FROM f1 UNION SELECT * FROM f2)
+SELECT lf AS url,
+       string_agg(fh, ',' ORDER BY fh) AS loop_set,
+       COUNT(DISTINCT fh) AS n_loops
+FROM found GROUP BY lf
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -1641,6 +1706,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "loops": (q_loops, SQL_LOOPS),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

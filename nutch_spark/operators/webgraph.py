@@ -146,3 +146,68 @@ def update_scores(frontier: DataFrame, rank: DataFrame) -> DataFrame:
         .withColumn("score", F.coalesce(F.col("graph_score"), F.col("score")).cast("float"))
         .drop("graph_score")
     )
+
+
+def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
+    """L3 Loops (scoring/webgraph/Loops.java:79-560): link-cycle detection.
+
+    Reference semantics, ported pass-for-pass:
+    - Initializer (:238-275): every node WITH inlinks seeds one route per
+      outlink: (looking_for=url, outlink_url=first hop, position=first hop);
+    - Looper x depth (:338-393, default link.loops.depth=2 -> finds cycles
+      up to 3 links, :515): a route at `position` is FOUND when position's
+      outlinks contain looking_for; otherwise it forks to every outlink
+      (routes at sinks fall off); found routes stop propagating;
+    - Finalizer (:434-459): LoopSet(url) = the SET of first-hop outlink
+      urls whose route returned — route.outlinkUrl is never rewritten after
+      the Initializer, so the set identifies which outgoing edges of `url`
+      sit on a cycle.
+
+    The reference marks the job prohibitively expensive at web scale
+    (Loops.java:73-77) because routes fork combinatorially; this port
+    dedupes routes on (looking_for, first_hop, position) — semantics-
+    preserving since the Finalizer output is a set — which bounds state by
+    |URLs|^2/... in the worst case but by edges x avg-degree^depth in
+    practice; depth stays small (2) exactly like the reference.
+
+    Returns (url, loop_set array<string>, n_loops)."""
+    e = edges.select("src", "dst").distinct()
+    inlinked = e.select(F.col("dst").alias("src")).distinct()
+    routes = (
+        e.join(inlinked, "src")  # numInlinks > 0 gate (:261-263)
+        .select(
+            F.col("src").alias("looking_for"),
+            F.col("dst").alias("first_hop"),
+            F.col("dst").alias("position"),
+        )
+        .distinct()
+    )
+    out = e.select(F.col("src").alias("position"), F.col("dst").alias("nxt"))
+    found_parts: list[DataFrame] = []
+    for i in range(max(depth, 1)):
+        hits = (
+            routes.join(out, "position")
+            .filter(F.col("nxt") == F.col("looking_for"))
+            .select("looking_for", "first_hop")
+            .distinct()
+        )
+        found_parts.append(hits)
+        if i < depth - 1:
+            routes = (
+                routes.join(hits, ["looking_for", "first_hop"], "left_anti")
+                .join(out, "position")
+                .select("looking_for", "first_hop", F.col("nxt").alias("position"))
+                .distinct()
+                .localCheckpoint(eager=True)  # cut the per-pass lineage
+            )
+    found = found_parts[0]
+    for f in found_parts[1:]:
+        found = found.unionByName(f)
+    return (
+        found.distinct()
+        .groupBy(F.col("looking_for").alias("url"))
+        .agg(
+            F.sort_array(F.collect_set("first_hop")).alias("loop_set"),
+            F.countDistinct("first_hop").alias("n_loops"),
+        )
+    )

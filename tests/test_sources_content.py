@@ -370,3 +370,45 @@ def test_duplicate_clusters_from_minhash(spark, corpus_tables):
     )
     sizes = sorted(g["n"] for g in groups)
     assert sizes == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# L3 Loops
+# ---------------------------------------------------------------------------
+
+def test_find_loops_rings_and_chains(spark):
+    """3-ring A->B->C->A found at depth 2; 2-cycle found at depth 1 (pass
+    one); pure chains never found; loop_set = first-hop edges on a cycle."""
+    from nutch_spark.operators.webgraph import find_loops
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"),          # 3-ring
+         ("X", "Y"), ("Y", "X"),                      # 2-cycle
+         ("P", "Q"), ("Q", "R"), ("R", "S")],         # chain
+        "src string, dst string",
+    )
+    got = {r["url"]: (list(r["loop_set"]), r["n_loops"])
+           for r in find_loops(edges, depth=2).collect()}
+    assert got["A"] == (["B"], 1)
+    assert got["B"] == (["C"], 1)
+    assert got["C"] == (["A"], 1)
+    assert got["X"] == (["Y"], 1)
+    assert got["Y"] == (["X"], 1)
+    assert "P" not in got and "Q" not in got and "R" not in got
+
+    # depth=1 finds only the 2-cycle (reference: depth passes bound cycle
+    # length at depth+1 links)
+    got1 = {r["url"] for r in find_loops(edges, depth=1).collect()}
+    assert got1 == {"X", "Y"}
+
+
+def test_find_loops_inlink_gate(spark):
+    """Routes only seed from nodes WITH inlinks (Loops.java:261-263): a
+    source-only node on a cycle-free path seeds nothing."""
+    from nutch_spark.operators.webgraph import find_loops
+
+    edges = spark.createDataFrame(
+        [("S", "A"), ("A", "B"), ("B", "A")], "src string, dst string"
+    )
+    got = {r["url"] for r in find_loops(edges, depth=2).collect()}
+    assert got == {"A", "B"}  # S has no inlinks -> no route; A,B cycle
