@@ -1569,6 +1569,54 @@ FROM found GROUP BY lf
 """
 
 
+def q_js_outlinks(spark, sf_dir):
+    """X12 parse-js (JSParseFilter.java:175-240): string-literal scan,
+    URI-pattern full-match gate, www.-prefix vs base-resolution, &amp;
+    unescape — one row per extracted link in scan order."""
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    base = F.concat(F.lit("http://js.example.com/app"), k, F.lit(".js"))
+    script = F.concat(
+        F.lit('var a = "/p/'), k, F.lit('.html"; var b = \'www.ex'),
+        (F.col("o_orderkey") % 9).cast("string"),
+        F.lit(".com/x.y'; var c = \"nope\"; var d = \"q.php?a=1&amp;b="),
+        k, F.lit('";'),
+    )
+    df = o.select(base.alias("url"), script.alias("content"),
+                  F.lit("application/javascript").alias("content_type"))
+    docs = extract_documents_by_mime(df)
+    links = docs.select(
+        F.col("doc_id").alias("url"), F.posexplode("spans").alias("i", "s")
+    ).filter(F.col("s.kind") == "link")
+    return links.select(
+        "url",
+        F.col("s.offset").cast("long").alias("rank"),
+        F.col("s.media_ref").alias("to_url"),
+    )
+
+
+SQL_JS_OUTLINKS = """
+WITH base AS (
+  SELECT 'http://js.example.com/app' || CAST(o_orderkey AS VARCHAR) || '.js' AS url,
+         o_orderkey AS k
+  FROM orders
+)
+SELECT url, CAST(1 AS BIGINT) AS rank,
+       'http://js.example.com/p/' || CAST(k AS VARCHAR) || '.html' AS to_url
+FROM base
+UNION ALL
+SELECT url, CAST(2 AS BIGINT) AS rank,
+       'http://www.ex' || CAST(k % 9 AS VARCHAR) || '.com/x.y' AS to_url
+FROM base
+UNION ALL
+SELECT url, CAST(3 AS BIGINT) AS rank,
+       'http://js.example.com/q.php?a=1&b=' || CAST(k AS VARCHAR) AS to_url
+FROM base
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -1707,6 +1755,7 @@ QUERIES: dict[str, tuple] = {
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "loops": (q_loops, SQL_LOOPS),
+    "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -216,6 +216,56 @@ def _plain_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+# --- parse-js (X12: plugin parse-js JSParseFilter.java:175-240) -----------
+# string literals scanned with STRING_PATTERN; each candidate must FULLY
+# match URI_PATTERN (Perl matcher.matches()); 'www.' hosts get http://,
+# everything else resolves against the base URL; '&amp;' unescaped last.
+_JS_STRING_RE = re.compile(r"(\\*(?:\"|'))([^\s\"']+?)\1", re.I | re.M)
+_JS_URI_RE = re.compile(r"(^|\s*?)/?\S+?[/.]\S+($|\s*)", re.I | re.M)
+
+
+def extract_js_links(script: str, base_url: str) -> list[str]:
+    """Ordered JS outlink extraction (JSParseFilter.getJSLinks:185-240)."""
+    from urllib.parse import urljoin
+
+    out: list[str] = []
+    for m in _JS_STRING_RE.finditer(script or ""):
+        cand = m.group(2)
+        if not _JS_URI_RE.fullmatch(cand):
+            continue
+        if cand.startswith("www."):
+            url = "http://" + cand
+        else:
+            try:
+                url = urljoin(base_url, cand)
+            except ValueError:
+                continue
+        out.append(url.replace("&amp;", "&"))
+    return out
+
+
+def _js_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """parse-js as a MIME parser: the script body is the parse text (the
+    reference sets ParseImpl(script, ...)), JS-literal links become link
+    spans in scan order."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for url, content in zip(pdf["url"], pdf["content"]):
+            spans = [{"kind": "text", "text": _WS_RE.sub(" ", content or "").strip(),
+                      "media_ref": None, "offset": 0}]
+            for i, link in enumerate(extract_js_links(content or "", url)):
+                spans.append({"kind": "link", "text": "", "media_ref": link,
+                              "offset": i + 1})
+            rows.append({
+                "doc_id": url, "title": None, "noindex": False,
+                "nofollow": False, "refresh_to": None, "meta": {},
+                "spans": spans,
+            })
+        yield pd.DataFrame(rows)
+
+
 # MIME dispatch registry (X2; parse/ParseSegment.java:110-141 plugin
 # dispatch by contentType): content_type prefix -> nested-docs extractor.
 # Unregistered types are skipped, like ParseSegment's ParserNotFound path.
@@ -223,6 +273,9 @@ MIME_PARSERS = {
     "text/html": _docs_kernel,
     "application/xhtml": _docs_kernel,
     "text/plain": _plain_kernel,
+    "application/javascript": _js_kernel,
+    "text/javascript": _js_kernel,
+    "application/x-javascript": _js_kernel,
 }
 
 

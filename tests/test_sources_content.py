@@ -412,3 +412,43 @@ def test_find_loops_inlink_gate(spark):
     )
     got = {r["url"] for r in find_loops(edges, depth=2).collect()}
     assert got == {"A", "B"}  # S has no inlinks -> no route; A,B cycle
+
+
+# ---------------------------------------------------------------------------
+# X12 parse-js
+# ---------------------------------------------------------------------------
+
+def test_extract_js_links():
+    from nutch_spark.operators.parse import extract_js_links
+
+    script = (
+        'var a = "/rel/page.html";\n'
+        "var b = 'www.other.com/x.y';\n"
+        'var c = "justaword";\n'           # fails URI full-match (no / or .)
+        'var d = "u.php?a=1&amp;b=2";\n'
+        'var e = "http://abs.example.com/z.html";'
+    )
+    got = extract_js_links(script, "http://js.example.com/dir/app.js")
+    assert got == [
+        "http://js.example.com/rel/page.html",
+        "http://www.other.com/x.y",
+        "http://js.example.com/dir/u.php?a=1&b=2",
+        "http://abs.example.com/z.html",
+    ]
+
+
+def test_js_mime_dispatch(spark):
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    df = spark.createDataFrame(
+        [("http://a.com/s.js", 'var x = "/f/1.html";', "application/javascript"),
+         ("http://a.com/p.html", "<p>hi</p>", "text/html"),
+         ("http://a.com/b.bin", "zz", "application/octet-stream")],  # skipped
+        "url string, content string, content_type string",
+    )
+    docs = {r["doc_id"]: r for r in extract_documents_by_mime(df).collect()}
+    assert set(docs) == {"http://a.com/s.js", "http://a.com/p.html"}
+    js_spans = docs["http://a.com/s.js"]["spans"]
+    assert js_spans[0]["kind"] == "text"
+    assert js_spans[1]["kind"] == "link"
+    assert js_spans[1]["media_ref"] == "http://a.com/f/1.html"
