@@ -179,15 +179,31 @@ class ScopedNormalizers:
         return self.regex_for(scope).col(self.host.col(url_col))
 
 
+def with_column_once(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """withColumn, but pins `expr` behind a Generate barrier so Catalyst
+    cannot inline it into downstream predicates. CollapseProject + filter
+    pushdown substitute a projected expression into every reference; for
+    the 6-regexp normalizer tail feeding a 4-rule rlike filter cascade that
+    re-evaluates the chain ~7x per row (measured 93s vs 2.8s at bench
+    scale). explode(array(e)) is row-preserving — a 1-element array is
+    never null/empty and null elements yield null rows — and filters on
+    the generated attribute stay above the Generate node, so the chain
+    runs exactly once per row."""
+    cols = [c for c in df.columns if c != name]
+    return df.select(*cols, F.explode(F.array(expr)).alias(name))
+
+
 def normalize_chain_split(df: DataFrame, in_col: str, out_col: str,
                           scope: str = "default",
                           normalizers: ScopedNormalizers | None = None) -> DataFrame:
     """Full scoped chain over a DataFrame column: basic normalization via
-    the split fast/slow path (urls.normalize_split), then the host+regex
-    tail as native regexp_replace — the whole hot path stays JVM-side for
-    already-normal URLs."""
-    from nutch_spark.functions.urls import normalize_split
+    the single-pass fast/slow path (urls.normalize_inline), then the
+    host+regex tail as native regexp_replace pinned behind a Generate
+    barrier — the whole hot path stays JVM-side for already-normal URLs
+    and the regexp chain runs exactly once per row. NULL in_col rows yield
+    NULL out_col (normalize_split used to drop them; callers filter)."""
+    from nutch_spark.functions.urls import normalize_inline
 
     ns = normalizers or ScopedNormalizers()
-    out = normalize_split(df, in_col, out_col)
-    return out.withColumn(out_col, ns.post_basic_col(F.col(out_col), scope))
+    out = normalize_inline(df, in_col, out_col)
+    return with_column_once(out, out_col, ns.post_basic_col(F.col(out_col), scope))

@@ -127,6 +127,21 @@ def normalize_split(df, in_col: str, out_col: str):
     return normal.unionByName(weird)
 
 
+def normalize_inline(df, in_col: str, out_col: str):
+    """Single-pass split-normalize. normalize_split's two-branch union
+    re-evaluates the whole upstream subtree once per branch (the source
+    appears twice in the physical plan); here the plan stays one linear
+    scan. The Python normalizer still only does real work on the weird
+    rows: its input is NULLed out for already-normal rows, so the Arrow
+    exchange ships ~only the weird rows' bytes and the pandas kernel
+    passes nulls through. NULL in_col rows yield NULL out_col (callers
+    filter nulls next — same end state as normalize_split's drop)."""
+    c = F.col(in_col)
+    fast = is_normal_form_col(c)
+    slow_out = normalize_url_udf(F.when(~fast, c))
+    return df.withColumn(out_col, F.when(fast, c).otherwise(slow_out))
+
+
 @F.pandas_udf(StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
     return normalize_url_series(urls)

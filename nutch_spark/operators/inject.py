@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.normalizers import ScopedNormalizers
-from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_split
+from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_inline
 
 RESERVED_KEYS = ("nutch.score", "nutch.fetchInterval", "nutch.fetchInterval.fixed")
 
@@ -38,9 +38,13 @@ def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
     url_filter = url_filter or RegexUrlFilter()
     ns = normalizers or _DEFAULT_NORMALIZERS
     s = (
-        normalize_split(seeds.withColumnRenamed("url", "_raw_url"), "_raw_url", "url")
-        .withColumn("url", ns.post_basic_col(F.col("url"), "inject"))
-        .drop("_raw_url")
+        with_column_once(
+            normalize_inline(
+                seeds.withColumnRenamed("url", "_raw_url"), "_raw_url", "url"
+            ).drop("_raw_url"),
+            "url",
+            ns.post_basic_col(F.col("url"), "inject"),
+        )
         .filter(F.col("url").isNotNull())
         .filter(url_filter.col(F.col("url")))
     )

@@ -31,9 +31,9 @@ from pyspark.sql import types as T
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.normalizers import ScopedNormalizers
+from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
 from nutch_spark.functions.urls import (
-    RegexUrlFilter, host_col, normalize_split, normalize_url, normalize_url_udf,
+    RegexUrlFilter, host_col, normalize_inline, normalize_url, normalize_url_udf,
 )
 
 _DEFAULT_NORMALIZERS = ScopedNormalizers()
@@ -443,12 +443,16 @@ def run_parse(
             F.substring(F.col("text"), 1, cfg.db_max_anchor_length).alias("anchor"),
         )
     )
+    # scope='outlink' regex/host chain (ParseOutputFormat.java:119
+    # URLNormalizers SCOPE_OUTLINK) — native regexp_replace tail, pinned
+    # behind a Generate barrier so the filter cascade below references the
+    # materialized column instead of re-evaluating the regexp chain per rule
     links = (
-        normalize_split(raw_links, "media_ref", "to_url")
-        # scope='outlink' regex/host chain (ParseOutputFormat.java:119
-        # URLNormalizers SCOPE_OUTLINK) — native regexp_replace tail
-        .withColumn("to_url", _DEFAULT_NORMALIZERS.post_basic_col(F.col("to_url"), "outlink"))
-        .drop("media_ref")
+        with_column_once(
+            normalize_inline(raw_links, "media_ref", "to_url").drop("media_ref"),
+            "to_url",
+            _DEFAULT_NORMALIZERS.post_basic_col(F.col("to_url"), "outlink"),
+        )
         .filter(F.col("to_url").isNotNull())
         .filter(F.col("to_url") != F.col("url"))  # self-link drop
         .filter(url_filter.col(F.col("to_url")))

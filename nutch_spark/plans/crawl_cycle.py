@@ -11,6 +11,7 @@ north_rule's "resumable mid-cycle with per-partition lineage + metrics".
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -94,6 +95,13 @@ class CrawlDriver:
         barriers are the serial fraction the scaling criterion punishes).
         """
         t_start = time.time()
+        _marks: list[tuple[str, float]] = []
+        _trace = os.environ.get("BENCH_STAGE_TIMES")
+
+        def _mark(label: str) -> None:
+            if _trace:
+                _marks.append((label, time.time()))
+
         cfg = self.cfg
         cur = self.t0_ms + cycle * CYCLE_VIRTUAL_MS
         # frontier size rides an Observation on the scan instead of a
@@ -117,7 +125,9 @@ class CrawlDriver:
             .cache()
         )
         # the append materializes fetchlist + fetch_out and yields all counts
+        _mark("plan:gen+fetch")
         self.fetch_t.append(fetch_out, tag=f"cycle-{cycle}")
+        _mark("A1:fetch_append")
         n_gen = int(obs_gen.get["n"])
         n_fetch = int(obs_fetch.get["n"])
         frontier_n = int(obs_frontier.get["n"])
@@ -129,6 +139,7 @@ class CrawlDriver:
             tag=f"cycle-{cycle}",
         )
         n_parsed = int(obs_docs.get["n"])
+        _mark("A2:documents_commit")
 
         obs_front = Observation()
         new_frontier = (
@@ -153,6 +164,7 @@ class CrawlDriver:
         else:  # catalog predates the sketch: restore the ⊇-frontier invariant
             new_sketch = build_seen_sketch(new_frontier, cfg)
         self.sketch_t.commit(new_sketch, tag=f"cycle-{cycle}")
+        _mark("A3:sketch_commit")
         new_n = int(obs_front.get["n"])
 
         # metrics + lineage (north_rule: per-partition rows). The metrics
@@ -161,6 +173,7 @@ class CrawlDriver:
         # write — one Spark job instead of two write jobs + two serial
         # output-committer passes per cycle.
         met_rows = [r.asDict() for r in fetch_metrics(fetch_out, cycle, cur).collect()]
+        _mark("A4:metrics_collect")
         if met_rows:
             self.metrics_t.append_rows(met_rows, tag=f"cycle-{cycle}")
         self.lineage_t.append_rows(
@@ -176,14 +189,23 @@ class CrawlDriver:
             tag=f"cycle-{cycle}",
         )
 
+        _mark("A5:log_appends")
         # atomic install — THE commit that marks the cycle complete
         self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}")
+        _mark("A6:frontier_commit")
 
         frontier.unpersist()
         fetchlist.unpersist()
         fetch_out.unpersist()
         parsed["docs_nested"].unpersist()
         parsed["links"].unpersist()
+        if _trace:
+            prev = t_start
+            spans = []
+            for label, ts in _marks:
+                spans.append(f"{label}={ts - prev:.2f}s")
+                prev = ts
+            print(f"[cycle {cycle} stages] " + " ".join(spans), flush=True)
         return CycleResult(
             cycle=cycle, generated=n_gen, fetched=n_fetch, parsed=n_parsed,
             frontier_size=new_n, new_urls=new_n - frontier_n,

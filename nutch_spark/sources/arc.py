@@ -126,14 +126,17 @@ def arc_to_segment(records: DataFrame, cfg=None) -> DataFrame:
     + URL-filter the record URL, resolve the content type (declared +
     magic), and emit content rows ready for the parse stage."""
     from nutch_spark.functions.content import resolve_mime_udf
-    from nutch_spark.functions.normalizers import ScopedNormalizers
-    from nutch_spark.functions.urls import RegexUrlFilter, normalize_split
+    from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+    from nutch_spark.functions.urls import RegexUrlFilter, normalize_inline
 
     ns = ScopedNormalizers()
     flt = RegexUrlFilter()
     out = (
-        normalize_split(records, "url", "norm_url")
-        .withColumn("norm_url", ns.post_basic_col(F.col("norm_url"), "fetcher"))
+        with_column_once(
+            normalize_inline(records, "url", "norm_url"),
+            "norm_url",
+            ns.post_basic_col(F.col("norm_url"), "fetcher"),
+        )
         .filter(F.col("norm_url").isNotNull())
         .filter(flt.col(F.col("norm_url")))
     )
