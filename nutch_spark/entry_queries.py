@@ -1617,6 +1617,58 @@ FROM base
 """
 
 
+def q_zip_parse(spark, sf_dir):
+    """X12 parse-zip (ZipParser.java:56-109, ZipTextExtractor.java:79-134):
+    member walk in entry order, extension-resolved member MIME dispatch,
+    '<name> <member text> ' text concatenation, member outlink collection;
+    directory, extension-less, and parser-less members are skipped."""
+    import io
+    import zipfile
+
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    rows = []
+    for i in range(120):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr("sub/", b"")  # directory entry: skipped
+            zf.writestr(
+                f"doc{i}.html",
+                f"<html><title>Z{i}</title><p>zip doc {i} alpha</p>"
+                f'<a href="http://z{i % 7}.example.com/a{i}.html">anchor {i}</a></html>',
+            )
+            zf.writestr("README", "no extension, skipped")
+            zf.writestr(f"notes{i}.txt", f"note  {i}\n beta gamma")
+            zf.writestr(f"data{i}.bin", b"\x00\x01binary")  # no parser: skipped
+        rows.append((f"http://zips.example.com/pack{i}.zip",
+                     bytearray(buf.getvalue()), "application/zip"))
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string")
+    docs = extract_documents_by_mime(df)
+    first_link = F.filter(
+        F.col("spans"), lambda s: s["kind"] == F.lit("link"))[0]
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        F.element_at(F.col("spans"), 1)["text"].alias("text"),
+        (F.size("spans") - 1).cast("long").alias("n_outlinks"),
+        first_link["media_ref"].alias("to_url"),
+        first_link["text"].alias("anchor"),
+    )
+
+
+SQL_ZIP_PARSE = """
+SELECT 'http://zips.example.com/pack' || CAST(i AS VARCHAR) || '.zip' AS url,
+       'doc' || CAST(i AS VARCHAR) || '.html zip doc ' || CAST(i AS VARCHAR)
+         || ' alpha notes' || CAST(i AS VARCHAR) || '.txt note '
+         || CAST(i AS VARCHAR) || ' beta gamma ' AS text,
+       CAST(1 AS BIGINT) AS n_outlinks,
+       'http://z' || CAST(i % 7 AS VARCHAR) || '.example.com/a'
+         || CAST(i AS VARCHAR) || '.html' AS to_url,
+       'anchor ' || CAST(i AS VARCHAR) AS anchor
+FROM range(120) t(i)
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -1756,6 +1808,7 @@ QUERIES: dict[str, tuple] = {
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "loops": (q_loops, SQL_LOOPS),
     "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
+    "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -266,6 +266,94 @@ def _js_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+# --- parse-zip (X12: plugin parse-zip ZipParser.java:56-109 +
+# ZipTextExtractor.java:79-134; stdlib zipfile, no external deps) ----------
+def extract_zip_parse(data: bytes, url: str):
+    """Walk zip members in entry order; each non-directory member whose
+    name contains a '.' (ZipTextExtractor.java:98 lastIndexOf check) is
+    MIME-resolved by filename extension and recursively parsed by the
+    registered member parser; text accumulates as '<name> <member text> '
+    (ZipTextExtractor.java:119 resultText concatenation) and member
+    outlinks are collected in entry order. Members with no registered
+    parser are skipped (the per-member ParseException path). Returns
+    (text, outlinks) or None for an unreadable archive
+    (ParseStatus.FAILED -> empty parse result). The reference's
+    content-length truncation gate (ZipParser.java:72-77) is honored
+    upstream by the F11 truncated filter in run_parse. Like the main
+    parse, <img> members count as media, not outlinks."""
+    import io
+    import zipfile
+
+    from nutch_spark.functions.content import url_extension_type
+
+    text_parts: list[str] = []
+    outlinks: list[tuple[str, str]] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                fname = info.filename
+                if "." not in fname:
+                    continue
+                mime = url_extension_type(fname) or ""
+                try:
+                    body = zf.read(info).decode("utf-8", errors="replace")
+                except Exception:
+                    continue
+                member_text = None
+                if mime in ("text/html", "application/xhtml+xml"):
+                    texts = []
+                    for m in _SEG_RE.finditer(body):
+                        if m.group("text") is not None:
+                            texts.append(_WS_RE.sub(" ", m.group("text")).strip())
+                        elif m.group("anchor") is not None:
+                            outlinks.append(
+                                (m.group("href"),
+                                 _WS_RE.sub(" ", m.group("anchor")).strip()))
+                    member_text = " ".join(texts)
+                elif mime == "text/plain":
+                    member_text = _WS_RE.sub(" ", body).strip()
+                elif mime in ("application/javascript", "text/javascript"):
+                    for link in extract_js_links(body, url + "/" + fname):
+                        outlinks.append((link, ""))
+                    member_text = _WS_RE.sub(" ", body).strip()
+                if member_text is None:
+                    continue
+                text_parts.append(fname + " " + member_text + " ")
+    except Exception:
+        return None
+    return "".join(text_parts), outlinks
+
+
+def _zip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """parse-zip as a MIME parser: member texts concatenated in entry order
+    are the parse text (one text span); member outlinks become link spans.
+    Accepts binary or latin-1 string content columns."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for url, content in zip(pdf["url"], pdf["content"]):
+            if content is None:
+                continue
+            data = (bytes(content) if isinstance(content, (bytes, bytearray))
+                    else content.encode("latin-1", "ignore"))
+            parsed = extract_zip_parse(data, url)
+            if parsed is None:
+                continue
+            text, links = parsed
+            spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+            for i, (to, anchor) in enumerate(links):
+                spans.append({"kind": "link", "text": anchor,
+                              "media_ref": to, "offset": i + 1})
+            rows.append({"doc_id": url, "title": "", "noindex": False,
+                         "nofollow": False, "refresh_to": None, "meta": {},
+                         "spans": spans})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
 # MIME dispatch registry (X2; parse/ParseSegment.java:110-141 plugin
 # dispatch by contentType): content_type prefix -> nested-docs extractor.
 # Unregistered types are skipped, like ParseSegment's ParserNotFound path.
@@ -276,6 +364,7 @@ MIME_PARSERS = {
     "application/javascript": _js_kernel,
     "text/javascript": _js_kernel,
     "application/x-javascript": _js_kernel,
+    "application/zip": _zip_kernel,
 }
 
 

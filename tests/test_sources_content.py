@@ -452,3 +452,47 @@ def test_js_mime_dispatch(spark):
     assert js_spans[0]["kind"] == "text"
     assert js_spans[1]["kind"] == "link"
     assert js_spans[1]["media_ref"] == "http://a.com/f/1.html"
+
+
+def test_extract_zip_parse():
+    """parse-zip member walk (ZipParser.java:56-109,
+    ZipTextExtractor.java:79-134): entry order, extension dispatch,
+    '<name> <text> ' concatenation, member outlinks; directory /
+    extension-less / parser-less members skipped; corrupt archive -> None."""
+    import io
+    import zipfile
+
+    from nutch_spark.operators.parse import extract_zip_parse
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("d/", b"")
+        zf.writestr("a.html", '<p>one  two</p><a href="http://x.com/1.html">go</a>')
+        zf.writestr("NOEXT", "skipped")
+        zf.writestr("b.txt", "three\n four ")
+        zf.writestr("c.js", 'var u = "/rel/p.html";')
+        zf.writestr("e.bin", b"\x00\x01")
+    text, links = extract_zip_parse(buf.getvalue(), "http://h.com/p.zip")
+    assert text == 'a.html one two b.txt three four c.js var u = "/rel/p.html"; '
+    # html link raw href; js link resolved against member url (our js parser)
+    assert links == [("http://x.com/1.html", "go"),
+                     ("http://h.com/rel/p.html", "")]
+    assert extract_zip_parse(b"PK\x03\x04 not a zip", "http://h.com/x.zip") is None
+
+
+def test_zip_mime_dispatch(spark):
+    import io
+    import zipfile
+
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("m.txt", "hello zip")
+    df = spark.createDataFrame(
+        [("http://a.com/p.zip", bytearray(buf.getvalue()), "application/zip")],
+        "url string, content binary, content_type string",
+    )
+    docs = extract_documents_by_mime(df).collect()
+    assert len(docs) == 1
+    assert docs[0]["spans"][0]["text"] == "m.txt hello zip "
