@@ -238,14 +238,22 @@ def main_scaling() -> dict:
     # is multi-tenant and its deliverable capacity drifts between runs
     caps_pre = cpu_capacity((n, n4))
     runs = {}
+    stage_times = {}
     for cores in (n, n4):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_PARTS="32")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_PARTS="32",
+                   BENCH_STAGE_TIMES="1")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             env=env, capture_output=True, text=True, timeout=7200,
         )
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
         runs[cores] = json.loads(line)
+        # per-stage wall times ("[cycle N stages] A1:x=1.2s ...") so each
+        # attempt shows WHICH stage failed to scale, not just the total
+        stage_times[cores] = [
+            ln.split("] ", 1)[1]
+            for ln in p.stdout.splitlines() if ln.startswith("[cycle")
+        ]
     caps_post = cpu_capacity((n, n4))
     caps = {k: round((caps_pre[k] + caps_post[k]) / 2, 3) for k in caps_pre}
     bw = mem_bandwidth_capacity((n, n4))
@@ -271,6 +279,7 @@ def main_scaling() -> dict:
         "bw_normalized_efficiency": round((thr_4n / thr_n) / bw_ratio, 3) if thr_n else 0.0,
         "target": 0.8,
         "pass": eff >= 0.8,
+        "stage_times": stage_times,
     }
 
 

@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.sql.parquet.output.committer.class",
                 "org.apache.parquet.hadoop.ParquetOutputCommitter")
     )
+    # ad-hoc overrides for experiments/cluster tuning:
+    # SPARK_GRAFT_CONF="spark.io.compression.codec=zstd;spark.foo=bar"
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
