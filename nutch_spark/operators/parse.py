@@ -464,6 +464,7 @@ def run_parse(
     raw_content: DataFrame,
     cfg: CrawlConfig,
     url_filter: RegexUrlFilter | None = None,
+    cache_links: bool = True,
 ) -> dict[str, DataFrame]:
     """Full parse stage over this cycle's successful fetches.
 
@@ -562,7 +563,11 @@ def run_parse(
         .filter(F.col("link_rank") <= cfg.db_max_outlinks_per_page)
         .withColumn("n_out", F.count("*").over(w_url))
     )
-    links = links.cache()  # used by parse_data, OPIC distribution, linked rows
+    # cache only when the caller will materialize links more than once
+    # (parse_data + linked rows). The crawl cycle materializes it exactly
+    # once (through parse_updates), where the cache write is pure overhead.
+    if cache_links:
+        links = links.cache()  # used by parse_data, OPIC distribution, linked rows
 
     # parse_data: title + meta directives + ordered outlinks per page
     titles = docs_nested.select("doc_id", "title", "noindex", "nofollow")

@@ -132,7 +132,10 @@ class CrawlDriver:
         n_fetch = int(obs_fetch.get["n"])
         frontier_n = int(obs_frontier.get["n"])
 
-        parsed = run_parse(fetch_out, self.raw_content, cfg)
+        # cache_links=False: the cycle materializes links exactly once
+        # (inside parse_updates -> update_frontier), so the cache write —
+        # a full columnar copy of the highest-cardinality frame — is waste
+        parsed = run_parse(fetch_out, self.raw_content, cfg, cache_links=False)
         obs_docs = Observation()
         self.documents_t.commit(
             parsed["documents"].observe(obs_docs, F.count(F.lit(1)).alias("n")),
