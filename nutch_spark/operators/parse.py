@@ -195,25 +195,22 @@ def extract_documents(content_df: DataFrame) -> DataFrame:
     return content_df.select("url", "content").mapInPandas(_docs_kernel, DOCS_NESTED_SCHEMA)
 
 
-def _plain_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _plain_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """parse-text analogue: the whole body is one text span, no outlinks,
     no meta (plugin parse-text TextParser semantics)."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        yield pd.DataFrame({
-            "doc_id": pdf["url"],
-            "title": [None] * len(pdf),
-            "noindex": [False] * len(pdf),
-            "nofollow": [False] * len(pdf),
-            "refresh_to": [None] * len(pdf),
-            "meta": [{} for _ in range(len(pdf))],
-            "spans": [
-                [{"kind": "text", "text": _WS_RE.sub(" ", c or "").strip(),
-                  "media_ref": None, "offset": 0}]
-                for c in pdf["content"]
-            ],
-        })
+    return pd.DataFrame({
+        "doc_id": pdf["url"],
+        "title": [None] * len(pdf),
+        "noindex": [False] * len(pdf),
+        "nofollow": [False] * len(pdf),
+        "refresh_to": [None] * len(pdf),
+        "meta": [{} for _ in range(len(pdf))],
+        "spans": [
+            [{"kind": "text", "text": _WS_RE.sub(" ", c or "").strip(),
+              "media_ref": None, "offset": 0}]
+            for c in pdf["content"]
+        ],
+    })
 
 
 # --- parse-js (X12: plugin parse-js JSParseFilter.java:175-240) -----------
@@ -244,26 +241,23 @@ def extract_js_links(script: str, base_url: str) -> list[str]:
     return out
 
 
-def _js_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _js_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """parse-js as a MIME parser: the script body is the parse text (the
     reference sets ParseImpl(script, ...)), JS-literal links become link
     spans in scan order."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        rows = []
-        for url, content in zip(pdf["url"], pdf["content"]):
-            spans = [{"kind": "text", "text": _WS_RE.sub(" ", content or "").strip(),
-                      "media_ref": None, "offset": 0}]
-            for i, link in enumerate(extract_js_links(content or "", url)):
-                spans.append({"kind": "link", "text": "", "media_ref": link,
-                              "offset": i + 1})
-            rows.append({
-                "doc_id": url, "title": None, "noindex": False,
-                "nofollow": False, "refresh_to": None, "meta": {},
-                "spans": spans,
-            })
-        yield pd.DataFrame(rows)
+    rows = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        spans = [{"kind": "text", "text": _WS_RE.sub(" ", content or "").strip(),
+                  "media_ref": None, "offset": 0}]
+        for i, link in enumerate(extract_js_links(content or "", url)):
+            spans.append({"kind": "link", "text": "", "media_ref": link,
+                          "offset": i + 1})
+        rows.append({
+            "doc_id": url, "title": None, "noindex": False,
+            "nofollow": False, "refresh_to": None, "meta": {},
+            "spans": spans,
+        })
+    return pd.DataFrame(rows)
 
 
 # --- parse-zip (X12: plugin parse-zip ZipParser.java:56-109 +
@@ -326,63 +320,82 @@ def extract_zip_parse(data: bytes, url: str):
     return "".join(text_parts), outlinks
 
 
-def _zip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _zip_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """parse-zip as a MIME parser: member texts concatenated in entry order
     are the parse text (one text span); member outlinks become link spans.
     Accepts binary or latin-1 string content columns."""
-    for pdf in batches:
-        if not len(pdf):
+    rows = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        if content is None:
             continue
-        rows = []
-        for url, content in zip(pdf["url"], pdf["content"]):
-            if content is None:
-                continue
-            data = (bytes(content) if isinstance(content, (bytes, bytearray))
-                    else content.encode("latin-1", "ignore"))
-            parsed = extract_zip_parse(data, url)
-            if parsed is None:
-                continue
-            text, links = parsed
-            spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
-            for i, (to, anchor) in enumerate(links):
-                spans.append({"kind": "link", "text": anchor,
-                              "media_ref": to, "offset": i + 1})
-            rows.append({"doc_id": url, "title": "", "noindex": False,
-                         "nofollow": False, "refresh_to": None, "meta": {},
-                         "spans": spans})
-        if rows:
-            yield pd.DataFrame(rows)
+        data = (bytes(content) if isinstance(content, (bytes, bytearray))
+                else content.encode("latin-1", "ignore"))
+        parsed = extract_zip_parse(data, url)
+        if parsed is None:
+            continue
+        text, links = parsed
+        spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+        for i, (to, anchor) in enumerate(links):
+            spans.append({"kind": "link", "text": anchor,
+                          "media_ref": to, "offset": i + 1})
+        rows.append({"doc_id": url, "title": "", "noindex": False,
+                     "nofollow": False, "refresh_to": None, "meta": {},
+                     "spans": spans})
+    return pd.DataFrame(rows)
 
 
 # MIME dispatch registry (X2; parse/ParseSegment.java:110-141 plugin
-# dispatch by contentType): content_type prefix -> nested-docs extractor.
+# dispatch by contentType): content_type prefix -> per-frame extractor.
 # Unregistered types are skipped, like ParseSegment's ParserNotFound path.
+# First matching prefix wins (iteration order).
 MIME_PARSERS = {
-    "text/html": _docs_kernel,
-    "application/xhtml": _docs_kernel,
-    "text/plain": _plain_kernel,
-    "application/javascript": _js_kernel,
-    "text/javascript": _js_kernel,
-    "application/x-javascript": _js_kernel,
-    "application/zip": _zip_kernel,
+    "text/html": extract_documents_pdf,
+    "application/xhtml": extract_documents_pdf,
+    "text/plain": _plain_pdf,
+    "application/javascript": _js_pdf,
+    "text/javascript": _js_pdf,
+    "application/x-javascript": _js_pdf,
+    "application/zip": _zip_pdf,
 }
+
+_DOCS_NESTED_COLS = ["doc_id", "title", "noindex", "nofollow",
+                     "refresh_to", "meta", "spans"]
+
+
+def _dispatch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Group each Arrow batch by registered MIME family and run the family
+    extractor vectorized over its group — one pass over the content stream
+    with no per-row Python dispatch (family count is tiny; rows per batch
+    are large)."""
+    def family(ct):
+        if ct:
+            for m in MIME_PARSERS:
+                if ct.startswith(m):
+                    return m
+        return ""
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        fams = pdf["content_type"].map(family)
+        for fam, grp in pdf.groupby(fams, sort=False):
+            if not fam:
+                continue  # unregistered type: ParserNotFound, no documents
+            res = MIME_PARSERS[fam](grp.reset_index(drop=True))
+            if len(res):
+                yield res[_DOCS_NESTED_COLS]
 
 
 def extract_documents_by_mime(content_df: DataFrame) -> DataFrame:
     """Dispatch (url, content, content_type) to the registered extractor per
-    MIME family; unregistered types produce no documents. Each family runs
-    as its own mapInPandas over a filtered slice (predicate pushes to the
-    scan; no per-row Python dispatch)."""
-    outs = []
-    for mime, kernel in MIME_PARSERS.items():
-        part = content_df.filter(
-            F.col("content_type").startswith(mime)
-        ).select("url", "content")
-        outs.append(part.mapInPandas(kernel, DOCS_NESTED_SCHEMA))
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    MIME family; unregistered types produce no documents. A single
+    mapInPandas pass with group-wise family dispatch inside the kernel:
+    the upstream scan/join executes ONCE (the old one-slice-per-family
+    design re-executed the whole content subtree once per registered
+    family — 7 joins per cycle), while each family's extractor still runs
+    vectorized over its group."""
+    return content_df.select("url", "content", "content_type").mapInPandas(
+        _dispatch_kernel, DOCS_NESTED_SCHEMA)
 
 
 def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -484,7 +497,9 @@ def run_parse(
     if cfg.parse_skip_truncated:  # ParseSegment.java:149-178
         ok = ok.filter(~F.coalesce(F.col("truncated"), F.lit(False)))
 
-    content = ok.select("url", "score", "signature").join(raw_content, "url", "inner")
+    # only url survives into the join: score/signature ride on `ok` for the
+    # sig/linked paths, and carrying them here would widen the join shuffle
+    content = ok.select("url").join(raw_content, "url", "inner")
     if "content_type" in content.columns:
         docs_nested = extract_documents_by_mime(content).cache()  # X2 dispatch
     else:
