@@ -37,13 +37,16 @@ def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
     Salted two-phase hash aggregate instead of a row_number window: phase 1
     caps each (url, salt) group at K (top-K of top-Ks is exact), phase 2
-    flattens (<= salt_buckets x K structs per url — the bounded-priority-
+    flattens (<= salt_buckets x K scores per url — the bounded-priority-
     queue memory guarantee of CrawlDbReducer.java:300-313, without a sort
     shuffle; partial aggregation runs map-side). The final sum iterates the
     ascending-sorted top-K slice so float addition order is pinned —
-    cross-run/core-count bit-equality (SURVEY §7f). Boundary ties at rank K
-    break by from_url (asc array keeps the largest); the reference's
-    priority queue leaves tie order unspecified.
+    cross-run/core-count bit-equality (SURVEY §7f). The collected arrays
+    hold ONLY the float score: the output (sum of the top-K scores +
+    count) is invariant to which of several rank-K score-ties survives, so
+    carrying from_url for a tie-break (as the first implementation did)
+    only widened the shuffle ~4x with string payloads; the reference's
+    priority queue leaves tie order unspecified too.
     """
     linked = parse_updates.filter(F.col("kind") == schemas.STATUS_LINKED)
     k = cfg.db_update_max_inlinks
@@ -57,7 +60,7 @@ def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
         "_salt", F.pmod(F.xxhash64("from_url"), F.lit(8))
     )
     phase1 = salted.groupBy("url", "_salt").agg(
-        F.array_sort(F.collect_list(F.struct("score", "from_url"))).alias("arr")
+        F.array_sort(F.collect_list("score")).alias("arr")
     ).select("url", topk_slice(F.col("arr")).alias("arr"))
     phase2 = phase1.groupBy("url").agg(
         F.array_sort(F.flatten(F.collect_list("arr"))).alias("arr")
@@ -66,7 +69,7 @@ def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return phase2.select(
         "url",
         F.aggregate(
-            topk, F.lit(0.0), lambda acc, s: acc + s["score"].cast("double")
+            topk, F.lit(0.0), lambda acc, s: acc + s.cast("double")
         ).cast("float").alias("link_score"),
         F.size(topk).cast("long").alias("link_count"),
     )
