@@ -59,12 +59,26 @@ SCOPE1_SAMPLE_RULES: list[tuple[str, str, str, str]] = [
 ]
 
 
+# one combined pre-test that is a SUPERSET of "any default rule matches":
+# sid-family param, default-page segment, anchor, '?&', '&&', trailing
+# [?&.] — if it fails, every rule is a no-op on the original string (and
+# with no first rewrite there is no cascade), so the whole replace chain
+# can be skipped. Measured ~2x on the outlink stream at 5% dirty rows and
+# break-even at 40% (tools/probe_regex_guard.py).
+DEFAULT_REGEX_GUARD = (
+    r"(?i:sid|phpsessid|sessionid)=|/(?i:index|default)\.|#|\?&|&{2,}|[?&.]$"
+)
+
+
 class RegexURLNormalizer:
     """Ordered substitution chain (one replaceAll pass per rule)."""
 
     def __init__(self, rules: list[tuple[str, str, str, str]] | None = None):
         self.rules = rules if rules is not None else DEFAULT_REGEX_RULES
         self._compiled = [(re.compile(py_p), py_s) for _jp, _js, py_p, py_s in self.rules]
+        # the guard is derived from the DEFAULT rule set only; custom scope
+        # rule sets run unguarded (correctness over speed for overrides)
+        self.guard = DEFAULT_REGEX_GUARD if self.rules is DEFAULT_REGEX_RULES else None
 
     def normalize(self, url: str | None) -> str | None:
         if url is None:
@@ -81,10 +95,14 @@ class RegexURLNormalizer:
 
     def col(self, url_col: Column) -> Column:
         """Native regexp_replace fold — Java Matcher semantics match the
-        reference exactly; stays inside whole-stage codegen."""
+        reference exactly; stays inside whole-stage codegen. With the
+        default rule set, a single combined rlike guard lets rule-free URLs
+        (the steady-state majority of outlinks) skip all six replaces."""
         out = url_col
         for java_pat, java_sub, _pp, _ps in self.rules:
             out = F.regexp_replace(out, java_pat, java_sub)
+        if self.guard is not None:
+            return F.when(url_col.rlike(self.guard), out).otherwise(url_col)
         return out
 
 
