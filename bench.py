@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "regex_normalize",
     "cosine_topk",
     "events_hourly",
+    # round-2 surface
+    "js_outlinks",
+    "zip_parse",
+    "outlink_follow",
+    "loops",
+    "dedup_clusters",
 ]
 
 
