@@ -34,6 +34,10 @@ class CrawlConfig:
     partition_seed: int = 42                 # partition.url.seed (fixed for reproducibility)
     num_partitions: int = 32                 # reducer count analogue
     salt_buckets: int = 8                    # explicit skew salting (north_rule P5)
+    # frontier storage bucket count (Iceberg bucket(url) spec analogue);
+    # sized so one bucket of the 10^10-row frontier fits an executor —
+    # at 100 TB this is ~2^13-2^14, locally it matches shuffle partitions
+    frontier_buckets: int = 32
 
     # --- fetcher (reference: fetcher/Fetcher.java + nutch-default.xml:662-791) ---
     fetcher_server_delay_ms: int = 5_000     # fetcher.server.delay (5.0 s)

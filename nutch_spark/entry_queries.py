@@ -1511,12 +1511,28 @@ def q_loops(spark, sf_dir):
     on the skip chain. Output scalar-sortable (loop_set joined)."""
     from nutch_spark.operators.webgraph import find_loops
 
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    base = o.select((F.row_number().over(w) - 1).alias("rn")).cache()
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    # global dense index WITHOUT a single-partition window: range-partition
+    # on the key, rank within each partition, add per-partition offsets
+    # (tiny groupBy collected once; replaces the old base.count() action)
+    ranged = o.repartitionByRange(16, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("o_orderkey")
+    local = ranged.withColumn("lrn", F.row_number().over(wp) - 1).cache()
+    sizes = sorted((r["pid"], r["count"]) for r in local.groupBy("pid").count().collect())
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    n_total = acc
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    base = local.select((F.col("lrn") + off_expr).alias("rn")).cache()
     url = lambda c: F.concat(F.lit("http://l.example.com/"), c.cast("string"))  # noqa: E731
     ring_next = (F.col("rn") - F.col("rn") % 3) + (F.col("rn") + 1) % 3
-    n_total = base.count()
     ring = base.filter(ring_next < n_total).select(
         url(F.col("rn")).alias("src"), url(ring_next).alias("dst")
     )
@@ -1718,7 +1734,7 @@ SQL_MEDIA_RESIZE = """
 SELECT 'http://img.example-cdn.com/' || CAST(i AS VARCHAR) || '.jpg' AS media_ref,
        CAST((64 + (i * 3) % 192) // 2 AS BIGINT) AS out_width,
        CAST((64 + (i * 5) % 192) // 2 AS BIGINT) AS out_height,
-       (SELECT SUM((i + 2 * j.k) % 256) FROM range(32) j(k)) AS checksum
+       CAST((SELECT SUM((i + 2 * j.k) % 256) FROM range(32) j(k)) AS BIGINT) AS checksum
 FROM range(120) t(i)
 """
 

@@ -341,4 +341,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # max_iter exhausted while labels were still moving: a duplicate
+        # chain longer than max_iter hops would silently split into several
+        # components (keep-one-per-group would then retain extra dupes)
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: not converged after {max_iter} rounds — "
+            "components may be split; raise max_iter (rounds needed = graph "
+            "diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")

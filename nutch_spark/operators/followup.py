@@ -70,12 +70,21 @@ def fetch_with_outlink_following(
     start_ms: int,
 ) -> dict[str, DataFrame]:
     """fetcher.parse mode: fetch, parse inline, follow outlinks to
-    cfg.follow_outlinks_depth. Returns {'fetch_out', 'parsed_by_depth'}.
+    cfg.follow_outlinks_depth. Returns {'fetch_out', 'parsed_by_depth',
+    'cleanup'}.
 
     Each depth is a full politeness-scheduled fetch pass (run_fetch) over
     that depth's fetchlist; the virtual clock restarts per depth (the
     reference feeds followed items into live queues — the per-host delay
     discipline is preserved either way, which is the politeness invariant).
+
+    CACHE CONTRACT: each depth's fetch output is cached (it feeds both the
+    inline parse and the returned union); a finished depth's parse caches
+    are released as soon as the next depth's fetchlist is materialized
+    (localCheckpoint — which also stops depth N's plan from replaying
+    depths 0..N-1). The caller MUST invoke the returned `cleanup()` once it
+    has materialized what it needs — fetcher.parse cycles would otherwise
+    accumulate cached blocks across depths/cycles.
     """
     from nutch_spark.operators.fetch import run_fetch
     from nutch_spark.operators.parse import run_parse
@@ -103,10 +112,22 @@ def fetch_with_outlink_following(
             .withColumn("retries", F.lit(0))
             .withColumn("sort_hash", F.lit(0))
             .drop("from_url")
-        )
+        ).localCheckpoint(eager=True)  # materialize the next fetchlist...
+        # ...then release this depth's parse caches (recomputable from the
+        # still-cached fetch output if the caller reads parsed_by_depth)
+        parsed["links"].unpersist()
+        parsed["docs_nested"].unpersist()
         seen = seen.unionByName(nxt.select("url")).distinct()
         fl = nxt
     out = fetch_outs[0]
     for fo in fetch_outs[1:]:
         out = out.unionByName(fo)
-    return {"fetch_out": out, "parsed_by_depth": parsed_all}
+
+    def cleanup() -> None:
+        for f in fetch_outs:
+            f.unpersist()
+        for p in parsed_all:
+            p["links"].unpersist()
+            p["docs_nested"].unpersist()
+
+    return {"fetch_out": out, "parsed_by_depth": parsed_all, "cleanup": cleanup}

@@ -151,8 +151,11 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
 def mark_generated(frontier: DataFrame, fetchlist: DataFrame, cur_time_ms: int) -> DataFrame:
     """Optional generate.update.crawldb write-back (Generator.java:582-612):
     left join frontier with the fetchlist urls and stamp _ngt_."""
+    # plain shuffle join: the fetchlist is topN-sized (10^6-10^7 at scale),
+    # far beyond sane broadcast size; url-equi join shuffles only the small
+    # fetchlist side when the frontier is bucket-stored by url
     gen = fetchlist.select("url").withColumn("_was_generated", F.lit(True))
-    out = frontier.join(F.broadcast(gen), "url", "left")
+    out = frontier.join(gen, "url", "left")
     stamped = F.map_concat(
         F.map_filter(
             F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),

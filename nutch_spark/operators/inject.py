@@ -76,8 +76,11 @@ def inject(frontier: DataFrame | None, seeds: DataFrame, cfg: CrawlConfig, cur_t
     injected = prepare_seeds(seeds, cfg, cur_time_ms, url_filter)
     if frontier is None:
         return injected
+    # NOTE: no broadcast hint — Spark cannot broadcast a side of a
+    # full_outer join (the hint is silently ignored); the seeds side is
+    # small, so the shuffle moves almost nothing
     old = frontier.alias("o")
-    new = F.broadcast(injected).alias("n")
+    new = injected.alias("n")
     joined = old.join(new, on="url", how="full_outer")
 
     def pick(col: str):

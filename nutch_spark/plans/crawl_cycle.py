@@ -69,6 +69,10 @@ class CrawlDriver:
             return int(snap.tag.split("-")[1])
         return 0  # inject tag
 
+    def _bucket_spec(self) -> tuple[str, int] | None:
+        n = self.cfg.frontier_buckets
+        return ("url", n) if n and n > 0 else None
+
     def frontier(self) -> DataFrame:
         return self.frontier_t.read(self.spark)
 
@@ -79,7 +83,7 @@ class CrawlDriver:
             return self.frontier().count()
         frontier = inject(None, seeds, self.cfg, self.t0_ms)
         n = frontier.count()
-        self.frontier_t.commit(frontier, tag="inject")
+        self.frontier_t.commit(frontier, tag="inject", bucket_by=self._bucket_spec())
         # seed the seen sketch: the incremental per-cycle OR requires the
         # invariant sketch ⊇ frontier (bloom negatives short-circuit the
         # exact join, so the sketch must cover every frontier URL)
@@ -193,8 +197,14 @@ class CrawlDriver:
         )
 
         _mark("A5:log_appends")
-        # atomic install — THE commit that marks the cycle complete
-        self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}")
+        # atomic install — THE commit that marks the cycle complete.
+        # Bucketed by url: next cycle's scan reports HashPartitioning(url),
+        # so updatedb's merge shuffles only the topN-bounded updates side —
+        # never the 10^10-row frontier. The write itself is exchange-free
+        # too: the merge output is already hash-placed on url, so each task
+        # emits one bucket-tagged file.
+        self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}",
+                               bucket_by=self._bucket_spec())
         _mark("A6:frontier_commit")
 
         frontier.unpersist()

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.speculation", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # always scan bucketed tables bucket-aligned: the frontier snapshot
+        # is bucketed by url precisely so updatedb's merge never shuffles
+        # it; auto mode would drop the bucketed scan in plans where the
+        # cache is materialized before the join is visible
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -36,6 +36,10 @@ class Snapshot:
     committed_at_ms: int
     parent_id: int | None
     append: bool = False
+    # Iceberg bucket-spec analogue: hash-bucket layout recorded per snapshot
+    bucket_col: str | None = None
+    bucket_n: int | None = None
+    table_name: str | None = None
 
 
 class SnapshotTable:
@@ -79,15 +83,33 @@ class SnapshotTable:
         return self.latest() is not None
 
     # -- I/O ---------------------------------------------------------------
-    def commit(self, df: DataFrame, tag: str | None = None, partition_by: list[str] | None = None) -> Snapshot:
-        """Write df as a new snapshot and atomically install it."""
+    def _table_name(self, sid: int) -> str:
+        # catalog-unique, deterministic from (root, name, sid) so a resumed
+        # session re-registers the exact same name recorded in the log
+        import hashlib
+
+        h = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"{self.name}_{h}_snap{sid:06d}"
+
+    def commit(self, df: DataFrame, tag: str | None = None,
+               partition_by: list[str] | None = None,
+               bucket_by: tuple[str, int] | None = None) -> Snapshot:
+        """Write df as a new snapshot and atomically install it.
+
+        bucket_by=(col, n) writes a hash-bucketed layout (the Iceberg
+        `bucket(n, col)` partition-spec analogue, realized as a Spark
+        bucketed datasource table). The payoff is join-side: a scan of a
+        bucketed snapshot reports HashPartitioning(col, n), so an equi-join
+        on col shuffles ONLY the other side (reference analogue: the
+        MapFile-keyed crawldb makes CrawlDb's reduce co-group shuffle-free
+        on sorted keys, crawl/CrawlDb.java:90-116). The write itself adds
+        no exchange either: when the incoming df is already hash-placed on
+        col (as the updatedb merge output is), each task holds exactly one
+        bucket and emits one bucket-tagged file; misaligned input merely
+        yields more files per bucket, never wrong results."""
         log = self._load_log()
         sid = (log[-1]["snapshot_id"] + 1) if log else 1
         path = os.path.join(self.root, f"snap-{sid:06d}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
         snap = {
             "snapshot_id": sid,
             "tag": tag,
@@ -96,6 +118,25 @@ class SnapshotTable:
             "parent_id": log[-1]["snapshot_id"] if log else None,
             "append": False,
         }
+        if bucket_by:
+            col, n = bucket_by
+            tname = self._table_name(sid)
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", path)
+                .bucketBy(n, col)
+                .sortBy(col)
+                .saveAsTable(tname)
+            )
+            snap.update(bucket_col=col, bucket_n=n, table_name=tname)
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
         log.append(snap)
         self._install_log(log)
         return Snapshot(**snap)
@@ -133,6 +174,21 @@ class SnapshotTable:
         path = os.path.join(self.root, f"snap-{sid:06d}")
         os.makedirs(path, exist_ok=True)
         table = pa.Table.from_pylist(rows)
+        # pin physical types to the table's existing parquet layout:
+        # read() unions every append since the last full commit into ONE
+        # spark.read.parquet call, so a pyarrow-inferred int64 next to a
+        # Spark-written int32 (or an all-None column inferred as null type)
+        # would mix conflicting physical types in one scan
+        ref_schema = self._latest_parquet_schema(log)
+        if ref_schema is not None and set(ref_schema.names) == set(table.schema.names):
+            table = table.select(ref_schema.names).cast(ref_schema)
+        else:
+            null_cols = [f.name for f in table.schema if pa.types.is_null(f.type)]
+            if null_cols:
+                raise ValueError(
+                    f"append_rows({self.name}): columns {null_cols} are all-None and "
+                    "no prior snapshot pins their type; pass typed values"
+                )
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         snap = {
             "snapshot_id": sid,
@@ -158,6 +214,8 @@ class SnapshotTable:
             if snap is None:
                 raise KeyError(f"table {self.name} has no snapshots")
         if not snap.append:
+            if snap.bucket_col:
+                return self._read_bucketed(spark, snap)
             return spark.read.parquet(snap.path)
         # append snapshot: union every append since the last full commit
         paths = []
@@ -170,8 +228,47 @@ class SnapshotTable:
                 paths = [e.path]
         return spark.read.parquet(*paths)
 
-    def expire_snapshots(self, keep: int = 3) -> int:
-        """Drop all but the newest `keep` snapshots (GC; Iceberg expire analogue)."""
+    def _latest_parquet_schema(self, log: list[dict]):
+        """Arrow schema of the newest snapshot's parquet files (None if no
+        snapshot or no readable file) — used to keep append_rows writes
+        byte-compatible with Spark-written history."""
+        import pyarrow.parquet as pq
+
+        for e in reversed(log):
+            d = e["path"]
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    try:
+                        return pq.read_schema(os.path.join(d, fn))
+                    except Exception:
+                        return None
+        return None
+
+    def _read_bucketed(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
+        """Scan a bucketed snapshot through the session catalog so Catalyst
+        sees HashPartitioning(bucket_col, bucket_n). A fresh session (crash
+        resume) re-registers the external table from the snapshot log —
+        the in-memory catalog is session-scoped, the parquet layout is not."""
+        tname = snap.table_name
+        if not spark.catalog.tableExists(tname):
+            sch = spark.read.parquet(snap.path).schema
+            try:
+                ddl = sch.toDDL()
+            except AttributeError:  # classic-mode fallback
+                ddl = spark.createDataFrame([], sch)._jdf.schema().toDDL()
+            spark.sql(
+                f"CREATE TABLE {tname} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({snap.bucket_col}) SORTED BY ({snap.bucket_col}) "
+                f"INTO {snap.bucket_n} BUCKETS LOCATION '{snap.path}'"
+            )
+        return spark.table(tname)
+
+    def expire_snapshots(self, keep: int = 3, spark: SparkSession | None = None) -> int:
+        """Drop all but the newest `keep` snapshots (GC; Iceberg expire analogue).
+        Pass spark to also deregister dead bucketed snapshots' catalog tables
+        (the in-memory catalog is session-scoped, so this is best-effort)."""
         log = self._load_log()
         if len(log) <= keep:
             return 0
@@ -179,6 +276,8 @@ class SnapshotTable:
         self._install_log(live)
         n = 0
         for e in dead:
+            if spark is not None and e.get("table_name"):
+                spark.sql(f"DROP TABLE IF EXISTS {e['table_name']}")
             if os.path.isdir(e["path"]):
                 shutil.rmtree(e["path"], ignore_errors=True)
                 n += 1
