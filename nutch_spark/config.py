@@ -48,6 +48,16 @@ class CrawlConfig:
     fetcher_max_exceptions_per_queue: int = -1
     fetcher_timelimit_ms: int = -1           # fetcher.timelimit.mins (virtual ms)
     http_redirect_max: int = 0               # http.redirect.max (1.6 default: 0 -> defer)
+    db_ignore_external_links: bool = False   # db.ignore.external.links (redirect gate)
+    # throughput kill-switch (Fetcher.java:1366-1386): sustained sub-threshold
+    # pages/s empties every queue. threshold -1 disables (reference default).
+    fetcher_throughput_threshold_pages: int = -1   # fetcher.throughput.threshold.pages
+    fetcher_throughput_threshold_retries: int = 5  # fetcher.throughput.threshold.retries
+    # fetcher.throughput.threshold.check.after: the reference DESCRIBES minutes-
+    # after-start but its code compares the raw value to an absolute epoch ms
+    # (Fetcher.java:1341,1366) — with the default -1 both read "check from the
+    # start". Implemented as virtual ms after fetch start (the documented intent).
+    fetcher_throughput_check_after_ms: int = -1
     fetcher_store_content: bool = True
     fetch_duration_ms: int = 100             # deterministic simulated fetch cost
     # in-fetch parse + outlink following (R10, nutch-default.xml:793-836)

@@ -849,6 +849,170 @@ def _sql_fetch_kernel():
     return sql_fetch_kernel(_fetch_fixture_rows(), **_FETCH_FIXTURE)
 
 
+# --- R5 redirect-following kernel fixture -----------------------------------
+
+_FETCH_REDIR_FIXTURE = dict(threads=3, duration_ms=100, server_delay_ms=1000,
+                            max_crawl_delay_ms=30000, max_exc=2,
+                            t0=1_700_000_000_000, max_redirect=2)
+
+_FETCH_REDIR_SCHEMA = _FETCH_FIXTURE_SCHEMA + (
+    ", redirect_chain array<struct<hop:int,url:string,host:string,"
+    "page_status:string,redirect_to:string,content_length:bigint,"
+    "declared_length:bigint,signature_seed:bigint,crawl_delay:double,"
+    "robots_allowed:boolean>>"
+)
+
+
+def _hop(hop, url, host, page_status="ok", redirect_to=None, crawl_delay=None,
+         robots_allowed=True):
+    return {"hop": hop, "url": url, "host": host, "page_status": page_status,
+            "redirect_to": redirect_to, "content_length": 100,
+            "declared_length": 100, "signature_seed": 7,
+            "crawl_delay": crawl_delay, "robots_allowed": robots_allowed}
+
+
+def _fetch_redirect_fixture() -> tuple[list[dict], dict[str, list[dict]]]:
+    """Fetchlist + pre-joined chains exercising every R5 path: same-host
+    follow (queue-clock coupling), cross-host multi-hop, redirect-count
+    exceeded (GONE lookahead), robots-denied target, plain rows competing
+    for threads."""
+    rows: list[dict] = []
+    chains: dict[str, list[dict]] = {}
+
+    def add(url, host, page_status="ok", crawl_delay=None, robots_allowed=True,
+            redirect_to=None, chain=None):
+        rows.append({
+            "url": url, "host": host, "page_status": page_status,
+            "crawl_delay": crawl_delay, "robots_allowed": robots_allowed,
+            "redirect_to": redirect_to, "content_length": 100,
+            "declared_length": 100, "signature_seed": 7, "score": 1.0,
+            "fetch_interval": 2592000, "retries": 0, "sort_hash": len(rows),
+            "redirect_chain": chain,
+        })
+        if chain:
+            chains[url] = chain
+
+    add("http://r.com/a", "r.com", page_status="redir_perm",
+        redirect_to="http://r.com/b",
+        chain=[_hop(1, "http://r.com/b", "r.com")])
+    add("http://r.com/c", "r.com")  # waits out the hop's politeness window
+    add("http://s.com/a", "s.com", page_status="redir_temp",
+        redirect_to="http://t.com/x",
+        chain=[_hop(1, "http://t.com/x", "t.com", "redir_perm", "http://t.com/y"),
+               _hop(2, "http://t.com/y", "t.com")])
+    add("http://t.com/z", "t.com")  # target host's own fetchlist row
+    add("http://u.com/a", "u.com", page_status="redir_perm",
+        redirect_to="http://u.com/b",
+        chain=[_hop(1, "http://u.com/b", "u.com", "redir_perm", "http://u.com/c"),
+               _hop(2, "http://u.com/c", "u.com", "redir_perm", "http://u.com/d"),
+               _hop(3, "http://u.com/d", "u.com")])  # count>max -> GONE
+    add("http://v.com/a", "v.com", page_status="redir_perm",
+        redirect_to="http://w.com/priv/p",
+        chain=[_hop(1, "http://w.com/priv/p", "w.com", robots_allowed=False)])
+    for i in range(3):
+        add(f"http://p.com/{i}", "p.com")
+    return rows, chains
+
+
+def q_fetch_redirects(spark, sf_dir):
+    """R5: in-thread redirect following inside the politeness kernel
+    (fetcher/Fetcher.java:826-942 do-loop: target fetched immediately by
+    the same thread, target host's queue clock pushed to hop end + delay,
+    count > http.redirect.max -> GONE/REDIR_EXCEEDED). Oracle = the
+    independent pure-Python scheduler simulation with the same chains."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.fetch import FETCH_OUT_SCHEMA, fetch_partition_kernel
+
+    fx = _FETCH_REDIR_FIXTURE
+    rows, _ = _fetch_redirect_fixture()
+    cfg = CrawlConfig(
+        num_partitions=1, fetcher_threads=fx["threads"],
+        fetch_duration_ms=fx["duration_ms"],
+        fetcher_server_delay_ms=fx["server_delay_ms"],
+        fetcher_max_crawl_delay_ms=fx["max_crawl_delay_ms"],
+        fetcher_max_exceptions_per_queue=fx["max_exc"],
+        http_redirect_max=fx["max_redirect"],
+    )
+    df = spark.createDataFrame(rows, schema=_FETCH_REDIR_SCHEMA)
+    fl = df.repartition(1).sortWithinPartitions("sort_hash")
+    kernel = fetch_partition_kernel(cfg, 1, fx["t0"])
+    return fl.mapInPandas(kernel, FETCH_OUT_SCHEMA).select(
+        "url", "host",
+        F.col("fetch_status").cast("long").alias("fetch_status"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("fetch_ts").cast("long").alias("fetch_ts"),
+    )
+
+
+def _sql_fetch_redirects():
+    from nutch_spark.oracles import sql_fetch_kernel
+
+    rows, chains = _fetch_redirect_fixture()
+    sim_rows = [{k: v for k, v in r.items() if k != "redirect_chain"} for r in rows]
+    return sql_fetch_kernel(sim_rows, chains=chains, **_FETCH_REDIR_FIXTURE)
+
+
+# --- R8 throughput kill-switch kernel fixture --------------------------------
+
+_FETCH_THR_FIXTURE = dict(threads=2, duration_ms=100, server_delay_ms=1500,
+                          max_crawl_delay_ms=30000, max_exc=-1,
+                          t0=1_700_000_000_000, thr_pages=2, thr_retries=3,
+                          thr_check_after=-1)
+
+
+def _fetch_throughput_rows() -> list[dict]:
+    """Two slow hosts (~1.25 pages/s combined < threshold 2): the monitor
+    accumulates violations each virtual second and empties the queues at
+    the third — the emitted prefix is the deterministic kill boundary."""
+    rows: list[dict] = []
+    for i in range(10):
+        for h in ("m.com", "n.com"):
+            rows.append({
+                "url": f"http://{h}/{i}", "host": h, "page_status": "ok",
+                "crawl_delay": None, "robots_allowed": True,
+                "redirect_to": None, "content_length": 100,
+                "declared_length": 100, "signature_seed": 7, "score": 1.0,
+                "fetch_interval": 2592000, "retries": 0, "sort_hash": len(rows),
+            })
+    return rows
+
+
+def q_fetch_throughput(spark, sf_dir):
+    """R8: throughput kill-switch (fetcher.throughput.threshold.*;
+    Fetcher.java:1330-1386) emulated on the virtual clock — sustained
+    sub-threshold pages/s empties every queue; dropped items stay due.
+    Oracle = the independent scheduler simulation with the same knobs."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.fetch import FETCH_OUT_SCHEMA, fetch_partition_kernel
+
+    fx = _FETCH_THR_FIXTURE
+    cfg = CrawlConfig(
+        num_partitions=1, fetcher_threads=fx["threads"],
+        fetch_duration_ms=fx["duration_ms"],
+        fetcher_server_delay_ms=fx["server_delay_ms"],
+        fetcher_max_crawl_delay_ms=fx["max_crawl_delay_ms"],
+        fetcher_max_exceptions_per_queue=fx["max_exc"],
+        fetcher_throughput_threshold_pages=fx["thr_pages"],
+        fetcher_throughput_threshold_retries=fx["thr_retries"],
+        fetcher_throughput_check_after_ms=fx["thr_check_after"],
+    )
+    df = spark.createDataFrame(_fetch_throughput_rows(), schema=_FETCH_FIXTURE_SCHEMA)
+    fl = df.repartition(1).sortWithinPartitions("sort_hash")
+    kernel = fetch_partition_kernel(cfg, 1, fx["t0"])
+    return fl.mapInPandas(kernel, FETCH_OUT_SCHEMA).select(
+        "url", "host",
+        F.col("fetch_status").cast("long").alias("fetch_status"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("fetch_ts").cast("long").alias("fetch_ts"),
+    )
+
+
+def _sql_fetch_throughput():
+    from nutch_spark.oracles import sql_fetch_kernel
+
+    return sql_fetch_kernel(_fetch_throughput_rows(), **_FETCH_THR_FIXTURE)
+
+
 def q_span_extraction(spark, sf_dir):
     """X1-X5: span extraction over the synthetic corpus. Oracle = the
     corpus's ground-truth ordered segment lists (built independently of the
@@ -1829,6 +1993,8 @@ QUERIES: dict[str, tuple] = {
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)
     "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
+    "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),
+    "fetch_throughput": (q_fetch_throughput, _sql_fetch_throughput),
     "span_extraction": (q_span_extraction, _sql_span_extraction),
     "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),

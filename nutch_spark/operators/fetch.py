@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
 from nutch_spark.corpus import page_signature
-from nutch_spark.functions.urls import choose_repr_url
+from nutch_spark.functions.urls import choose_repr_url, host_col
 
 FETCH_OUT_SCHEMA = T.StructType(
     list(schemas.FETCH_SCHEMA.fields)
@@ -66,6 +66,91 @@ def _url_path(url: str) -> str:
     i = url.find("://")
     j = url.find("/", i + 3) if i >= 0 else -1
     return url[j:] if j >= 0 else "/"
+
+
+def _robots_allowed_expr(url_col):
+    """Native longest-prefix robots verdict (F12) over the rb_disallow /
+    rb_allow arrays the robots join attaches (RobotRulesParser.java:152-190)."""
+    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("/"))
+
+    def best(rules_col):
+        return F.array_max(
+            F.transform(
+                F.coalesce(rules_col, F.array().cast("array<string>")),
+                lambda p: F.when(F.startswith(path, p), F.length(p)).otherwise(F.lit(-1)),
+            )
+        )
+
+    return F.coalesce(best(F.col("rb_allow")), F.lit(-1)) >= F.coalesce(
+        best(F.col("rb_disallow")), F.lit(-1)
+    )
+
+
+def build_redirect_chains(seed: DataFrame, wg: DataFrame, rb: DataFrame,
+                          cfg: CrawlConfig) -> DataFrame:
+    """(url, redirect_chain) for redirecting fetchlist rows — the declarative
+    half of in-thread redirect following (R5, Fetcher.java:826-942).
+
+    The reference's fetch thread resolves each redirect target live (it has
+    the network); here the simulated web is a table, so the kernel gets the
+    chain pre-joined: hop k holds the k-th target AFTER fetcher-scope
+    normalization + URL filtering (handleRedirect, Fetcher.java:963-1024),
+    its page facts, and its robots verdict. Bounded at http_redirect_max
+    fetched hops + 1 lookahead entry (the REDIR_EXCEEDED output row needs
+    the unfetched target's url, Fetcher.java:934-941). A filtered /
+    normalize-rejected target simply ends the chain — exactly the
+    `handleRedirect == null` stop. Scale: every hop frame holds redirect
+    rows only (a sliver of the fetchlist), so the per-hop content-store
+    joins are small-side equi-joins."""
+    from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+    from nutch_spark.functions.urls import RegexUrlFilter, normalize_inline
+
+    ns, flt = ScopedNormalizers(), RegexUrlFilter()
+    cur = seed.filter(F.col("page_status").isin("redir_perm", "redir_temp")).select(
+        F.col("url").alias("src"), F.col("redirect_to").alias("raw")
+    )
+    hop_frames = []
+    for hop in range(1, cfg.http_redirect_max + 2):
+        t = with_column_once(
+            normalize_inline(cur, "raw", "t_url"),
+            "t_url",
+            ns.post_basic_col(F.col("t_url"), "fetcher"),
+        )
+        t = t.filter(F.col("t_url").isNotNull()).filter(flt.col(F.col("t_url")))
+        t = (
+            t.select("src", F.col("t_url").alias("url"))
+            .join(wg, "url", "left")
+            .withColumn("host", host_col(F.col("url")))
+            .join(F.broadcast(rb), "host", "left")
+        )
+        t = (
+            t.withColumn("robots_allowed", _robots_allowed_expr(F.col("url")))
+            .drop("rb_disallow", "rb_allow")
+            .withColumn("hop", F.lit(hop))
+        )
+        hop_frames.append(t)
+        if hop <= cfg.http_redirect_max:
+            cur = t.filter(F.col("page_status").isin("redir_perm", "redir_temp")).select(
+                "src", F.col("redirect_to").alias("raw")
+            )
+    allh = hop_frames[0]
+    for h in hop_frames[1:]:
+        allh = allh.unionByName(h)
+    return (
+        allh.groupBy("src")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "hop", "url", "host", "page_status", "redirect_to",
+                        "content_length", "declared_length", "signature_seed",
+                        "crawl_delay", "robots_allowed",
+                    )
+                )
+            ).alias("redirect_chain")
+        )
+        .withColumnRenamed("src", "url")
+    )
 
 
 def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
@@ -135,6 +220,12 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         ).astype(np.int64)
         q_exc = [0] * nq
         max_exc = cfg.fetcher_max_exceptions_per_queue
+        q_delay = q_delay.tolist()
+        # per-queue next-ready time: lets an in-thread redirect fetch (R5)
+        # push out a queue's politeness clock even while the queue sits in
+        # the eligible heap (stale heap entries are re-deferred on pop)
+        q_ready = [start_ms] * nq
+        host_to_q = {h: i for i, h in enumerate(hosts_u)}
 
         threads_heap = [(start_ms, ti) for ti in range(max(1, cfg.fetcher_threads))]
         duration = cfg.fetch_duration_ms
@@ -143,15 +234,198 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         eligible = list(range(nq))  # already a valid heap (sorted)
         pending: list[tuple[int, int]] = []  # (ready_ms, queue_idx)
 
+        # R5 state: pre-joined redirect chains + full-row gathers the chain
+        # walker needs (redirect rows are a small fraction of any batch)
+        max_redirect = cfg.http_redirect_max
+        chains_np = (
+            pdf["redirect_chain"].to_numpy(dtype=object)
+            if max_redirect > 0 and "redirect_chain" in pdf.columns
+            else None
+        )
+        url_np = pdf["url"].to_numpy(dtype=object)
+        host_np = host_filled.to_numpy(dtype=object)
+        score_np = pdf["score"].to_numpy(dtype=float)
+        fi_np = pdf["fetch_interval"].to_numpy()
+        extra: list[dict] = []  # followed-hop output rows, in seq order
+
+        # R8 state (Fetcher.java:1330-1386): pages = successful fetches; one
+        # virtual-second monitor tick; violations accumulate (the reference
+        # never resets the retry counter) until the kill empties every queue
+        thr_pages = cfg.fetcher_throughput_threshold_pages
+        thr_retries_max = cfg.fetcher_throughput_threshold_retries
+        thr_check_after = cfg.fetcher_throughput_check_after_ms
+        pages_total = 0
+        pages_prev = 0
+        thr_violations = 0
+        next_tick = start_ms + 1000
+
         emit_rows = np.empty(n, dtype=np.int64)
         emit_ts = np.empty(n, dtype=np.int64)
+        emit_seq = np.empty(n, dtype=np.int64)
+        seq_no = 0
         m = 0
         remaining = n
 
-        while remaining > 0:
+        _PS_STATUS = {
+            "ok": schemas.STATUS_FETCH_SUCCESS,
+            "redir_perm": schemas.STATUS_FETCH_REDIR_PERM,
+            "redir_temp": schemas.STATUS_FETCH_REDIR_TEMP,
+            "notmodified": schemas.STATUS_FETCH_NOTMODIFIED,
+            "gone": schemas.STATUS_FETCH_GONE,
+        }
+
+        def _hop_queue(h: str, delay_ms) -> int:
+            """Queue for a redirect target's host, created on demand — the
+            reference's per-task queue set grows the same way
+            (FetchItemQueues.getFetchItemQueue). Same politeness caveat as
+            the reference: a cross-host redirect target's queue lives in
+            THIS task even though that host's own fetchlist rows may sit in
+            another partition."""
+            qi = host_to_q.get(h)
+            if qi is None:
+                qi = len(q_items)
+                host_to_q[h] = qi
+                q_items.append([])
+                q_head.append(0)
+                q_len.append(0)
+                q_delay.append(int(delay_ms) if delay_ms is not None
+                               else cfg.fetcher_server_delay_ms)
+                q_exc.append(0)
+                q_ready.append(start_ms)
+            elif delay_ms is not None:
+                q_delay[qi] = int(delay_ms)  # fiq.crawlDelay update (:804)
+            return qi
+
+        def _emit_hop(t_url, t_host, status, ts, repr_url, signature,
+                      content_length, truncated, src_i, redirect_to,
+                      redirect_temp):
+            nonlocal seq_no
+            extra.append({
+                "url": t_url, "host": t_host or "", "fetch_status": status,
+                "fetch_ts": ts, "seq": seq_no, "repr_url": repr_url,
+                "signature": signature, "content_length": content_length,
+                "truncated": truncated, "score": float(score_np[src_i]),
+                "fetch_interval": fi_np[src_i], "retries": 0,
+                "partition_id": pid, "redirect_to": redirect_to,
+                "redirect_temp": redirect_temp, "kernel_wall_ms": 0,
+            })
+            seq_no += 1
+
+        # R5 chain continuations: ti -> [chain, idx, prev_url, prev_host,
+        # repr_cur, temp_prev, count, src_i]. A redirecting fetch leaves its
+        # thread a continuation; each hop is processed when the heap reaches
+        # that thread's virtual time, so queue-clock effects land exactly
+        # when the reference's in-thread fetch would apply them (the target
+        # is "in progress" during [hop_start, hop_end] — other events before
+        # hop_start are scheduled first).
+        thread_chain: dict[int, list] = {}
+
+        def _advance_chain(ti: int, now: int) -> None:
+            """One redirect hop for thread ti at virtual time `now`
+            (Fetcher.java:826-942 do-loop body). Gates that consume no fetch
+            time (same-url / external / filtered-out chain end / exceeded /
+            robots) release the thread at `now`; a fetched hop occupies it
+            until now + duration and may extend the continuation."""
+            nonlocal pages_total, remaining
+            chain, idx, prev_url, prev_host, repr_cur, temp_prev, count, src_i = thread_chain[ti]
+            del thread_chain[ti]
+            if idx >= len(chain):
+                return  # target filtered/normalize-rejected -> stop (:1018-1024)
+            ent = chain[idx]
+            t_url, t_host = ent["url"], ent["host"]
+            if t_url is None or t_url == prev_url:
+                return  # handleRedirect same-url stop (:985)
+            if cfg.db_ignore_external_links and t_host != prev_host:
+                return  # handleRedirect external-link gate (:970-983)
+            repr_cur = choose_repr_url(
+                repr_cur if repr_cur is not None else prev_url, t_url, temp_prev
+            )
+            count += 1
+            if count > max_redirect:
+                # redirect count exceeded -> GONE for the unfetched target
+                # (Fetcher.java:934-941, STATUS_REDIR_EXCEEDED)
+                _emit_hop(t_url, t_host, schemas.STATUS_FETCH_GONE, now,
+                          repr_cur, None, None, False, src_i, None, None)
+                return
+            cd = ent["crawl_delay"]
+            cd_ms = float(cd) * 1000.0 if cd is not None and cd == cd else None
+            allowed = bool(ent["robots_allowed"]) if ent["robots_allowed"] is not None else False
+            if not allowed or (cd_ms is not None
+                               and cd_ms > cfg.fetcher_max_crawl_delay_ms):
+                # loop-top robots / crawl-delay gate for the NEW fit: GONE,
+                # no fetch, queue unblocked asap (:783-806)
+                _emit_hop(t_url, t_host, schemas.STATUS_FETCH_GONE, now,
+                          repr_cur, None, None, False, src_i, None, None)
+                return
+            qj = _hop_queue(t_host or "", int(cd_ms) if cd_ms is not None else None)
+            en = now + duration  # the in-thread fetch occupies the thread
+            ps = ent["page_status"]
+            status = _PS_STATUS.get(
+                ps,
+                schemas.STATUS_FETCH_GONE if ps is None else schemas.STATUS_FETCH_RETRY,
+            )
+            sig = None
+            cl = ent["content_length"]
+            cl = int(cl) if cl is not None and cl == cl else None
+            dl = ent["declared_length"]
+            trunc = False
+            redirect_to = None
+            redirect_temp = None
+            if ps == "ok":
+                sig = page_signature(int(ent["signature_seed"]))
+                pages_total += 1  # updateStatus: SUCCESS only
+                trunc = bool(dl is not None and cl is not None and dl > cl)
+            elif ps in ("redir_perm", "redir_temp"):
+                redirect_to = ent["redirect_to"]
+                redirect_temp = ps == "redir_temp"
+            _emit_hop(t_url, t_host, status, now, repr_cur, sig, cl, trunc,
+                      src_i, redirect_to, redirect_temp)
+            # finishFetchItem: the target queue's politeness clock moves to
+            # this hop's end + its crawl delay
+            q_ready[qj] = max(q_ready[qj], en + q_delay[qj])
+            if q_head[qj] < q_len[qj]:
+                heapq.heappush(pending, (q_ready[qj], qj))
+            if status == schemas.STATUS_FETCH_RETRY:
+                # exception -> target queue purge check (:909-913)
+                q_exc[qj] += 1
+                if max_exc >= 0 and q_exc[qj] >= max_exc:
+                    remaining -= q_len[qj] - q_head[qj]
+                    q_head[qj] = q_len[qj]
+            heapq.heapreplace(threads_heap, (en, ti))
+            if ps in ("redir_perm", "redir_temp"):
+                thread_chain[ti] = [chain, idx + 1, t_url, t_host, repr_cur,
+                                    ps == "redir_temp", count, src_i]
+
+        while remaining > 0 or thread_chain:
             now, ti = threads_heap[0]  # thread with the earliest free time
             if deadline is not None and now >= deadline:
-                break  # timelimit: drop remaining items (R8); they stay due
+                break  # timelimit: drop remaining items; they stay due
+            if thr_pages > 0:
+                # R8 monitor ticks: one check per virtual second
+                while next_tick <= now:
+                    if thr_check_after < 0 or next_tick - start_ms >= thr_check_after:
+                        if pages_total - pages_prev < thr_pages:
+                            thr_violations += 1
+                            if thr_violations >= thr_retries_max:
+                                # kill-switch: empty every queue (items stay
+                                # due next cycle), disable the checker; any
+                                # in-flight redirect chain still completes
+                                # (Fetcher.java:1373-1383)
+                                thr_pages = -1
+                                remaining = 0
+                                break
+                    pages_prev = pages_total
+                    next_tick += 1000
+                if remaining == 0 and not thread_chain:
+                    break
+            if ti in thread_chain:
+                _advance_chain(ti, now)  # R5: this thread is mid-chain
+                continue
+            if remaining == 0:
+                # only chain continuations left; let their threads reach
+                # the heap top
+                heapq.heapreplace(threads_heap, (now + duration, ti))
+                continue
             while pending and pending[0][0] <= now:
                 _, qi = heapq.heappop(pending)
                 if q_head[qi] < q_len[qi]:
@@ -159,9 +433,13 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
             qpick = -1
             while eligible:
                 qi = heapq.heappop(eligible)
-                if q_head[qi] < q_len[qi]:
-                    qpick = qi
-                    break
+                if q_head[qi] >= q_len[qi]:
+                    continue
+                if q_ready[qi] > now:  # deferred by an in-thread redirect fetch
+                    heapq.heappush(pending, (q_ready[qi], qi))
+                    continue
+                qpick = qi
+                break
             if qpick < 0:
                 # no queue eligible: advance this thread's clock
                 while pending and q_head[pending[0][1]] >= q_len[pending[0][1]]:
@@ -175,6 +453,8 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
             remaining -= 1
             emit_rows[m] = i
             emit_ts[m] = now
+            emit_seq[m] = seq_no
+            seq_no += 1
             m += 1
 
             if gated[i]:
@@ -187,14 +467,27 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
             # the (simulated) fetch occupies the thread + queue; afterwards
             # nextFetchTime = endTime + crawlDelay (Fetcher.java:389-398)
             end = now + duration
-            heapq.heapreplace(threads_heap, (end, ti))
+            if is_ok[i]:
+                pages_total += 1  # updateStatus (SUCCESS only) feeds R8
             if is_exc[i]:  # exception -> per-queue purge (Fetcher.java:542-562)
                 q_exc[qpick] += 1
                 if max_exc >= 0 and q_exc[qpick] >= max_exc:
                     remaining -= q_len[qpick] - q_head[qpick]
                     q_head[qpick] = q_len[qpick]
+            # source queue unblocks at the SOURCE fetch's end (the reference
+            # calls finishFetchItem before redirect handling), never at the
+            # redirect chain's end
+            q_ready[qpick] = end + int(q_delay[qpick])
             if q_head[qpick] < q_len[qpick]:
-                heapq.heappush(pending, (end + int(q_delay[qpick]), qpick))
+                heapq.heappush(pending, (q_ready[qpick], qpick))
+            heapq.heapreplace(threads_heap, (end, ti))
+            if chains_np is not None and (is_rp[i] or is_rt[i]):
+                ch = chains_np[i]
+                if ch is not None and len(ch) > 0:
+                    # R5: leave this thread a chain continuation; hops run
+                    # as the heap reaches the thread's virtual time
+                    thread_chain[ti] = [ch, 0, url_np[i], host_np[i], None,
+                                        bool(is_rt[i]), 0, i]
 
         if m == 0:
             return
@@ -244,13 +537,16 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         cl_ok = ~np.isnan(content_len)
         cl_obj[cl_ok] = content_len[cl_ok].astype(np.int64)
 
+        # real per-partition kernel wall (north_rule: per-partition
+        # metrics; constant within the partition)
+        wall_ms = int((_time.monotonic() - t_kernel) * 1000)
         out = pd.DataFrame(
             {
                 "url": urls_sel,
                 "host": host_filled.to_numpy(dtype=object)[sel],
                 "fetch_status": status,
                 "fetch_ts": emit_ts[:m],
-                "seq": np.arange(m, dtype=np.int64),
+                "seq": emit_seq[:m],
                 "repr_url": repr_arr,
                 "signature": sig,
                 "content_length": cl_obj,
@@ -261,13 +557,15 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 "partition_id": np.full(m, pid, dtype=np.int64),
                 "redirect_to": redirect_to,
                 "redirect_temp": redirect_temp,
-                # real per-partition kernel wall (north_rule: per-partition
-                # metrics; constant within the partition)
-                "kernel_wall_ms": np.full(
-                    m, int((_time.monotonic() - t_kernel) * 1000), dtype=np.int64
-                ),
+                "kernel_wall_ms": np.full(m, wall_ms, dtype=np.int64),
             }
         )
+        if extra:
+            # followed redirect hops (R5) interleave by emit order
+            for r in extra:
+                r["kernel_wall_ms"] = wall_ms
+            out = pd.concat([out, pd.DataFrame(extra)], ignore_index=True)
+            out = out.sort_values("seq", ignore_index=True)
         yield out
 
     return kernel
@@ -305,24 +603,19 @@ def run_fetch(
         fetchlist.join(wg, "url", "left")
         .join(F.broadcast(rb), "host", "left")
     )
-    # robots prefix gate as a native expression (F12): longest-rule match
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    best_dis = F.array_max(
-        F.transform(
-            F.coalesce(F.col("rb_disallow"), F.array().cast("array<string>")),
-            lambda p: F.when(F.startswith(path, p), F.length(p)).otherwise(F.lit(-1)),
+    # robots prefix gate as a native expression (F12): longest-rule match;
+    # the rule arrays are dropped after the verdict so they never cross the
+    # Arrow boundary into the kernel
+    fl = fl.withColumn("robots_allowed", _robots_allowed_expr(F.col("url"))).drop(
+        "rb_disallow", "rb_allow"
+    )
+    if cfg.http_redirect_max > 0:
+        # R5: pre-join each redirecting row's normalized+filtered target
+        # chain so the kernel can follow it in-thread (Fetcher.java:826-942)
+        seed = fetchlist.select("url").join(wg, "url", "left").select(
+            "url", "page_status", "redirect_to"
         )
-    )
-    best_alw = F.array_max(
-        F.transform(
-            F.coalesce(F.col("rb_allow"), F.array().cast("array<string>")),
-            lambda p: F.when(F.startswith(path, p), F.length(p)).otherwise(F.lit(-1)),
-        )
-    )
-    fl = fl.withColumn(
-        "robots_allowed",
-        F.coalesce(best_alw, F.lit(-1)) >= F.coalesce(best_dis, F.lit(-1)),
-    )
+        fl = fl.join(build_redirect_chains(seed, wg, rb, cfg), "url", "left")
 
     # politeness placement: one host -> one partition, spread by sort_hash
     # (P1/P3/P4). Repartition on the HIGH-CARDINALITY host, not on the

@@ -356,7 +356,12 @@ FROM scores
 
 def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
                              server_delay_ms: int, max_crawl_delay_ms: int,
-                             max_exc: int, t0: int) -> list[tuple]:
+                             max_exc: int, t0: int,
+                             max_redirect: int = 0,
+                             chains: dict[str, list[dict]] | None = None,
+                             ignore_external: bool = False,
+                             thr_pages: int = -1, thr_retries: int = 5,
+                             thr_check_after: int = -1) -> list[tuple]:
     """Naive single-'process' reimplementation of the Fetcher politeness
     discipline (fetcher/Fetcher.java:306-573 semantics): per-host FIFO
     queues in first-appearance order, first-eligible-queue-in-order
@@ -364,11 +369,20 @@ def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
     fetch end + crawl delay, robots/delay gating, per-queue exception purge.
     Independent of the numpy two-heap kernel; used to generate its oracle.
 
+    max_redirect > 0 + chains enables in-thread redirect following
+    (Fetcher.java:826-942): chains[url] = ordered hop dicts (url, host,
+    page_status, redirect_to, crawl_delay, robots_allowed) — each hop is
+    fetched immediately by the redirecting thread and pushes the target
+    host's queue clock. thr_pages > 0 enables the throughput kill-switch
+    (Fetcher.java:1330-1386): one check per virtual second, cumulative
+    violations, queues emptied at thr_retries.
+
     rows must already be in fetchlist order. Returns
     (url, host, fetch_status, seq, fetch_ts) tuples in emit order.
     """
     from nutch_spark import schemas as S
 
+    chains = chains or {}
     order: list[str] = []
     queues: dict[str, list[int]] = {}
     for i, r in enumerate(rows):
@@ -385,6 +399,9 @@ def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
     ready = {h: t0 for h in order}
     exc = {h: 0 for h in order}
     threads_free = [t0] * max(1, threads)
+    # chain continuation per thread: [hops, idx, prev_url, prev_host,
+    # temp_prev, count]
+    chain_state: dict[int, list] = {}
 
     def gated(r):
         cd = r.get("crawl_delay")
@@ -392,10 +409,7 @@ def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
             return True
         return not bool(r.get("robots_allowed", False))
 
-    def status_of(r):
-        if gated(r):
-            return S.STATUS_FETCH_GONE
-        ps = r.get("page_status")
+    def map_status(ps):
         return {
             None: S.STATUS_FETCH_GONE,
             "ok": S.STATUS_FETCH_SUCCESS,
@@ -405,11 +419,85 @@ def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
             "gone": S.STATUS_FETCH_GONE,
         }.get(ps, S.STATUS_FETCH_RETRY)
 
+    def status_of(r):
+        return S.STATUS_FETCH_GONE if gated(r) else map_status(r.get("page_status"))
+
+    def ensure_queue(h, cd_ms):
+        if h not in queues:
+            queues[h] = []
+            order.append(h)
+            delay[h] = int(cd_ms) if cd_ms is not None else server_delay_ms
+            ready[h] = t0
+            exc[h] = 0
+        elif cd_ms is not None:
+            delay[h] = int(cd_ms)
+
     out: list[tuple] = []
     remaining = len(rows)
-    while remaining > 0:
+    pages_total = pages_prev = violations = 0
+    next_tick = t0 + 1000
+    thr = thr_pages
+    while remaining > 0 or chain_state:
         ti = min(range(len(threads_free)), key=lambda t: (threads_free[t], t))
         now = threads_free[ti]
+        if thr > 0:
+            while next_tick <= now:
+                if thr_check_after < 0 or next_tick - t0 >= thr_check_after:
+                    if pages_total - pages_prev < thr:
+                        violations += 1
+                        if violations >= thr_retries:
+                            thr = -1
+                            remaining = 0
+                            for h in order:
+                                queues[h].clear()
+                            break
+                pages_prev = pages_total
+                next_tick += 1000
+            if remaining == 0 and not chain_state:
+                break
+        st = chain_state.pop(ti, None)
+        if st is not None:
+            hops, idx, prev_url, prev_host, temp_prev, count = st
+            if idx >= len(hops):
+                continue
+            ent = hops[idx]
+            t_url, t_host = ent["url"], ent["host"]
+            if t_url is None or t_url == prev_url:
+                continue
+            if ignore_external and t_host != prev_host:
+                continue
+            count += 1
+            if count > max_redirect:
+                out.append((t_url, t_host or "", int(S.STATUS_FETCH_GONE), len(out), now))
+                continue
+            cd = ent.get("crawl_delay")
+            cd_ms = cd * 1000 if cd is not None else None
+            if not bool(ent.get("robots_allowed", False)) or (
+                cd_ms is not None and cd_ms > max_crawl_delay_ms
+            ):
+                out.append((t_url, t_host or "", int(S.STATUS_FETCH_GONE), len(out), now))
+                continue
+            ensure_queue(t_host or "", cd_ms)
+            ps = ent.get("page_status")
+            out.append((t_url, t_host or "", int(map_status(ps)), len(out), now))
+            if ps == "ok":
+                pages_total += 1
+            en = now + duration_ms
+            threads_free[ti] = en
+            h = t_host or ""
+            ready[h] = max(ready[h], en + delay[h])
+            if ps is not None and ps not in ("ok", "redir_perm", "redir_temp", "notmodified", "gone"):
+                exc[h] += 1
+                if max_exc >= 0 and exc[h] >= max_exc:
+                    remaining -= len(queues[h])
+                    queues[h].clear()
+            if ps in ("redir_perm", "redir_temp"):
+                chain_state[ti] = [hops, idx + 1, t_url, t_host,
+                                   ps == "redir_temp", count]
+            continue
+        if remaining == 0:
+            threads_free[ti] = now + duration_ms
+            continue
         pick = None
         for h in order:
             if queues[h] and ready[h] <= now:
@@ -428,12 +516,18 @@ def simulate_fetch_reference(rows: list[dict], threads: int, duration_ms: int,
         end = now + duration_ms
         threads_free[ti] = end
         ps = r.get("page_status")
+        if ps == "ok":
+            pages_total += 1
         if ps is not None and ps not in ("ok", "redir_perm", "redir_temp", "notmodified", "gone"):
             exc[pick] += 1
             if max_exc >= 0 and exc[pick] >= max_exc:
                 remaining -= len(queues[pick])
                 queues[pick].clear()
         ready[pick] = end + delay[pick]
+        if (max_redirect > 0 and ps in ("redir_perm", "redir_temp")
+                and chains.get(r["url"])):
+            chain_state[ti] = [chains[r["url"]], 0, r["url"],
+                               r.get("host") or "", ps == "redir_temp", 0]
     return out
 
 
@@ -443,11 +537,11 @@ def _sql_str(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def sql_fetch_kernel(rows: list[dict], threads: int, duration_ms: int,
-                     server_delay_ms: int, max_crawl_delay_ms: int,
-                     max_exc: int, t0: int) -> str:
-    sim = simulate_fetch_reference(rows, threads, duration_ms, server_delay_ms,
-                                   max_crawl_delay_ms, max_exc, t0)
+def sql_fetch_kernel(rows: list[dict], **sim_kwargs) -> str:
+    """Render the independent scheduler simulation as a SQL VALUES oracle.
+    Accepts every simulate_fetch_reference knob (redirect chains,
+    throughput kill-switch, ...)."""
+    sim = simulate_fetch_reference(rows, **sim_kwargs)
     vals = ", ".join(
         f"({_sql_str(u)}, {_sql_str(h)}, {st}, {seq}, {ts})"
         for u, h, st, seq, ts in sim
