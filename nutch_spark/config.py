@@ -86,6 +86,10 @@ class CrawlConfig:
     db_score_count_filtered: bool = False    # db.score.count.filtered
     db_update_max_inlinks: int = 10_000      # db.update.max.inlinks (top-K inlink cap)
     indexer_score_power: float = 0.5         # indexer.score.power
+    # parse-metatags + index-metadata + index-static + tld plugins
+    metatags_names: tuple = ("*",)           # metatags.names (parse-metatags; '*' = all)
+    index_parse_md: tuple = ()               # index.parse.md (index-metadata parse keys)
+    index_static: str = ""                   # index.static ("f1:v1 v2,f2:v3")
 
     # --- updatedb / schedule (reference: crawl/AbstractFetchSchedule.java:105-141) ---
     db_fetch_retry_max: int = 3              # db.fetch.retry.max

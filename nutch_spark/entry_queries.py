@@ -492,6 +492,64 @@ FROM frontier f JOIN parsed p ON f.url = p.from_url
 """
 
 
+def q_index_fields(spark, sf_dir):
+    """I3 leftovers through the REAL build_index: tld field (plugin/tld
+    TLDIndexingFilter.java:50-53), metatag.* fields (parse-metatags
+    MetaTagsParser.java:79-93 -> index-metadata MetadataIndexer.java:48-54,
+    incl. key lowercasing and index.parse.md filtering), and index-static
+    constants (StaticFieldIndexer.java:44-68)."""
+    from nutch_spark import schemas
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index
+
+    cfg = CrawlConfig(
+        index_parse_md=("metatag.keywords", "metatag.description"),
+        index_static="collection:web crawl, source : sim, malformed-entry",
+    )
+    f = derived_frontier(spark, sf_dir)
+    fetch_out = f.select(
+        "url",
+        F.lit(schemas.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.col("fetch_time").alias("fetch_ts"),
+        (F.col("retries") * 100 + 1000).alias("content_length"),
+    )
+    parse_text = f.select("url", F.concat(F.lit("body "), F.col("url")).alias("text"))
+    parse_data = f.select(
+        "url",
+        F.concat(F.lit("T "), F.col("host")).alias("title"),
+        F.create_map(
+            F.lit("Keywords"), F.concat(F.lit("k-"), F.col("host")),  # case-lowered
+            F.lit("description"), F.col("signature"),
+            F.lit("viewport"), F.lit("w=1024"),  # not in index.parse.md -> dropped
+        ).alias("meta"),
+    )
+    idx = build_index(f, fetch_out, parse_text, parse_data, None, cfg)
+    return idx.select(
+        "url", "tld",
+        F.round(F.col("boost"), 4).alias("boost"),
+        F.element_at("metatags", "metatag.keywords").alias("kw"),
+        F.element_at("metatags", "metatag.description").alias("descr"),
+        F.element_at("metatags", "metatag.viewport").alias("vp"),
+        F.element_at("static_fields", "collection").alias("collection"),
+        F.element_at("static_fields", "source").alias("source"),
+    )
+
+
+SQL_INDEX_FIELDS = f"""
+WITH {FRONTIER_CTE}
+SELECT url,
+       'com' AS tld,
+       ROUND(SQRT(score), 4) AS boost,
+       'k-' || host AS kw,
+       signature AS descr,
+       CAST(NULL AS VARCHAR) AS vp,
+       'web crawl' AS collection,
+       'sim' AS source
+FROM frontier
+WHERE status NOT IN (3, 6)
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     """A9: DomainStatistics — url counts per host suffix bucket
     (util/domain/DomainStatistics.java:47+)."""
@@ -1959,6 +2017,7 @@ QUERIES: dict[str, tuple] = {
     "crawldb_merge": (q_crawldb_merge, SQL_CRAWLDB_MERGE),
     "index_dedup": (q_index_dedup, SQL_INDEX_DEDUP),
     "indexer_join": (q_indexer_join, SQL_INDEXER_JOIN),
+    "index_fields": (q_index_fields, SQL_INDEX_FIELDS),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "score_updater": (q_score_updater, SQL_SCORE_UPDATER),

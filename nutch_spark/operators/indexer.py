@@ -12,6 +12,15 @@
 - SolrDeleteDuplicates (indexer/solr/SolrDeleteDuplicates.java:60+): among
   docs with equal signature keep the highest-scoring (then shortest URL) —
   a window dedupe.
+- tld filter (plugin/tld TLDIndexingFilter.java:44-59): `tld` field =
+  the url host's domain suffix.
+- parse-metatags -> index-metadata (plugin/parse-metatags
+  MetaTagsParser.java:61-108 + plugin/index-metadata
+  MetadataIndexer.java:48-66): general meta tags prefixed `metatag.<name>`,
+  indexed when listed in index.parse.md.
+- index-static (plugin/index-static StaticFieldIndexer.java:44-68):
+  constant field:value pairs from index.static on every doc (the reference
+  space-splits values into a multi-valued field; kept as the raw string).
 
 The "index" here is a table (the Solr sink is a writer swap in production).
 """
@@ -23,7 +32,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
 from nutch_spark.functions.dates import http_date_format_udf
-from nutch_spark.functions.urls import domain_udf, host_col
+from nutch_spark.functions.urls import domain_udf, host_col, suffix_udf
+
+
+def parse_static_fields(conf: str) -> dict[str, str]:
+    """index.static parser (StaticFieldIndexer.parseFields): comma-separated
+    name:value pairs; malformed entries dropped."""
+    out: dict[str, str] = {}
+    for field in (conf or "").split(","):
+        entry = field.split(":")
+        if len(entry) == 2:
+            out[entry[0].strip()] = entry[1].strip()
+    return out
 
 
 def build_index(
@@ -46,10 +66,12 @@ def build_index(
         # robots-noindex pages never reach the index (X6; IndexerMapReduce
         # honors the meta directive via the parse status)
         pd_cols = parse_data.filter(~F.coalesce(F.col("noindex"), F.lit(False)))
+    want_meta = bool(cfg.index_parse_md) and "meta" in parse_data.columns
+    pd_sel = ["url", "title"] + (["meta"] if want_meta else [])
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
-        .join(pd_cols.select("url", "title"), "url", "inner")
+        .join(pd_cols.select(*pd_sel), "url", "inner")
     )
     if linkdb is not None:
         anchors = linkdb.select(
@@ -76,7 +98,35 @@ def build_index(
         # contentLength; content-type is constant text/html in this corpus)
         F.col("content_length").alias("content_length"),
         http_date_format_udf(F.col("fetch_ts")).alias("date"),
+        # tld plugin: the host's domain suffix (TLDIndexingFilter.java:50-53)
+        suffix_udf(F.col("url")).alias("tld"),
+        _metatags_col(cfg, want_meta).alias("metatags"),
+        _static_fields_col(cfg).alias("static_fields"),
     )
+
+
+def _metatags_col(cfg: CrawlConfig, want_meta: bool):
+    """parse-metatags + index-metadata composition: general meta tags ->
+    `metatag.<lowername>` (MetaTagsParser.java:79-93, filtered by
+    metatags.names), then only index.parse.md-listed keys reach the doc
+    (MetadataIndexer.java:48-54)."""
+    if not want_meta:
+        return F.lit(None).cast("map<string,string>")
+    meta = F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>"))
+    names = tuple(n.lower() for n in cfg.metatags_names)
+    if "*" not in names:
+        meta = F.map_filter(meta, lambda k, _: F.lower(k).isin(*names))
+    prefixed = F.transform_keys(meta, lambda k, _: F.concat(F.lit("metatag."), F.lower(k)))
+    wanted = tuple(cfg.index_parse_md)
+    return F.map_filter(prefixed, lambda k, _: k.isin(*wanted))
+
+
+def _static_fields_col(cfg: CrawlConfig):
+    fields = parse_static_fields(cfg.index_static)
+    if not fields:
+        return F.lit(None).cast("map<string,string>")
+    kv = [F.lit(x) for pair in fields.items() for x in pair]
+    return F.create_map(*kv)
 
 
 def dedup_index(index: DataFrame) -> DataFrame:

@@ -585,7 +585,9 @@ def run_parse(
         links = links.cache()  # used by parse_data, OPIC distribution, linked rows
 
     # parse_data: title + meta directives + ordered outlinks per page
-    titles = docs_nested.select("doc_id", "title", "noindex", "nofollow")
+    # `meta` (general meta tags) rides into parse_data for the
+    # parse-metatags -> index-metadata handoff (indexer._metatags_col)
+    titles = docs_nested.select("doc_id", "title", "noindex", "nofollow", "meta")
     parse_data = (
         links.groupBy("url")
         .agg(

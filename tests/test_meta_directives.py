@@ -114,3 +114,34 @@ def test_run_parse_honors_directives(spark):
     finally:
         parsed["docs_nested"].unpersist()
         parsed["links"].unpersist()
+
+
+def test_index_static_tld_metatag_fields(spark):
+    """I3 leftovers: tld suffix field, metatag.* (lowercased, index.parse.md
+    filtered), index-static constants (incl. malformed-entry drop)."""
+    from nutch_spark import schemas as S
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index, parse_static_fields
+
+    assert parse_static_fields("a:1, b : x y ,junk,c:d:e") == {"a": "1", "b": "x y"}
+
+    cfg = CrawlConfig(index_parse_md=("metatag.keywords",),
+                      index_static="collection:web")
+    frontier = spark.createDataFrame(
+        [("http://x.example.co.uk/a", S.STATUS_DB_FETCHED, 1.0, 0, "sig1")],
+        "url string, status int, score float, fetch_time long, signature string",
+    )
+    fetch_out = spark.createDataFrame(
+        [("http://x.example.co.uk/a", S.STATUS_FETCH_SUCCESS, 5, 10)],
+        "url string, fetch_status int, fetch_ts long, content_length long",
+    )
+    ptext = spark.createDataFrame([("http://x.example.co.uk/a", "body")],
+                                  "url string, text string")
+    pdata = spark.createDataFrame(
+        [("http://x.example.co.uk/a", "t", {"Keywords": "K", "other": "o"})],
+        "url string, title string, meta map<string,string>",
+    )
+    row = build_index(frontier, fetch_out, ptext, pdata, None, cfg).collect()[0]
+    assert row.tld == "co.uk"
+    assert row.metatags == {"metatag.keywords": "K"}  # lowered + filtered
+    assert row.static_fields == {"collection": "web"}
