@@ -1999,6 +1999,96 @@ SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
 """
 
 
+def q_feed_parse(spark, sf_dir):
+    """X12 parse-feed (plugin/feed FeedParser.java:106-150,221-287): RSS
+    fixture built JVM-side from orders keys; the distributed kernel under
+    test is the feed MIME-family extractor (entry link normalize+filter,
+    html-subparsed bodies, feed/author/tags/published meta, the feed doc
+    itself). One output row per span."""
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    n_items = k % 3 + 1
+    day = k % 28 + 1
+
+    def item(j):
+        anchor = F.when(
+            j == 0,
+            F.format_string(
+                " &lt;a href=&quot;http://feed%d.example.com/n/0&quot;&gt;more&lt;/a&gt;", k
+            ),
+        ).otherwise(F.lit(""))
+        return F.format_string(
+            "<item><title>Post %d-%d</title>"
+            "<link>http://feed%d.example.com/p/%d</link>"
+            "<description>&lt;p&gt;body %d %d&lt;/p&gt;%s</description>"
+            "<author>a%d</author><category>c%d</category><category>c%d</category>"
+            "<pubDate>Mon, %02d Jan 2008 %02d:00:00 GMT</pubDate></item>",
+            k, j, k, j, k, j, anchor, (k + j) % 7, k % 3, (k + 1) % 3, day, j % 24,
+        )
+
+    items = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n_items - 1), item), ""
+    )
+    content = F.format_string(
+        '<rss version="2.0"><channel><title>Feed %d</title>'
+        "<link>http://feed%d.example.com/</link>"
+        "<description>chan %d</description>%s</channel></rss>",
+        k, k, k, items,
+    )
+    cdf = o.select(
+        F.format_string("http://feed%d.example.com/feed.xml", k).alias("url"),
+        content.alias("content"),
+        F.lit("application/rss+xml").alias("content_type"),
+    )
+    docs = extract_documents_by_mime(cdf)
+    return docs.select("doc_id", "title", "meta", F.explode("spans").alias("s")).select(
+        "doc_id",
+        "title",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("meta").getItem("feed").alias("feed"),
+        F.col("meta").getItem("author").alias("author"),
+        F.col("meta").getItem("tags").alias("tags"),
+        F.col("meta").getItem("published").alias("published"),
+    )
+
+
+SQL_FEED_PARSE = """
+WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+e AS (SELECT k, j FROM ks, range(3) t(j) WHERE j < k % 3 + 1),
+meta AS (
+  SELECT k, j,
+    'http://feed' || k || '.example.com/p/' || j AS doc_id,
+    'Post ' || k || '-' || j AS title,
+    'http://feed' || k || '.example.com/' AS feed,
+    'a' || ((k + j) % 7) AS author,
+    'c' || (k % 3) || chr(9) || 'c' || ((k + 1) % 3) AS tags,
+    CAST(epoch_ms(make_timestamp(2008, 1, CAST(1 + k % 28 AS INT),
+                                 CAST(j % 24 AS INT), 0, 0)) AS VARCHAR) AS published
+  FROM e)
+SELECT doc_id, title, CAST(0 AS BIGINT) AS "offset", 'text' AS kind,
+       'body ' || k || ' ' || j AS text, CAST(NULL AS VARCHAR) AS media_ref,
+       feed, author, tags, published
+FROM meta
+UNION ALL
+SELECT doc_id, title, CAST(1 AS BIGINT), 'link', 'more',
+       'http://feed' || k || '.example.com/n/0', feed, author, tags, published
+FROM meta WHERE j = 0
+UNION ALL
+SELECT 'http://feed' || k || '.example.com/feed.xml', 'Feed ' || k,
+       CAST(0 AS BIGINT), 'text', 'chan ' || k, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ks
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # SQL-oracled operators
     "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
@@ -2048,6 +2138,7 @@ QUERIES: dict[str, tuple] = {
     "loops": (q_loops, SQL_LOOPS),
     "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
     "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
+    "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -348,6 +348,12 @@ def _zip_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 # dispatch by contentType): content_type prefix -> per-frame extractor.
 # Unregistered types are skipped, like ParseSegment's ParserNotFound path.
 # First matching prefix wins (iteration order).
+def _feed_pdf_lazy(pdf: pd.DataFrame) -> pd.DataFrame:
+    from nutch_spark.operators.feedparse import _feed_pdf
+
+    return _feed_pdf(pdf)
+
+
 MIME_PARSERS = {
     "text/html": extract_documents_pdf,
     "application/xhtml": extract_documents_pdf,
@@ -356,6 +362,11 @@ MIME_PARSERS = {
     "text/javascript": _js_pdf,
     "application/x-javascript": _js_pdf,
     "application/zip": _zip_pdf,
+    # parse-feed (plugin/feed FeedParser.java): one parse per entry + the
+    # feed doc itself; see operators/feedparse.py
+    "application/rss": _feed_pdf_lazy,
+    "application/atom": _feed_pdf_lazy,
+    "text/xml": _feed_pdf_lazy,
 }
 
 _DOCS_NESTED_COLS = ["doc_id", "title", "noindex", "nofollow",
