@@ -90,6 +90,15 @@ class CrawlConfig:
     metatags_names: tuple = ("*",)           # metatags.names (parse-metatags; '*' = all)
     index_parse_md: tuple = ()               # index.parse.md (index-metadata parse keys)
     index_static: str = ""                   # index.static ("f1:v1 v2,f2:v3")
+    # headings / microformats-reltag / subcollection / language-identifier
+    # plugins (all off by default, matching plugin.includes in the
+    # reference's nutch-default.xml)
+    headings: tuple = ()                     # headings conf, e.g. ("h1", "h2")
+    index_reltag: bool = False               # expose rel-tag anchors as `tag`
+    index_lang: bool = False                 # language-identifier `lang` field
+    # ((name, whitelist_tuple, blacklist_tuple), ...) — Subcollection
+    # white/black substring lists (plugin/subcollection Subcollection.java)
+    subcollections: tuple = ()
 
     # --- updatedb / schedule (reference: crawl/AbstractFetchSchedule.java:105-141) ---
     db_fetch_retry_max: int = 3              # db.fetch.retry.max

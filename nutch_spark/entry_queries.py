@@ -1999,6 +1999,143 @@ SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
 """
 
 
+def q_url_validator(spark, sf_dir):
+    """urlfilter-validator (UrlValidator.java:152-343) over a 12-variant
+    fixture with validity known by construction: scheme/authority/tld/port/
+    path-dots/ascii rules all exercised; the Spark side is the native
+    Catalyst cascade (UrlValidatorFilter.col)."""
+    from nutch_spark.functions.urlfilters import UrlValidatorFilter
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    v = k % 12
+    url = (
+        F.when(v == 0, F.format_string("http://h%d.example.com/p/%d", k, k))
+        .when(v == 1, F.format_string("http://h%d.example.com:8080/p", k))
+        .when(v == 2, F.format_string("http://256.1.2.%d/x", k % 256))
+        .when(v == 3, F.format_string("http://1.2.3.%d/ok", k % 256))
+        .when(v == 4, F.format_string("http://h%d.example.comics/", k))
+        .when(v == 5, F.format_string("http://h%d_x.example.com/", k))
+        .when(v == 6, F.format_string("h%d.example.com/nope", k))
+        .when(v == 7, F.format_string("http://h%d.example.com/a/../..", k))
+        .when(v == 8, F.format_string("http://h%d.example.com/a/b/../c", k))
+        .when(v == 9, F.format_string("http://h%d.example.com/q?x=%d", k, k))
+        .when(v == 10, F.format_string("http://h%d.example.com/sp ace", k))
+        .otherwise(F.format_string("ftp://h%d.example.com:21/f", k))
+    )
+    return o.select(
+        "k",
+        url.alias("url"),
+        UrlValidatorFilter().col(url).alias("valid"),
+    )
+
+
+SQL_URL_VALIDATOR = """
+SELECT k, url, (k % 12) IN (0, 1, 3, 8, 9, 11) AS valid FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+    CASE o_orderkey % 12
+      WHEN 0 THEN 'http://h' || o_orderkey || '.example.com/p/' || o_orderkey
+      WHEN 1 THEN 'http://h' || o_orderkey || '.example.com:8080/p'
+      WHEN 2 THEN 'http://256.1.2.' || (o_orderkey % 256) || '/x'
+      WHEN 3 THEN 'http://1.2.3.' || (o_orderkey % 256) || '/ok'
+      WHEN 4 THEN 'http://h' || o_orderkey || '.example.comics/'
+      WHEN 5 THEN 'http://h' || o_orderkey || '_x.example.com/'
+      WHEN 6 THEN 'h' || o_orderkey || '.example.com/nope'
+      WHEN 7 THEN 'http://h' || o_orderkey || '.example.com/a/../..'
+      WHEN 8 THEN 'http://h' || o_orderkey || '.example.com/a/b/../c'
+      WHEN 9 THEN 'http://h' || o_orderkey || '.example.com/q?x=' || o_orderkey
+      WHEN 10 THEN 'http://h' || o_orderkey || '.example.com/sp ace'
+      ELSE 'ftp://h' || o_orderkey || '.example.com:21/f'
+    END AS url
+  FROM orders)
+"""
+
+
+def q_index_plugins(spark, sf_dir):
+    """headings + microformats-reltag + subcollection + language-identifier
+    through the REAL parse kernel and build_index: html built JVM-side with
+    h1 (nested-element exclusion), a rel=tag anchor (url-decoded last path
+    segment), and a conditional content-language meta; subcollection
+    white/blacklists over the url; lang = meta declaration else the n-gram
+    identifier (LanguageIndexingFilter.java:55-70)."""
+    from nutch_spark import schemas
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    cfg = CrawlConfig(
+        headings=("h1", "h2"),
+        index_reltag=True,
+        index_lang=True,
+        subcollections=(
+            ("colA", ("/order/",), ()),
+            ("colB", (".example.com",), ("//h1.",)),
+        ),
+    )
+    f = derived_frontier(spark, sf_dir)
+    key = F.regexp_extract(F.col("url"), r"/order/(\d+)$", 1).cast("long")
+    lang_meta = F.when(
+        key % 4 == 0, F.lit('<meta name="content-language" content="fr">')
+    ).otherwise(F.lit(""))
+    content = F.format_string(
+        '%s<title>T %s</title><h1>H <b>x</b> %d</h1><p>the data of %d</p>'
+        '<a href="http://t.example.com/tag/t%%20%d" rel="tag">t</a>',
+        lang_meta, F.col("host"), key, key, key % 5,
+    )
+    docs = extract_documents_by_mime(
+        f.select(
+            "url", content.alias("content"), F.lit("text/html").alias("content_type")
+        )
+    )
+    parse_data = docs.select(
+        F.col("doc_id").alias("url"), "title", "meta", "noindex"
+    )
+    parse_text = docs.select(
+        F.col("doc_id").alias("url"),
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    fetch_out = f.select(
+        "url",
+        F.lit(schemas.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.col("fetch_time").alias("fetch_ts"),
+        F.lit(1000).alias("content_length"),
+    )
+    idx = build_index(f, fetch_out, parse_text, parse_data, None, cfg)
+    return idx.select(
+        "url",
+        "title",
+        F.element_at("headings", "h1").alias("h1"),
+        F.array_join("tag", ",").alias("tag"),
+        F.array_join("subcollection", ",").alias("subcoll"),
+        "lang",
+    )
+
+
+SQL_INDEX_PLUGINS = f"""
+WITH {FRONTIER_CTE},
+keyed AS (
+  SELECT url, host,
+         CAST(regexp_extract(url, '/order/(\\d+)$', 1) AS BIGINT) AS k
+  FROM frontier WHERE status NOT IN (3, 6)
+)
+SELECT url,
+       'T ' || host AS title,
+       'H  ' || k AS h1,
+       't ' || (k % 5) AS tag,
+       CASE WHEN host = 'h1.example.com' THEN 'colA' ELSE 'colA,colB' END AS subcoll,
+       CASE WHEN k % 4 = 0 THEN 'fr' ELSE 'en' END AS lang
+FROM keyed
+"""
+
+
 def q_feed_parse(spark, sf_dir):
     """X12 parse-feed (plugin/feed FeedParser.java:106-150,221-287): RSS
     fixture built JVM-side from orders keys; the distributed kernel under
@@ -2139,6 +2276,8 @@ QUERIES: dict[str, tuple] = {
     "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
     "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
     "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
+    "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
+    "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)

@@ -144,3 +144,148 @@ class DomainUrlFilter:
             return DomainUrlFilter(entries).accepts_series(urls)
 
         return _accepts
+
+
+# ---------------------------------------------------------------------------
+# urlfilter-validator (plugin/urlfilter-validator UrlValidator.java) — the
+# commons-validator RFC-2396 syntactic gate. Exact port of the regex
+# cascade, including its quirks: TLD length 2-4, overlapping "//" / ".."
+# token counts (countToken advances by one char, UrlValidator.java:355-367),
+# and an authority char class without "_" (AUTHORITY_CHARS, :65).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# UrlValidator.java:54-129 pattern constants
+_V_SPECIAL = ";/@&=,.?:+$"
+_V_ATOM = rf"[^\s{_re.escape(_V_SPECIAL)}]+"
+_V_URL_RE = _re.compile(r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?")
+_V_LEGAL_ASCII_RE = _re.compile(r"^[\x21-\x7E]+$")
+_V_SCHEME_RE = _re.compile(r"^[a-zA-Z]+$")
+_V_AUTHORITY_RE = _re.compile(r"^([a-zA-Z0-9\-\.]*)(:\d*)?(.*)?")
+_V_IPV4_RE = _re.compile(r"^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$")
+_V_DOMAIN_RE = _re.compile(rf"^{_V_ATOM}(\.{_V_ATOM})*$")
+_V_PORT_RE = _re.compile(r"^:(\d{1,5})$")
+_V_PATH_RE = _re.compile(r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?$")
+_V_ALPHA_RE = _re.compile(r"^[a-zA-Z]")
+
+
+def _count_token(token: str, target: str) -> int:
+    """countToken (UrlValidator.java:355-367): overlapping occurrences."""
+    idx = count = 0
+    while True:
+        idx = target.find(token, idx)
+        if idx < 0:
+            return count
+        idx += 1
+        count += 1
+
+
+class UrlValidatorFilter:
+    """filter(url) -> url | None; accepts() is the boolean core
+    (UrlValidator.isValid, :152-184)."""
+
+    def accepts(self, url: str | None) -> bool:
+        if url is None or not _V_LEGAL_ASCII_RE.match(url):
+            return False
+        m = _V_URL_RE.match(url)  # always matches (all groups optional)
+        scheme, authority, path = m.group(2), m.group(4), m.group(5)
+        # scheme (:194-200)
+        if scheme is None or not _V_SCHEME_RE.match(scheme):
+            return False
+        # authority (:209-297)
+        if authority is None:
+            return False
+        am = _V_AUTHORITY_RE.match(authority)
+        host_ip, port, extra = am.group(1), am.group(2), am.group(3)
+        ip = _V_IPV4_RE.match(host_ip)
+        if ip:
+            if any(int(seg) > 255 for seg in ip.groups()):
+                return False
+        else:
+            if not _V_DOMAIN_RE.match(host_ip):
+                return False
+            segs = host_ip.split(".")
+            top = segs[-1]
+            if not (2 <= len(top) <= 4) or not _V_ALPHA_RE.match(top):
+                return False
+            if len(segs) < 2:
+                return False
+        if port is not None and not _V_PORT_RE.match(port):
+            return False
+        if extra is not None and extra.strip():
+            return False
+        # path (:319-337)
+        if path is None or not _V_PATH_RE.match(path):
+            return False
+        slash2 = _count_token("//", path)
+        slash = _count_token("/", path)
+        dot2 = _count_token("..", path)
+        if not (dot2 <= 0 or (slash - slash2 - 1) > dot2):
+            return False
+        return True  # query (QUERY_PATTERN `^(.*)$`) cannot fail post-ascii
+
+    def accepts_series(self, urls: pd.Series) -> pd.Series:
+        return urls.map(self.accepts, na_action="ignore").fillna(False).astype(bool)
+
+    def col(self, url_col: Column) -> Column:
+        """Native Catalyst mirror of accepts(): regexp_extract cascade.
+        regexp_extract yields '' both for an absent group and an empty
+        match — the Java null-vs-empty cases all resolve to reject for
+        scheme/authority, so the collapse is semantics-preserving.
+        Overlapping token counts use a lookahead replace
+        (length delta of regexp_replace(x, '/(?=/)', ''))."""
+        u = url_col
+        url_pat = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
+        scheme = F.regexp_extract(u, url_pat, 2)
+        auth = F.regexp_extract(u, url_pat, 4)
+        path = F.regexp_extract(u, url_pat, 5)
+        auth_pat = r"^([a-zA-Z0-9\-\.]*)(:\d*)?(.*)?"
+        host_ip = F.regexp_extract(auth, auth_pat, 1)
+        port = F.regexp_extract(auth, auth_pat, 2)
+        extra = F.regexp_extract(auth, auth_pat, 3)
+
+        ipv4_pat = r"^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$"
+        is_ipv4 = host_ip.rlike(ipv4_pat)
+        octets_ok = F.lit(True)
+        for i in range(1, 5):
+            octets_ok = octets_ok & (
+                F.regexp_extract(host_ip, ipv4_pat, i).cast("int") <= 255
+            )
+        atom = _V_ATOM
+        is_domain = host_ip.rlike(rf"^{atom}(\.{atom})*$")
+        segs = F.split(host_ip, r"\.")
+        top = F.element_at(segs, -1)
+        domain_ok = (
+            is_domain
+            & F.length(top).between(2, 4)
+            & top.rlike("^[a-zA-Z]")
+            & (F.size(segs) >= 2)
+        )
+        host_ok = F.when(is_ipv4, octets_ok).otherwise(domain_ok)
+        port_ok = (port == "") | port.rlike(r"^:\d{1,5}$")
+        extra_ok = F.trim(extra) == ""
+
+        path_ok = path.rlike(r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?$")
+        slash = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+        slash2 = F.length(path) - F.length(F.regexp_replace(path, r"/(?=/)", ""))
+        dot2 = F.length(path) - F.length(F.regexp_replace(path, r"\.(?=\.)", ""))
+        dots_ok = (dot2 <= 0) | ((slash - slash2 - 1) > dot2)
+
+        return (
+            u.isNotNull()
+            & u.rlike(r"^[\x21-\x7E]+$")
+            & scheme.rlike("^[a-zA-Z]+$")
+            & host_ok
+            & port_ok
+            & extra_ok
+            & path_ok
+            & dots_ok
+        )
+
+    def udf(self):
+        @F.pandas_udf("boolean")
+        def _accepts(urls: pd.Series) -> pd.Series:
+            return UrlValidatorFilter().accepts_series(urls)
+
+        return _accepts

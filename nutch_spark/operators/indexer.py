@@ -67,7 +67,10 @@ def build_index(
         # honors the meta directive via the parse status)
         pd_cols = parse_data.filter(~F.coalesce(F.col("noindex"), F.lit(False)))
     want_meta = bool(cfg.index_parse_md) and "meta" in parse_data.columns
-    pd_sel = ["url", "title"] + (["meta"] if want_meta else [])
+    need_meta = "meta" in parse_data.columns and (
+        want_meta or bool(cfg.headings) or cfg.index_reltag or cfg.index_lang
+    )
+    pd_sel = ["url", "title"] + (["meta"] if need_meta else [])
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
@@ -102,6 +105,10 @@ def build_index(
         suffix_udf(F.col("url")).alias("tld"),
         _metatags_col(cfg, want_meta).alias("metatags"),
         _static_fields_col(cfg).alias("static_fields"),
+        _headings_col(cfg, need_meta).alias("headings"),
+        _reltag_col(cfg, need_meta).alias("tag"),
+        _subcollection_col(cfg).alias("subcollection"),
+        _lang_col(cfg, need_meta).alias("lang"),
     )
 
 
@@ -127,6 +134,67 @@ def _static_fields_col(cfg: CrawlConfig):
         return F.lit(None).cast("map<string,string>")
     kv = [F.lit(x) for pair in fields.items() for x in pair]
     return F.create_map(*kv)
+
+
+def _headings_col(cfg: CrawlConfig, need_meta: bool):
+    """headings plugin (HeadingsParseFilter.java:47-59): parse-meta
+    `heading.<tag>` entries -> bare `<tag>` keys, configured tags only."""
+    if not cfg.headings or not need_meta:
+        return F.lit(None).cast("map<string,string>")
+    meta = F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>"))
+    picked = F.map_filter(
+        meta, lambda k, _: k.isin(*[f"heading.{h}" for h in cfg.headings])
+    )
+    return F.transform_keys(picked, lambda k, _: F.substring(k, 9, 1 << 20))
+
+
+def _reltag_col(cfg: CrawlConfig, need_meta: bool):
+    """microformats-reltag (RelTagIndexingFilter.java:52-56): multi-valued
+    `tag` field from the tab-joined rel-tag parse meta."""
+    if not cfg.index_reltag or not need_meta:
+        return F.lit(None).cast("array<string>")
+    return F.split(F.col("meta").getItem("rel-tag"), "\t")
+
+
+def _subcollection_col(cfg: CrawlConfig):
+    """subcollection plugin (Subcollection.java:148-171 filter +
+    SubcollectionIndexingFilter.java:79-89): per collection, blacklist
+    substring match rejects, else whitelist substring match admits; the
+    field collects the names of admitting collections. Pure Catalyst —
+    `instr` per configured substring, no UDF."""
+    if not cfg.subcollections:
+        return F.lit(None).cast("array<string>")
+
+    def member(white: tuple, black: tuple):
+        hit = lambda s: F.instr(F.col("url"), s) > 0  # noqa: E731
+        blacklisted = F.lit(False)
+        for s in black:
+            blacklisted = blacklisted | hit(s)
+        whitelisted = F.lit(False)
+        for s in white:
+            whitelisted = whitelisted | hit(s)
+        return ~blacklisted & whitelisted
+
+    names = F.array(*[
+        F.when(member(white, black), F.lit(name))
+        for name, white, black in cfg.subcollections
+    ])
+    return F.filter(names, lambda x: x.isNotNull())
+
+
+def _lang_col(cfg: CrawlConfig, need_meta: bool):
+    """language-identifier (plugin/language-identifier
+    HTMLLanguageParser + LanguageIndexingFilter.java:55-70): the meta
+    content-language declaration wins, else the n-gram identifier over the
+    extracted text."""
+    if not cfg.index_lang:
+        return F.lit(None).cast("string")
+    from nutch_spark.functions.text import detect_language
+
+    detected = detect_language(F.col("text"))
+    if not need_meta:
+        return detected
+    return F.coalesce(F.col("meta").getItem("content-language"), detected)
 
 
 def dedup_index(index: DataFrame) -> DataFrame:

@@ -56,6 +56,72 @@ _META_RE = re.compile(
 )
 
 
+# headings plugin (plugin/headings HeadingsParseFilter.java:47-106): first
+# matching element in doc order; value = DIRECT text children only (nested
+# element subtrees excluded, getNodeValue:94-106). Reference quirk kept: the
+# value is stored UNtrimmed — `heading.trim()` discards its result
+# (HeadingsParseFilter.java:51) — and emptiness is checked on the raw value.
+# Keys land in parse meta under the reserved `heading.` prefix; the indexer
+# exposes the configured subset (cfg.headings).
+_HEADING_TAGS = ("h1", "h2")
+_HEADING_RES = {
+    h: re.compile(rf"<{h}[^>]*>(?P<inner>.*?)</{h}>", re.S | re.I)
+    for h in _HEADING_TAGS
+}
+_NESTED_EL_RE = re.compile(r"<(\w+)[^>]*>.*?</\1>", re.S)
+_ANY_TAG_RE = re.compile(r"<[^>]*>")
+
+# microformats-reltag (plugin/microformats-reltag RelTagParser.java:96-139):
+# <a rel="tag" href=...> anchors; tag = url-decoded last path segment of an
+# ABSOLUTE href (relative hrefs fail `new URL` and are skipped); TreeSet ->
+# sorted unique. Stored tab-joined under the reserved `rel-tag` meta key.
+_RELTAG_A_RE = re.compile(r"<a\b[^>]*\brel=[\"']?tag[\"']?[^>]*>", re.I)
+_HREF_ATTR_RE = re.compile(r"\bhref=[\"']([^\"']*)[\"']", re.I)
+
+
+def _heading_value(inner: str) -> str:
+    """Direct text children: strip nested element subtrees, then any
+    remaining unpaired tags."""
+    prev = None
+    while prev != inner:
+        prev = inner
+        inner = _NESTED_EL_RE.sub("", inner)
+    return _ANY_TAG_RE.sub("", inner)
+
+
+def _rel_tags(content: str) -> list[str]:
+    from urllib.parse import unquote, urlparse
+
+    tags = set()
+    for a in _RELTAG_A_RE.finditer(content):
+        m = _HREF_ATTR_RE.search(a.group(0))
+        if not m:
+            continue
+        u = urlparse(m.group(1))
+        if not u.scheme or not u.netloc:
+            continue  # relative href: new URL() throws -> tag skipped
+        tag = unquote(u.path.rsplit("/", 1)[-1])
+        if tag:
+            tags.add(tag)
+    return sorted(tags)
+
+
+def extract_heading_reltag_meta(content: str, general: dict) -> None:
+    """Mutates `general` with heading.<tag> and rel-tag entries. Substring
+    pre-tests keep the common no-headings/no-reltag page on the fast path."""
+    if "<h" in content or "<H" in content:
+        for h in _HEADING_TAGS:
+            m = _HEADING_RES[h].search(content)
+            if m:
+                val = _heading_value(m.group("inner"))
+                if len(val) > 0:
+                    general[f"heading.{h}"] = val
+    if "rel=" in content:
+        tags = _rel_tags(content)
+        if tags:
+            general["rel-tag"] = "\t".join(tags)
+
+
 def parse_meta_directives(content: str, base_url: str):
     """-> (noindex, nofollow, refresh_to, general_tags) with the reference's
     directive semantics: 'none' sets both, substring matches for
@@ -169,6 +235,7 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                               "media_ref": mch.group("href"), "offset": off})
             off += 1
         noindex, nofollow, refresh_to, general = parse_meta_directives(content or "", url)
+        extract_heading_reltag_meta(content or "", general)
         ids.append(url)
         titles.append(title)
         span_lists.append(spans)

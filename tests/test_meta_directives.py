@@ -145,3 +145,52 @@ def test_index_static_tld_metatag_fields(spark):
     assert row.tld == "co.uk"
     assert row.metatags == {"metatag.keywords": "K"}  # lowered + filtered
     assert row.static_fields == {"collection": "web"}
+
+
+def test_headings_extraction():
+    from nutch_spark.operators.parse import extract_heading_reltag_meta
+
+    g = {}
+    extract_heading_reltag_meta(
+        '<h1>Main <b>bold</b> head</h1><h2> sub </h2><h1>second</h1>', g)
+    # first element wins; nested subtree text excluded; UNtrimmed value
+    # (HeadingsParseFilter.java:51 discards trim()'s result)
+    assert g["heading.h1"] == "Main  head"
+    assert g["heading.h2"] == " sub "
+
+
+def test_headings_empty_value_not_stored():
+    from nutch_spark.operators.parse import extract_heading_reltag_meta
+
+    g = {}
+    extract_heading_reltag_meta("<h1><b>only nested</b></h1>", g)
+    assert "heading.h1" not in g
+
+
+def test_rel_tags():
+    from nutch_spark.operators.parse import extract_heading_reltag_meta
+
+    g = {}
+    extract_heading_reltag_meta(
+        '<a href="http://x.com/tag/b%20c" rel="tag">t</a>'
+        '<a rel="tag" href="http://x.com/tag/a">t</a>'
+        '<a href="/relative/tag/z" rel="tag">skipped</a>'  # new URL() throws
+        '<a href="http://x.com/tag/a" rel="tag">dup</a>'
+        '<a href="http://x.com/plain">no rel</a>', g)
+    # sorted unique (TreeSet), url-decoded last path segment
+    assert g["rel-tag"] == "a\tb c"
+
+
+def test_extractor_carries_heading_meta():
+    import pandas as pd
+
+    from nutch_spark.operators.parse import extract_documents_pdf
+
+    out = extract_documents_pdf(pd.DataFrame({
+        "url": ["http://h.example.com/"],
+        "content": ['<title>t</title><h1>Hi</h1>'
+                    '<a href="http://x.com/tag/go" rel="tag">g</a>'],
+    }))
+    meta = out.iloc[0]["meta"]
+    assert meta["heading.h1"] == "Hi"
+    assert meta["rel-tag"] == "go"

@@ -55,3 +55,39 @@ def test_domain_filter(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r.ok for r in df.select(f.udf()(F.col("url")).alias("ok")).collect()]
     assert got == [True, False, True]
+
+
+def test_url_validator(spark):
+    from nutch_spark.functions.urlfilters import UrlValidatorFilter
+
+    v = UrlValidatorFilter()
+    cases = {
+        "http://foo.bar.com/": True,
+        "ftp://foo.bar.com/": True,          # UrlValidator.java:35 doc example
+        "http://foo.com/a/b?q=1": True,
+        "http://1.2.3.4/x": True,
+        "http://256.2.3.4/": False,          # octet > 255
+        "http://foo_bar.com/": False,        # '_' outside AUTHORITY_CHARS
+        "http://foo.c/": False,              # tld length < 2
+        "http://foo.comics/": False,         # tld length > 4 (validator quirk)
+        "http://Foo.123/": False,            # tld must start alpha
+        "http://foo/": False,                # segCount < 2
+        "http://foo.com:8080/": True,
+        "http://foo.com:/": False,           # PORT_PATTERN needs 1-5 digits
+        "http://foo.com:123456/": False,
+        "http://foo.com/a/../..": False,     # dots rule
+        "http://foo.com/a/b/../c": True,
+        "http://foo.com/a//b": True,
+        "foo.com": False,                    # no scheme
+        "1ttp://foo.com/": False,            # SCHEME_PATTERN is alpha-only
+        "http://foo.com/sp ace": False,      # LEGAL_ASCII
+        "http://foo.com/%20ok": True,
+    }
+    # python port
+    for url, want in cases.items():
+        assert v.accepts(url) is want, url
+    assert v.accepts(None) is False
+    # Catalyst column mirrors the python port exactly
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["ok"] for r in df.select("url", v.col(F.col("url")).alias("ok")).collect()}
+    assert got == cases
