@@ -96,6 +96,7 @@ class CrawlConfig:
     headings: tuple = ()                     # headings conf, e.g. ("h1", "h2")
     index_reltag: bool = False               # expose rel-tag anchors as `tag`
     index_lang: bool = False                 # language-identifier `lang` field
+    index_cc: bool = False                   # creativecommons `cc` field
     # ((name, whitelist_tuple, blacklist_tuple), ...) — Subcollection
     # white/black substring lists (plugin/subcollection Subcollection.java)
     subcollections: tuple = ()

@@ -2069,6 +2069,7 @@ def q_index_plugins(spark, sf_dir):
         headings=("h1", "h2"),
         index_reltag=True,
         index_lang=True,
+        index_cc=True,
         subcollections=(
             ("colA", ("/order/",), ()),
             ("colB", (".example.com",), ("//h1.",)),
@@ -2079,10 +2080,28 @@ def q_index_plugins(spark, sf_dir):
     lang_meta = F.when(
         key % 4 == 0, F.lit('<meta name="content-language" content="fr">')
     ).otherwise(F.lit(""))
+    cc_bits = (
+        F.when(
+            key % 3 == 0,
+            F.lit(
+                '<!-- <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                ' xmlns:cc="http://web.resource.org/cc/">'
+                '<cc:License rdf:about="http://creativecommons.org/licenses/by-nc/2.0/"/>'
+                "</rdf:RDF> -->"
+            ),
+        )
+        .when(
+            key % 3 == 1,
+            F.lit('<a href="http://creativecommons.org/licenses/by/2.0/" rel="license">cc</a>'),
+        )
+        .otherwise(
+            F.lit('<a href="http://creativecommons.org/licenses/sa/1.0/">cc</a>')
+        )
+    )
     content = F.format_string(
         '%s<title>T %s</title><h1>H <b>x</b> %d</h1><p>the data of %d</p>'
-        '<a href="http://t.example.com/tag/t%%20%d" rel="tag">t</a>',
-        lang_meta, F.col("host"), key, key, key % 5,
+        '<a href="http://t.example.com/tag/t%%20%d" rel="tag">t</a>%s',
+        lang_meta, F.col("host"), key, key, key % 5, cc_bits,
     )
     docs = extract_documents_by_mime(
         f.select(
@@ -2116,6 +2135,7 @@ def q_index_plugins(spark, sf_dir):
         F.array_join("tag", ",").alias("tag"),
         F.array_join("subcollection", ",").alias("subcoll"),
         "lang",
+        F.array_join("cc", "|").alias("cc"),
     )
 
 
@@ -2131,7 +2151,12 @@ SELECT url,
        'H  ' || k AS h1,
        't ' || (k % 5) AS tag,
        CASE WHEN host = 'h1.example.com' THEN 'colA' ELSE 'colA,colB' END AS subcoll,
-       CASE WHEN k % 4 = 0 THEN 'fr' ELSE 'en' END AS lang
+       CASE WHEN k % 4 = 0 THEN 'fr' ELSE 'en' END AS lang,
+       CASE k % 3
+         WHEN 0 THEN 'license=http://creativecommons.org/licenses/by-nc/2.0/|by|nc|2.0|meta=rdf'
+         WHEN 1 THEN 'license=http://creativecommons.org/licenses/by/2.0/|by|2.0|meta=rel'
+         ELSE 'license=http://creativecommons.org/licenses/sa/1.0/|sa|1.0|meta=a'
+       END AS cc
 FROM keyed
 """
 

@@ -69,6 +69,7 @@ def build_index(
     want_meta = bool(cfg.index_parse_md) and "meta" in parse_data.columns
     need_meta = "meta" in parse_data.columns and (
         want_meta or bool(cfg.headings) or cfg.index_reltag or cfg.index_lang
+        or cfg.index_cc
     )
     pd_sel = ["url", "title"] + (["meta"] if need_meta else [])
     doc = (
@@ -109,6 +110,7 @@ def build_index(
         _reltag_col(cfg, need_meta).alias("tag"),
         _subcollection_col(cfg).alias("subcollection"),
         _lang_col(cfg, need_meta).alias("lang"),
+        _cc_col(cfg, need_meta).alias("cc"),
     )
 
 
@@ -195,6 +197,30 @@ def _lang_col(cfg: CrawlConfig, need_meta: bool):
     if not need_meta:
         return detected
     return F.coalesce(F.col("meta").getItem("content-language"), detected)
+
+
+def _cc_col(cfg: CrawlConfig, need_meta: bool):
+    """creativecommons (CCIndexingFilter.java:55-110): multi-valued `cc`
+    field — license=<url>, the /- path components after "licenses", then
+    meta=<location>, then the work type. Pure Catalyst over the parse-meta
+    entries."""
+    if not cfg.index_cc or not need_meta:
+        return F.lit(None).cast("array<string>")
+    url = F.col("meta").getItem("license-url")
+    loc = F.col("meta").getItem("license-location")
+    wtype = F.col("meta").getItem("work-type")
+    path = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    toks = F.filter(F.split(path, "[/-]"), lambda x: x != F.lit(""))
+    feats = F.slice(toks, 2, 1 << 20)  # drop the leading "licenses" token
+    arr = lambda c: F.array(c)  # noqa: E731
+    empty = F.array().cast("array<string>")
+    cc = F.concat(
+        F.when(url.isNotNull(), F.concat(arr(F.concat(F.lit("license="), url)), feats))
+        .otherwise(empty),
+        F.when(loc.isNotNull(), arr(F.concat(F.lit("meta="), loc))).otherwise(empty),
+        F.when(wtype.isNotNull(), arr(wtype)).otherwise(empty),
+    )
+    return F.when(F.size(cc) > 0, cc)
 
 
 def dedup_index(index: DataFrame) -> DataFrame:

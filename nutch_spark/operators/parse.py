@@ -122,6 +122,101 @@ def extract_heading_reltag_meta(content: str, general: dict) -> None:
             general["rel-tag"] = "\t".join(tags)
 
 
+# creativecommons plugin (plugin/creativecommons CCParseFilter.java:62-280):
+# license detection priority rdf > rel=license anchor > plain CC anchor
+# (Walker.walk:71-83, locations "rdf"/"rel"/"a"); anchors must resolve to
+# http://creativecommons.org/licenses/<non-empty> (findLicenseUrl:127-156);
+# RDF rides HTML comments mentioning "RDF" + the cc namespace
+# (findRdf:176-256). Meta keys reserved: license-url / license-location /
+# work-type (CreativeCommons metadata names, lowercased like our other keys).
+_CC_NS = "http://web.resource.org/cc/"
+_DC_NS = "http://purl.org/dc/elements/1.1/"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_CC_WORK_TYPES = {  # CCParseFilter.java:259-269
+    "http://purl.org/dc/dcmitype/MovingImage": "video",
+    "http://purl.org/dc/dcmitype/StillImage": "image",
+    "http://purl.org/dc/dcmitype/Sound": "audio",
+    "http://purl.org/dc/dcmitype/Text": "text",
+    "http://purl.org/dc/dcmitype/Interactive": "interactive",
+    "http://purl.org/dc/dcmitype/Software": "software",
+    "http://purl.org/dc/dcmitype/Image": "image",
+}
+_COMMENT_RE = re.compile(r"<!--(.*?)-->", re.S)
+_A_TAG_RE = re.compile(r"<a\b[^>]*>", re.I)
+_REL_ATTR_RE = re.compile(r"\brel=[\"']([^\"']*)[\"']", re.I)
+
+
+def extract_cc_meta(content: str, base_url: str, general: dict) -> None:
+    """Mutates `general` with the CC license meta; substring pre-test keeps
+    unlicensed pages on the fast path."""
+    if "creativecommons.org" not in content and _CC_NS not in content:
+        return
+    from urllib.parse import urljoin, urlparse
+    from xml.etree import ElementTree as ET
+
+    rel_license = anchor_license = rdf_license = work_type = None
+    for a in _A_TAG_RE.finditer(content):
+        tag = a.group(0)
+        m = _HREF_ATTR_RE.search(tag)
+        if not m:
+            continue
+        try:
+            u = urljoin(base_url, m.group(1))
+        except ValueError:
+            continue  # malformed urls ignored (findLicenseUrl:155)
+        p = urlparse(u)
+        if (
+            p.scheme.lower() == "http"
+            and p.netloc.lower() == "creativecommons.org"
+            and p.path.startswith("/licenses/")
+            and len(p.path) > len("/licenses/")
+        ):
+            rm = _REL_ATTR_RE.search(tag)
+            if rm and rm.group(1) == "license" and rel_license is None:
+                rel_license = u
+            elif anchor_license is None:
+                anchor_license = u
+    for cm in _COMMENT_RE.finditer(content):
+        c = cm.group(1)
+        if "RDF" not in c or _CC_NS not in c:
+            continue
+        try:
+            doc = ET.fromstring(c.strip())
+        except ET.ParseError:
+            continue  # unparseable RDF skipped (findRdf:190-196)
+        roots = ([doc] if doc.tag == f"{{{_RDF_NS}}}RDF" else []) + doc.findall(
+            f".//{{{_RDF_NS}}}RDF"
+        )
+        if len(roots) != 1:
+            continue
+        rdf = roots[0]
+        for lic in rdf.iter(f"{{{_CC_NS}}}License"):
+            about = lic.get(f"{{{_RDF_NS}}}about")
+            if about is not None:
+                rdf_license = about  # last License wins (loop overwrite, :211)
+        if any(True for _ in rdf.iter(f"{{{_CC_NS}}}Work")):
+            # reference quirk kept: dc:type is searched under the RDF root,
+            # not under the Work element (findRdf:247-253), first type wins
+            for t in rdf.iter(f"{{{_DC_NS}}}type"):
+                res = t.get(f"{{{_RDF_NS}}}resource")
+                if res is not None:
+                    work_type = _CC_WORK_TYPES.get(res)
+                break
+    if rdf_license is not None:
+        url, loc = rdf_license, "rdf"
+    elif rel_license is not None:
+        url, loc = rel_license, "rel"
+    elif anchor_license is not None:
+        url, loc = anchor_license, "a"
+    else:
+        url = loc = None
+    if url is not None:
+        general["license-url"] = url
+        general["license-location"] = loc
+    if work_type is not None:
+        general["work-type"] = work_type
+
+
 def parse_meta_directives(content: str, base_url: str):
     """-> (noindex, nofollow, refresh_to, general_tags) with the reference's
     directive semantics: 'none' sets both, substring matches for
@@ -236,6 +331,7 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             off += 1
         noindex, nofollow, refresh_to, general = parse_meta_directives(content or "", url)
         extract_heading_reltag_meta(content or "", general)
+        extract_cc_meta(content or "", url, general)
         ids.append(url)
         titles.append(title)
         span_lists.append(spans)

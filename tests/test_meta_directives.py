@@ -194,3 +194,39 @@ def test_extractor_carries_heading_meta():
     meta = out.iloc[0]["meta"]
     assert meta["heading.h1"] == "Hi"
     assert meta["rel-tag"] == "go"
+
+
+def test_cc_meta_priority_and_rdf():
+    from nutch_spark.operators.parse import extract_cc_meta
+
+    # rdf beats rel beats plain anchor (Walker.walk:71-83)
+    g = {}
+    extract_cc_meta(
+        '<a href="http://creativecommons.org/licenses/sa/1.0/">plain</a>'
+        '<a href="http://creativecommons.org/licenses/by/2.0/" rel="license">r</a>'
+        '<!-- <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:cc="http://web.resource.org/cc/" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<cc:Work rdf:about=""><dc:type rdf:resource="http://purl.org/dc/dcmitype/Text"/></cc:Work>'
+        '<cc:License rdf:about="http://creativecommons.org/licenses/by-nc/2.0/"/>'
+        "</rdf:RDF> -->",
+        "http://h.example.com/", g)
+    assert g["license-url"] == "http://creativecommons.org/licenses/by-nc/2.0/"
+    assert g["license-location"] == "rdf"
+    assert g["work-type"] == "text"
+
+    # rel=license wins over a plain anchor; relative href resolves vs base
+    g = {}
+    extract_cc_meta(
+        '<a href="http://creativecommons.org/licenses/sa/1.0/">p</a>'
+        '<a href="/licenses/by/2.0/" rel="license">rel</a>',
+        "http://creativecommons.org/deed", g)
+    assert g["license-url"] == "http://creativecommons.org/licenses/by/2.0/"
+    assert g["license-location"] == "rel"
+
+    # bare /licenses/ path is too short; non-CC hosts ignored
+    g = {}
+    extract_cc_meta(
+        '<a href="http://creativecommons.org/licenses/">x</a>'
+        '<a href="http://other.com/licenses/by/2.0/">y</a>',
+        "http://h.example.com/", g)
+    assert "license-url" not in g
