@@ -17,6 +17,7 @@ columns by name).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -1999,6 +2000,176 @@ SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
 """
 
 
+def q_linkdb_merge(spark, sf_dir):
+    """A6 LinkDbMerger (crawl/LinkDbMerger.java:45+): union two linkdbs with
+    overlapping segments, dedupe (to,from) keeping the min anchor, re-cap
+    at db.max.inlinks=3 per target."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.linkdb import merge_linkdbs
+
+    cfg = CrawlConfig(db_max_inlinks=3)
+    e = derived_edges(spark, sf_dir).select("to_url", "from_url", "anchor", "segment")
+    db1 = e.filter(F.col("segment") <= 4).drop("segment")
+    db2 = e.filter(F.col("segment") >= 3).drop("segment")
+    return merge_linkdbs([db1, db2], cfg)
+
+
+SQL_LINKDB_MERGE = f"""
+WITH {EDGES_CTE},
+un AS (
+  SELECT to_url, from_url, anchor FROM edges WHERE segment <= 4
+  UNION ALL
+  SELECT to_url, from_url, anchor FROM edges WHERE segment >= 3
+),
+ded AS (
+  SELECT to_url, from_url, MIN(anchor) AS anchor FROM un GROUP BY to_url, from_url
+),
+capped AS (
+  SELECT to_url, from_url, anchor,
+         ROW_NUMBER() OVER (PARTITION BY to_url ORDER BY from_url) AS rn
+  FROM ded
+)
+SELECT to_url, from_url, anchor FROM capped WHERE rn <= 3
+"""
+
+
+def q_signatures(spark, sf_dir):
+    """C6 MD5Signature (crawl/MD5Signature.java:33-37) + C7
+    TextProfileSignature (crawl/TextProfileSignature.java:40-170) over a
+    fixture whose token profile is known by construction: counts a=2 b=3
+    c=1, max_freq 3 -> quant 2, c floored out, ties sorted token-asc ->
+    profile 't<k>a 2\\nt<k>b 2'."""
+    from nutch_spark.functions.signatures import (
+        md5_signature_col, text_profile_signature_udf,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    content = F.format_string("body %d", k)
+    text = F.format_string("t%da t%da t%db t%db t%db t%dc", k, k, k, k, k, k)
+    return o.select(
+        "k",
+        md5_signature_col(content).alias("md5_sig"),
+        text_profile_signature_udf(text).alias("profile_sig"),
+    )
+
+
+SQL_SIGNATURES = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       md5('body ' || o_orderkey) AS md5_sig,
+       md5('t' || o_orderkey || 'a 2' || chr(10) || 't' || o_orderkey || 'b 2') AS profile_sig
+FROM orders
+"""
+
+
+def q_repr_url(spark, sf_dir):
+    """C4 repr-URL on redirects (URLUtil.chooseRepr semantics as shipped in
+    functions/urls.choose_repr_url): permanent redirect -> target; temp
+    redirect -> source unless the target is same-host and strictly
+    shorter."""
+    from nutch_spark.functions.urls import choose_repr_url
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    v = k % 4
+    src = F.format_string("http://h%d.example.com/aaaa/%d", k, k)
+    dst = (
+        F.when(v == 0, F.format_string("http://h%d.example.com/p/%d", k, k))
+        .when(v == 1, F.format_string("http://h%d.example.com/b", k))
+        .when(v == 2, F.format_string("http://h%d.example.com/bbbbbbbbbbbbbbbbbbbbbbbb/%d", k, k))
+        .otherwise(F.format_string("http://other%d.example.com/b", k))
+    )
+    temp = v != 0
+
+    @F.pandas_udf("string")
+    def repr_udf(s: pd.Series, d: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [choose_repr_url(a, b, bool(c)) for a, b, c in zip(s, d, t)]
+        )
+
+    return o.select(
+        "k", src.alias("src"), dst.alias("dst"),
+        repr_udf(src, dst, temp.cast("boolean")).alias("repr_url"),
+    )
+
+
+SQL_REPR_URL = """
+WITH f AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         'http://h' || o_orderkey || '.example.com/aaaa/' || o_orderkey AS src,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'http://h' || o_orderkey || '.example.com/p/' || o_orderkey
+           WHEN 1 THEN 'http://h' || o_orderkey || '.example.com/b'
+           WHEN 2 THEN 'http://h' || o_orderkey || '.example.com/bbbbbbbbbbbbbbbbbbbbbbbb/' || o_orderkey
+           ELSE 'http://other' || o_orderkey || '.example.com/b'
+         END AS dst
+  FROM orders)
+SELECT k, src, dst,
+       CASE k % 4
+         WHEN 0 THEN dst                                   -- permanent -> dst
+         WHEN 1 THEN CASE WHEN length(dst) < length(src) THEN dst ELSE src END
+         WHEN 2 THEN src                                   -- longer same-host
+         ELSE src                                          -- cross-host temp
+       END AS repr_url
+FROM f
+"""
+
+
+def q_schedule_forced(spark, sf_dir):
+    """T5 forceRefetch clamp (AbstractFetchSchedule.java:171-185 via
+    select_due): a fetch_time more than clamp_factor x interval in the
+    future is clamped to now (and thus selected); plus the F9/F10 gates —
+    not-due rows, gone rows and gen-delay-suppressed rows drop out."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.generate import select_due
+
+    cfg = CrawlConfig(gen_delay_ms=60_000)
+    cur = 1_000_000_000_000
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    v = k % 5
+    interval = (86400 * (1 + k % 3)).cast("long")
+    fetch_time = (
+        F.when(v == 0, F.lit(cur - 1000))
+        .when(v == 1, F.lit(cur + 1000))
+        .when(v == 2, F.lit(cur) + 2 * interval * 1000)
+        .otherwise(F.lit(cur - 1000))
+    ).cast("long")
+    status = F.when(v == 3, F.lit(3)).otherwise(F.lit(1)).cast("long")
+    meta = F.when(
+        v == 4,
+        F.create_map(F.lit("_ngt_"), F.lit(str(cur - 30_000))),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    frontier = o.select(
+        F.format_string("http://h%d.example.com/f/%d", k, k).alias("url"),
+        status.alias("status"),
+        fetch_time.alias("fetch_time"),
+        interval.alias("fetch_interval"),
+        F.lit(1.0).alias("score"),
+        meta.alias("metadata"),
+        "k",
+    )
+    return select_due(frontier, cfg, cur).select("k", "url", "fetch_time")
+
+
+SQL_SCHEDULE_FORCED = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       'http://h' || o_orderkey || '.example.com/f/' || o_orderkey AS url,
+       CASE WHEN o_orderkey % 5 = 2
+            THEN CAST(1000000000000 AS BIGINT)         -- clamped to now
+            ELSE CAST(1000000000000 - 1000 AS BIGINT)
+       END AS fetch_time
+FROM orders
+WHERE o_orderkey % 5 IN (0, 2)
+"""
+
+
 def q_url_validator(spark, sf_dir):
     """urlfilter-validator (UrlValidator.java:152-343) over a 12-variant
     fixture with validity known by construction: scheme/authority/tld/port/
@@ -2303,6 +2474,10 @@ QUERIES: dict[str, tuple] = {
     "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
     "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
     "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
+    "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
+    "signatures": (q_signatures, SQL_SIGNATURES),
+    "repr_url": (q_repr_url, SQL_REPR_URL),
+    "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
     # kernel queries — oracles are SQL-builder callables (resolved lazily by
     # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
     # independent reference computation into the SQL)
