@@ -313,6 +313,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # materialize once: every propagation round joins the edge set, and
+        # without this the pair-generation subtree re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

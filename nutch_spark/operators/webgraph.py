@@ -63,6 +63,9 @@ def linkrank(edges: DataFrame, nodes: DataFrame, iterations: int = 10,
 
     edges = edges.select("src", "dst").repartition("src").cache()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    # every iteration left-joins the node list; pin it so the node-source
+    # subtree executes once (count() below doubles as the materializer)
+    nodes = nodes.select("url").localCheckpoint(eager=True)
     n_nodes = nodes.count()
     rank = nodes.select("url", (F.lit(1.0) / n_nodes).alias("rank"))
 
@@ -171,7 +174,10 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
     practice; depth stays small (2) exactly like the reference.
 
     Returns (url, loop_set array<string>, n_loops)."""
-    e = edges.select("src", "dst").distinct()
+    # materialize the deduped edge set once: every Looper pass joins against
+    # it (and `routes` derives from it) — without the checkpoint the edge
+    # fixture subtree re-executes per pass x per join
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     inlinked = e.select(F.col("dst").alias("src")).distinct()
     routes = (
         e.join(inlinked, "src")  # numInlinks > 0 gate (:261-263)
