@@ -2000,6 +2000,57 @@ SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
 """
 
 
+def q_url_filters(spark, sf_dir):
+    """F7 dedicated filters (plugin/urlfilter-{prefix,suffix,domain}) over a
+    fixture with outcomes known by construction: prefix accepts hosts h1/h2,
+    suffix (default-accept mode) rejects gif/exe extensions
+    (SuffixURLFilter.java:85-160 match-flips-default), domain accepts the
+    registered domain example.com only (DomainURLFilter.java:172-201). All
+    three run their native Catalyst .col paths."""
+    from nutch_spark.functions.urlfilters import (
+        DomainUrlFilter, PrefixUrlFilter, SuffixUrlFilter,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    ext = (
+        F.when(k % 4 == 0, F.lit("gif"))
+        .when(k % 4 == 1, F.lit("html"))
+        .when(k % 4 == 2, F.lit("exe"))
+        .otherwise(F.lit("pdf"))
+    )
+    tld = F.when(k % 2 == 0, F.lit("com")).otherwise(F.lit("org"))
+    url = F.format_string(
+        "http://h%d.shop-%d.example.%s/f%d.%s", k % 7, k % 5, tld, k, ext
+    )
+    prefix = PrefixUrlFilter(["http://h1.", "http://h2."])
+    suffix = SuffixUrlFilter(["gif", "exe"], default_accept=True)
+    domain = DomainUrlFilter(["example.com"])
+    return o.select(
+        "k",
+        url.alias("url"),
+        prefix.col(url).alias("prefix_ok"),
+        suffix.col(url).alias("suffix_ok"),
+        domain.udf()(url).alias("domain_ok"),
+    )
+
+
+SQL_URL_FILTERS = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       'http://h' || (o_orderkey % 7) || '.shop-' || (o_orderkey % 5)
+         || '.example.' || (CASE WHEN o_orderkey % 2 = 0 THEN 'com' ELSE 'org' END)
+         || '/f' || o_orderkey || '.'
+         || (CASE o_orderkey % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'html'
+             WHEN 2 THEN 'exe' ELSE 'pdf' END) AS url,
+       (o_orderkey % 7) IN (1, 2) AS prefix_ok,
+       (o_orderkey % 4) IN (1, 3) AS suffix_ok,
+       (o_orderkey % 2) = 0 AS domain_ok
+FROM orders
+"""
+
+
 def q_linkdb_merge(spark, sf_dir):
     """A6 LinkDbMerger (crawl/LinkDbMerger.java:45+): union two linkdbs with
     overlapping segments, dedupe (to,from) keeping the min anchor, re-cap
@@ -2475,6 +2526,7 @@ QUERIES: dict[str, tuple] = {
     "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
     "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
     "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
+    "url_filters": (q_url_filters, SQL_URL_FILTERS),
     "signatures": (q_signatures, SQL_SIGNATURES),
     "repr_url": (q_repr_url, SQL_REPR_URL),
     "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
