@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "outlink_follow",
     "loops",
     "dedup_clusters",
+    # round-3 surface
+    "fetch_redirects",
+    "feed_parse",
+    "url_validator",
+    "url_filters",
+    "index_plugins",
+    "linkrank",
 ]
 
 

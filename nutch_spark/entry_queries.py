@@ -2096,7 +2096,7 @@ def q_signatures(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("k")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     k = F.col("k")
     content = F.format_string("body %d", k)
     text = F.format_string("t%da t%da t%db t%db t%db t%dc", k, k, k, k, k, k)
@@ -2326,7 +2326,7 @@ def q_index_plugins(spark, sf_dir):
         lang_meta, F.col("host"), key, key, key % 5, cc_bits,
     )
     docs = extract_documents_by_mime(
-        f.select(
+        f.repartition(spark.sparkContext.defaultParallelism).select(
             "url", content.alias("content"), F.lit("text/html").alias("content_type")
         )
     )
@@ -2423,7 +2423,9 @@ def q_feed_parse(spark, sf_dir):
         "<description>chan %d</description>%s</channel></rss>",
         k, k, k, items,
     )
-    cdf = o.select(
+    # the orders parquet is one file at small SF — spread the python kernel
+    # over the executors (the shuffle moves one long per row)
+    cdf = o.repartition(spark.sparkContext.defaultParallelism).select(
         F.format_string("http://feed%d.example.com/feed.xml", k).alias("url"),
         content.alias("content"),
         F.lit("application/rss+xml").alias("content_type"),
