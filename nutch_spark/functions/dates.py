@@ -9,6 +9,7 @@ reference's tolerant header parsing. Scalar twins serve tests/driver code.
 from __future__ import annotations
 
 from datetime import datetime, timezone
+from email.utils import parsedate_to_datetime
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -24,16 +25,20 @@ def http_date_format(ts_ms: int | None) -> str | None:
 
 
 def http_date_parse(s: str | None) -> int | None:
-    """Lenient parse -> epoch ms (None on failure). The RFC-822 GMT form
-    takes the C strptime fast path (pandas' per-string to_datetime costs
-    ~1 ms of format guessing — x10^5 feed pubDates that was a wall);
-    anything else falls back to the lenient pandas parse."""
+    """Lenient parse -> epoch ms (None on failure). RFC-822 forms take the
+    email.utils.parsedate_to_datetime fast path (pandas' per-string
+    to_datetime costs ~1 ms of format guessing — x10^5 feed pubDates that
+    was a wall; strptime %a/%b would be LC_TIME-locale-dependent, this
+    parser's month/day tables are not); anything else falls back to the
+    lenient pandas parse. Naive results are UTC, matching utc=True below."""
     if not s:
         return None
     try:
-        dt = datetime.strptime(s, _FMT)
-        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
-    except ValueError:
+        dt = parsedate_to_datetime(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    except (ValueError, TypeError, IndexError):
         pass
     t = pd.to_datetime(s, utc=True, errors="coerce")
     if pd.isna(t):

@@ -73,10 +73,14 @@ def _parse_date_ms(s: str | None) -> int | None:
         return None
     s = s.strip()
     # ISO first (C fast path) — http_date_parse's lenient pandas fallback
-    # would also accept ISO but at ~1 ms/string of format guessing
+    # would also accept ISO but at ~1 ms/string of format guessing. A naive
+    # datetime is UTC (matching the pandas fallback's utc=True convention);
+    # astimezone() on a naive value would bind it to the HOST timezone.
     try:
-        return int(datetime.fromisoformat(s.replace("Z", "+00:00"))
-                   .astimezone(timezone.utc).timestamp() * 1000)
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.astimezone(timezone.utc).timestamp() * 1000)
     except ValueError:
         pass
     return http_date_parse(s)

@@ -28,6 +28,8 @@ implicitly because a fetched item leaves its queue).
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from nutch_spark.config import CrawlConfig
@@ -68,10 +70,10 @@ def fetch_with_outlink_following(
     cfg: CrawlConfig,
     cycle: int,
     start_ms: int,
-) -> dict[str, DataFrame]:
+) -> dict[str, Any]:
     """fetcher.parse mode: fetch, parse inline, follow outlinks to
-    cfg.follow_outlinks_depth. Returns {'fetch_out', 'parsed_by_depth',
-    'cleanup'}.
+    cfg.follow_outlinks_depth. Returns {'fetch_out': DataFrame,
+    'parsed_by_depth': list[dict[str, DataFrame]], 'cleanup': Callable}.
 
     Each depth is a full politeness-scheduled fetch pass (run_fetch) over
     that depth's fetchlist; the virtual clock restarts per depth (the

@@ -324,9 +324,7 @@ def test_fetch_with_outlink_following(spark, corpus_tables):
     fetched = res["fetch_out"].select("url").collect()
     urls = [r["url"] for r in fetched]
     assert len(urls) == len(set(urls))
-    for p in res["parsed_by_depth"]:
-        p["docs_nested"].unpersist()
-        p["links"].unpersist()
+    res["cleanup"]()  # documented MUST-call contract: releases fetch+parse caches
 
 
 def test_resize_media(spark):
