@@ -2475,18 +2475,43 @@ FROM ks
 """
 
 
+# Registry order matters: the round driver gates the FIRST 50 entries in
+# insertion order (CORRECTNESS_r01-r03 were exactly the first 50 each round
+# while the registry grew to 66). Sections below rotate coverage so every
+# query gets a driver-gate row across rounds:
+#   1. rotate-in  — never driver-gated before round 4, or semantics changed
+#                   this round, or new this round;
+#   2. core       — crawl-cycle operators kept under the gate every round;
+#   3. rotate-out — stable rows green in CORRECTNESS_r01-r03, parked beyond
+#                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
-    # SQL-oracled operators
-    "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
+    # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
+    "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
+    "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),
+    "fetch_throughput": (q_fetch_throughput, _sql_fetch_throughput),
+    "span_extraction": (q_span_extraction, _sql_span_extraction),
+    "signatures": (q_signatures, SQL_SIGNATURES),
+    "repr_url": (q_repr_url, SQL_REPR_URL),
+    "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
+    "url_filters": (q_url_filters, SQL_URL_FILTERS),
+    "linkrank": (q_linkrank, _sql_linkrank),
+    "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
+    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),
+    "ann_topk": (q_ann_topk, _sql_ann_topk),
+    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup),
+    "quality_score": (q_quality_score, _sql_quality_score),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    # --- 1b. implementation changed round 4 (date-parse paths) ---
+    "http_dates": (q_http_dates, SQL_HTTP_DATES),
+    "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
+    # --- 2. core crawl-cycle surface (gated every round) ---
     "generator_topn": (q_generator_topn, SQL_GENERATOR_TOPN),
     "generator_hostcap": (q_generator_hostcap, SQL_GENERATOR_HOSTCAP),
     "generator_due": (q_generator_due, SQL_GENERATOR_DUE),
     "partition_hostcount": (q_partition_hostcount, SQL_PARTITION_HOSTCOUNT),
     "inject_merge": (q_inject_merge, SQL_INJECT_MERGE),
     "updatedb_transitions": (q_updatedb_transitions, SQL_UPDATEDB_TRANSITIONS),
-    "schedule_default": (q_schedule_default, SQL_SCHEDULE_DEFAULT),
-    "schedule_adaptive": (q_schedule_adaptive, SQL_SCHEDULE_ADAPTIVE),
-    "schedule_mime": (q_schedule_mime, SQL_SCHEDULE_MIME),
     "linkdb_invert": (q_linkdb_invert, SQL_LINKDB_INVERT),
     "opic_inlink_sum": (q_opic_inlink_sum, SQL_OPIC_INLINK_SUM),
     "segment_merge": (q_segment_merge, SQL_SEGMENT_MERGE),
@@ -2498,53 +2523,36 @@ QUERIES: dict[str, tuple] = {
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "score_updater": (q_score_updater, SQL_SCORE_UPDATER),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "regex_normalize": (q_regex_normalize, _sql_regex_normalize),
+    "items": (q_items, _sql_items),
+    "outlink_follow": (q_outlink_follow, SQL_OUTLINK_FOLLOW),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "loops": (q_loops, SQL_LOOPS),
+    "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
+    "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
+    "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
+    "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
+    "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
+    # --- 3. rotate-out: green in CORRECTNESS_r01-r03, parked this round ---
+    "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
+    "schedule_default": (q_schedule_default, SQL_SCHEDULE_DEFAULT),
+    "schedule_adaptive": (q_schedule_adaptive, SQL_SCHEDULE_ADAPTIVE),
+    "schedule_mime": (q_schedule_mime, SQL_SCHEDULE_MIME),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "regex_normalize": (q_regex_normalize, _sql_regex_normalize),
-    "items": (q_items, _sql_items),
     "nodedump": (q_nodedump, SQL_NODEDUMP),
     "linkdump": (q_linkdump, SQL_LINKDUMP),
-    "http_dates": (q_http_dates, SQL_HTTP_DATES),
-    # round-2 surface
     "mime_resolve": (q_mime_resolve, SQL_MIME_RESOLVE),
     "charset_sniff": (q_charset_sniff, SQL_CHARSET_SNIFF),
     "gzip_decompress": (q_gzip_decompress, SQL_GZIP_DECOMPRESS),
     "arc_import": (q_arc_import, SQL_ARC_IMPORT),
     "dmoz_import": (q_dmoz_import, SQL_DMOZ_IMPORT),
-    "outlink_follow": (q_outlink_follow, SQL_OUTLINK_FOLLOW),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
-    "loops": (q_loops, SQL_LOOPS),
-    "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
-    "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
-    "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
-    "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
-    "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
-    "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
-    "url_filters": (q_url_filters, SQL_URL_FILTERS),
-    "signatures": (q_signatures, SQL_SIGNATURES),
-    "repr_url": (q_repr_url, SQL_REPR_URL),
-    "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
-    # kernel queries — oracles are SQL-builder callables (resolved lazily by
-    # __spark_entry__.oracle_sql; they bake hash/plane coefficients or an
-    # independent reference computation into the SQL)
-    "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
-    "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),
-    "fetch_throughput": (q_fetch_throughput, _sql_fetch_throughput),
-    "span_extraction": (q_span_extraction, _sql_span_extraction),
-    "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
-    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),
-    "ann_topk": (q_ann_topk, _sql_ann_topk),
-    "linkrank": (q_linkrank, _sql_linkrank),
-    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard),
-    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup),
-    "quality_score": (q_quality_score, _sql_quality_score),
 }
