@@ -2005,10 +2005,12 @@ def q_url_filters(spark, sf_dir):
     fixture with outcomes known by construction: prefix accepts hosts h1/h2,
     suffix (default-accept mode) rejects gif/exe extensions
     (SuffixURLFilter.java:85-160 match-flips-default), domain accepts the
-    registered domain example.com only (DomainURLFilter.java:172-201). All
-    three run their native Catalyst .col paths."""
+    registered domain example.com only (DomainURLFilter.java:172-201), and
+    domainblacklist rejects the org public suffix plus one exact host
+    (DomainBlacklistURLFilter.java:172-200 reject-on-match)."""
     from nutch_spark.functions.urlfilters import (
-        DomainUrlFilter, PrefixUrlFilter, SuffixUrlFilter,
+        DomainBlacklistUrlFilter, DomainUrlFilter, PrefixUrlFilter,
+        SuffixUrlFilter,
     )
 
     o = load(spark, sf_dir, "orders").select(
@@ -2028,12 +2030,15 @@ def q_url_filters(spark, sf_dir):
     prefix = PrefixUrlFilter(["http://h1.", "http://h2."])
     suffix = SuffixUrlFilter(["gif", "exe"], default_accept=True)
     domain = DomainUrlFilter(["example.com"])
+    blacklist = DomainBlacklistUrlFilter.from_text(
+        "# blacklist\norg\nh1.shop-1.example.com\n")
     return o.select(
         "k",
         url.alias("url"),
         prefix.col(url).alias("prefix_ok"),
         suffix.col(url).alias("suffix_ok"),
         domain.udf()(url).alias("domain_ok"),
+        blacklist.udf()(url).alias("blacklist_ok"),
     )
 
 
@@ -2046,7 +2051,9 @@ SELECT CAST(o_orderkey AS BIGINT) AS k,
              WHEN 2 THEN 'exe' ELSE 'pdf' END) AS url,
        (o_orderkey % 7) IN (1, 2) AS prefix_ok,
        (o_orderkey % 4) IN (1, 3) AS suffix_ok,
-       (o_orderkey % 2) = 0 AS domain_ok
+       (o_orderkey % 2) = 0 AS domain_ok,
+       NOT ((o_orderkey % 2) = 1
+            OR ((o_orderkey % 7) = 1 AND (o_orderkey % 5) = 1)) AS blacklist_ok
 FROM orders
 """
 

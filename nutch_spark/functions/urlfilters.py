@@ -109,41 +109,70 @@ class DomainUrlFilter:
         self.entries = {e.strip().lower() for e in entries if e.strip()}
 
     @classmethod
-    def from_text(cls, text: str) -> "DomainUrlFilter":
+    def from_text(cls, text: str):
         return cls([ln for ln in text.splitlines()
                     if ln.strip() and not ln.strip().startswith("#")])
 
-    def accepts(self, url: str | None) -> bool:
+    def _matches(self, url: str | None) -> bool | None:
         """suffix / domain / host membership, in that order
-        (DomainURLFilter.java:172-192)."""
+        (DomainURLFilter.java:172-192); None = unparseable/hostless url
+        (the reference's exception path)."""
         if url is None:
-            return False
+            return None
         try:
             host = (urlsplit(url).hostname or "").lower()
         except ValueError:
-            return False
+            return None
         if not host:
-            return False
+            return None
         sfx = domain_suffix(host)
         dom = registered_domain(host)
         return (sfx in self.entries or dom in self.entries or host in self.entries)
 
-    def accepts_series(self, urls: pd.Series) -> pd.Series:
+    def accepts(self, url: str | None) -> bool:
+        """Accept-on-match; unparseable urls rejected (the reference's
+        exception path returns null)."""
+        return bool(self._matches(url))
+
+    def _match_series(self, urls: pd.Series) -> pd.Series:
+        """Nullable boolean: True/False = membership, NaN = no host."""
         hosts = extract_host_series(urls)
         sfx = hosts.map(domain_suffix, na_action="ignore")
         dom = hosts.map(registered_domain, na_action="ignore")
-        return (
-            sfx.isin(self.entries) | dom.isin(self.entries) | hosts.isin(self.entries)
-        ).fillna(False)
+        matched = sfx.isin(self.entries) | dom.isin(self.entries) | hosts.isin(self.entries)
+        return matched.where(hosts.notna() & (hosts != ""), other=pd.NA)
+
+    def accepts_series(self, urls: pd.Series) -> pd.Series:
+        return self._match_series(urls).fillna(False).astype(bool)
 
     def udf(self):
         entries = sorted(self.entries)
+        cls = type(self)
 
         @F.pandas_udf("boolean")
         def _accepts(urls: pd.Series) -> pd.Series:
-            return DomainUrlFilter(entries).accepts_series(urls)
+            return cls(entries).accepts_series(urls)
 
         return _accepts
+
+
+class DomainBlacklistUrlFilter(DomainUrlFilter):
+    """Reject-on-match dual of DomainUrlFilter (plugin/
+    urlfilter-domainblacklist/.../DomainBlacklistURLFilter.java:172-200):
+    a url whose public suffix, registered domain, or host appears in the
+    configured file (same one-entry-per-line format, suffix > domain > host
+    generality) is filtered OUT. Quirk preserved: the reference's exception
+    handler returns null — its comment says "allow the url to pass" but the
+    code filters — so unparseable/hostless urls are rejected here too,
+    matching both plugins' observable behavior."""
+
+    def accepts_series(self, urls: pd.Series) -> pd.Series:
+        m = self._match_series(urls)
+        return (~m.astype("boolean")).fillna(False).astype(bool)
+
+    def accepts(self, url: str | None) -> bool:
+        m = self._matches(url)
+        return False if m is None else not m
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,36 @@ def test_domain_filter(spark):
     assert got == [True, False, True]
 
 
+def test_domain_blacklist_filter(spark):
+    """The reference's own fixture + assertions
+    (TestDomainBlacklistURLFilter.java:40-56 over sample/hosts.txt:
+    net / apache.org / be / www.yahoo.com)."""
+    from nutch_spark.functions.urlfilters import DomainBlacklistUrlFilter
+
+    f = DomainBlacklistUrlFilter.from_text(
+        "# comments start with the pound sign\nnet\napache.org\nbe\nwww.yahoo.com\n")
+    assert not f.accepts("http://lucene.apache.org")  # registered domain
+    assert not f.accepts("http://hadoop.apache.org")
+    assert not f.accepts("http://www.apache.org")
+    assert f.accepts("http://www.google.com")
+    assert f.accepts("http://mail.yahoo.com")          # only www.yahoo.com listed
+    assert not f.accepts("http://www.foobar.net")      # suffix 'net'
+    assert not f.accepts("http://www.foobas.net")
+    assert not f.accepts("http://www.yahoo.com")       # exact host
+    assert not f.accepts("http://www.foobar.be")       # suffix 'be'
+    assert f.accepts("http://www.adobe.com")
+    # reference quirk: exception path filters (returns null) despite the
+    # 'allow' comment — hostless urls are rejected
+    assert not f.accepts("not a url")
+    assert not f.accepts(None)
+    urls = ["http://www.google.com", "http://www.foobar.net", "nope",
+            "http://www.adobe.com"]
+    assert list(f.accepts_series(pd.Series(urls))) == [True, False, False, True]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.ok for r in df.select(f.udf()(F.col("url")).alias("ok")).collect()]
+    assert got == [True, False, False, True]
+
+
 def test_url_validator(spark):
     from nutch_spark.functions.urlfilters import UrlValidatorFilter
 
