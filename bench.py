@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "url_filters",
     "index_plugins",
     "linkrank",
+    # round-4 surface
+    "pdf_parse",
 ]
 
 

@@ -1908,6 +1908,76 @@ FROM range(120) t(i)
 """
 
 
+def q_pdf_parse(spark, sf_dir):
+    """X12 parse-tika PDF analogue (TikaParser.java:71-171 + the
+    OutlinkExtractor.java:60-140 text-regex outlink fallback, since PDFs
+    yield no DOM anchors): per-doc title from the Info /Title entry, text
+    recovered from Tj/TJ text-showing operators (FlateDecode inflated on
+    even rows, raw streams on odd, hex-string tail on i%3==0), outlinks
+    from the URL regex over the text. 15 headerless bodies exercise the
+    FAILED -> no-document path."""
+    import zlib
+
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    rows = []
+    for i in range(150):
+        tail = f" tail {i}"
+        if i % 3 == 0:
+            tail_op = "<" + tail.encode("latin-1").hex() + "> Tj "
+        else:
+            tail_op = f"({tail}) Tj "
+        ops = (
+            f"BT /F1 12 Tf 72 720 Td (pdf doc {i} alpha) Tj "
+            f"[(see )-250(http://p{i % 7}.example.com/r{i}.html)] TJ "
+            + tail_op + "ET"
+        ).encode("latin-1")
+        if i % 2 == 0:
+            body = zlib.compress(ops)
+            filt = b"/Filter /FlateDecode "
+        else:
+            body, filt = ops, b""
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< " + filt + b"/Length "
+            + str(len(body)).encode() + b" >>\nstream\n" + body
+            + b"\nendstream\nendobj\n"
+            b"2 0 obj\n<< /Title (P" + str(i).encode()
+            + b" \\(report\\)) /Producer (synth) >>\nendobj\n"
+            b"trailer\n<< /Info 2 0 R >>\n%%EOF\n"
+        )
+        rows.append((f"http://pdfs.example.com/doc{i}.pdf",
+                     bytearray(pdf), "application/pdf"))
+    for i in range(15):  # FAILED path: no %PDF- header
+        rows.append((f"http://pdfs.example.com/bad{i}.pdf",
+                     bytearray(b"GIF89a not a pdf"), "application/pdf"))
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string")
+    docs = extract_documents_by_mime(df)
+    first_link = F.filter(
+        F.col("spans"), lambda s: s["kind"] == F.lit("link"))[0]
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        F.col("title"),
+        F.element_at(F.col("spans"), 1)["text"].alias("text"),
+        (F.size("spans") - 1).cast("long").alias("n_outlinks"),
+        first_link["media_ref"].alias("to_url"),
+    )
+
+
+SQL_PDF_PARSE = """
+SELECT 'http://pdfs.example.com/doc' || CAST(i AS VARCHAR) || '.pdf' AS url,
+       'P' || CAST(i AS VARCHAR) || ' (report)' AS title,
+       'pdf doc ' || CAST(i AS VARCHAR) || ' alpha see http://p'
+         || CAST(i % 7 AS VARCHAR) || '.example.com/r' || CAST(i AS VARCHAR)
+         || '.html tail ' || CAST(i AS VARCHAR) AS text,
+       CAST(1 AS BIGINT) AS n_outlinks,
+       'http://p' || CAST(i % 7 AS VARCHAR) || '.example.com/r'
+         || CAST(i AS VARCHAR) || '.html' AS to_url
+FROM range(150) t(i)
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2492,6 +2562,8 @@ FROM ks
 #   3. rotate-out — stable rows green in CORRECTNESS_r01-r03, parked beyond
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
+    # --- 0. new this round (round 4) ---
+    "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
     # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
     "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
     "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),

@@ -507,6 +507,35 @@ def _zip_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _pdf_family(pdf: pd.DataFrame) -> pd.DataFrame:
+    """parse-tika analogue for application/pdf (operators/pdfparse.py;
+    TikaParser.java:71-171): extracted text is one text span, the title
+    rides the title column, and — since a PDF yields no DOM anchors —
+    outlinks are the OutlinkExtractor regex sweep over the text
+    (TikaParser.java:157-161), one link span per match in text order.
+    Headerless/unparseable bodies are the FAILED path: no document."""
+    from nutch_spark.operators.pdfparse import extract_pdf
+
+    rows = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        if content is None:
+            continue
+        data = (bytes(content) if isinstance(content, (bytes, bytearray))
+                else content.encode("latin-1", "ignore"))
+        parsed = extract_pdf(data)
+        if parsed is None:
+            continue
+        title, text, links = parsed
+        spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+        for i, to in enumerate(links):
+            spans.append({"kind": "link", "text": "",
+                          "media_ref": to, "offset": i + 1})
+        rows.append({"doc_id": url, "title": title, "noindex": False,
+                     "nofollow": False, "refresh_to": None, "meta": {},
+                     "spans": spans})
+    return pd.DataFrame(rows)
+
+
 # MIME dispatch registry (X2; parse/ParseSegment.java:110-141 plugin
 # dispatch by contentType): content_type prefix -> per-frame extractor.
 # Unregistered types are skipped, like ParseSegment's ParserNotFound path.
@@ -525,6 +554,9 @@ MIME_PARSERS = {
     "text/javascript": _js_pdf,
     "application/x-javascript": _js_pdf,
     "application/zip": _zip_pdf,
+    # parse-tika PDF analogue (conf/parse-plugins.xml maps application/pdf
+    # to parse-tika); stdlib extractor in operators/pdfparse.py
+    "application/pdf": _pdf_family,
     # parse-feed (plugin/feed FeedParser.java): one parse per entry + the
     # feed doc itself; see operators/feedparse.py
     "application/rss": _feed_pdf_lazy,
