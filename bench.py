@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "linkrank",
     # round-4 surface
     "pdf_parse",
+    "urlmeta",
 ]
 
 

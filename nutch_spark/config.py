@@ -79,6 +79,17 @@ class CrawlConfig:
     db_max_inlinks: int = 10_000             # db.max.inlinks
     parse_skip_truncated: bool = True        # parser.skip.truncated
     db_parsemeta_to_crawldb: tuple = ()      # db.parsemeta.to.crawldb (ParseOutputFormat.java:154-166)
+    # urlmeta plugin (plugin/urlmeta URLMetaScoringFilter.java:63-85 +
+    # URLMetaIndexingFilter.java:84-100): datum metadata keys listed here
+    # propagate from a page onto its outlinked children and become index
+    # fields. Empty = plugin off (the reference's plugin.includes gate).
+    urlmeta_tags: tuple = ()                 # urlmeta.tags
+    # scoring-link (plugin/scoring-link LinkAnalysisScoringFilter.java:66-71):
+    # when the webgraph/LinkRank score has been written into the frontier by
+    # ScoreUpdater (J5/L4), the indexer boost is normalize.score * db score
+    # instead of OPIC's score^power
+    scoring_link: bool = False
+    link_analyze_normalize_score: float = 1.0  # link.analyze.normalize.score
 
     # --- scoring: OPIC (reference: scoring/opic/OPICScoringFilter.java) ---
     db_score_link_internal: float = 1.0      # db.score.link.internal

@@ -1978,6 +1978,74 @@ FROM range(150) t(i)
 """
 
 
+def q_urlmeta(spark, sf_dir):
+    """urlmeta plugin through the REAL update_frontier: linked rows carry
+    the parent datum's configured tag map (URLMetaScoringFilter.java:63-85
+    distributeScoreToOutlinks); a brand-new linked-only child takes the
+    metadata of its top-scoring inlink datum (CrawlDbReducer.java:143-147
+    fetch = linkList.get(0), score ties pinned by greatest from_url).
+    Edges with segment%3==0 carry metadata; children whose inlinks all
+    lack it stay null."""
+    from nutch_spark import schemas
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.updatedb import update_frontier
+
+    cfg = CrawlConfig(urlmeta_tags=("ckey",))
+    f = derived_frontier(spark, sf_dir).select(
+        "*",
+        F.lit(0).cast("long").alias("modified_time"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    e = derived_edges(spark, sf_dir)
+    pu = e.select(
+        F.col("to_url").alias("url"),
+        F.lit(schemas.STATUS_LINKED).alias("kind"),
+        F.col("link_score").cast("float").alias("score"),
+        F.lit(None).cast("string").alias("signature"),
+        F.col("anchor"),
+        "from_url",
+        F.when(
+            F.col("segment") % 3 == 0,
+            F.create_map(F.lit("ckey"), F.col("from_host")),
+        ).alias("metadata"),
+    )
+    empty_fetch = spark.createDataFrame(
+        [],
+        "url string, host string, fetch_status int, fetch_ts long, seq long, "
+        "repr_url string, signature string, content_length int, "
+        "truncated boolean, score float, fetch_interval int, retries int, "
+        "partition_id int",
+    )
+    nf = update_frontier(f, empty_fetch, pu, cfg, cur_time_ms=946684800000,
+                         include_new_flag=True)
+    return nf.filter(F.col("is_new")).select(
+        "url",
+        F.col("status").cast("long").alias("status"),
+        F.col("fetch_time").alias("fetch_time"),
+        F.element_at(F.col("metadata"), "ckey").alias("ckey"),
+    )
+
+
+SQL_URLMETA = f"""
+WITH {EDGES_CTE},
+best AS (
+  SELECT to_url, from_host,
+         ROW_NUMBER() OVER (
+           PARTITION BY to_url
+           ORDER BY CAST(link_score AS REAL) DESC, from_url DESC
+         ) AS rn
+  FROM edges WHERE segment % 3 = 0
+)
+SELECT t.to_url AS url,
+       CAST(1 AS BIGINT) AS status,
+       CAST(946684800000 AS BIGINT) AS fetch_time,
+       b.from_host AS ckey
+FROM (SELECT DISTINCT to_url FROM edges) t
+LEFT JOIN (SELECT to_url, from_host FROM best WHERE rn = 1) b
+  ON t.to_url = b.to_url
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2564,6 +2632,7 @@ FROM ks
 QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
     "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
+    "urlmeta": (q_urlmeta, SQL_URLMETA),
     # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
     "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
     "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),

@@ -57,7 +57,11 @@ def build_index(
     """The indexer co-group (J2) + basic/anchor/score filters (I2-I4)."""
     db = frontier.filter(
         ~F.col("status").isin(schemas.STATUS_DB_GONE, schemas.STATUS_DB_NOTMODIFIED)
-    ).select("url", "status", "score", "fetch_time", "signature")
+    ).select(
+        "url", "status", "score", "fetch_time", "signature",
+        *(["metadata"] if cfg.urlmeta_tags and "metadata" in frontier.columns
+          else []),
+    )
     fetched = fetch_out.filter(
         F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
     ).select("url", "fetch_ts", "content_length")
@@ -97,7 +101,16 @@ def build_index(
         F.col("anchors"),
         F.col("signature").alias("digest"),
         F.col("fetch_ts").alias("tstamp"),
-        F.pow(F.col("score").cast("double"), F.lit(cfg.indexer_score_power)).alias("boost"),
+        # boost: scoring-opic score^power (OPICScoringFilter.java:120-125) or
+        # scoring-link normalize.score * db score when the frontier carries
+        # the webgraph score (LinkAnalysisScoringFilter.java:66-71)
+        (
+            (F.lit(float(cfg.link_analyze_normalize_score))
+             * F.col("score").cast("double"))
+            if cfg.scoring_link
+            else F.pow(F.col("score").cast("double"),
+                       F.lit(cfg.indexer_score_power))
+        ).alias("boost"),
         # index-more fields (plugin/index-more MoreIndexingFilter: date,
         # contentLength; content-type is constant text/html in this corpus)
         F.col("content_length").alias("content_length"),
@@ -111,6 +124,22 @@ def build_index(
         _subcollection_col(cfg).alias("subcollection"),
         _lang_col(cfg, need_meta).alias("lang"),
         _cc_col(cfg, need_meta).alias("cc"),
+        # index-urlmeta (URLMetaIndexingFilter.java:84-100): one field per
+        # configured tag found in the datum metadata — expressed as a map
+        # column keyed by tag, like the metatags composition above
+        _urlmeta_col(cfg, "metadata" in db.columns).alias("urlmeta"),
+    )
+
+
+def _urlmeta_col(cfg: CrawlConfig, have_meta: bool):
+    """urlmeta.tags datum-metadata fields (URLMetaIndexingFilter.java:84-100:
+    doc.add(metatag, datum.getMetaData().get(metatag)) per configured tag)."""
+    if not cfg.urlmeta_tags or not have_meta:
+        return F.lit(None).cast("map<string,string>")
+    tags = list(cfg.urlmeta_tags)
+    return F.map_filter(
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+        lambda k, _: k.isin(*tags),
     )
 
 

@@ -684,11 +684,20 @@ def run_parse(
     cfg: CrawlConfig,
     url_filter: RegexUrlFilter | None = None,
     cache_links: bool = True,
+    url_meta: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full parse stage over this cycle's successful fetches.
 
     Returns dict with: span_rows, documents, parse_text, parse_data,
     parse_updates (linked/signature rows for updatedb).
+
+    url_meta (url, urlmeta map): the urlmeta plugin's page-side slice —
+    each fetching page's datum metadata restricted to cfg.urlmeta_tags
+    (URLMetaScoringFilter.java:63-85 passScoreBeforeParsing →
+    distributeScoreToOutlinks). When given, every linked row carries the
+    parent's tag map in a `metadata` column so updatedb can seed new
+    children with it; when None (plugin off) the column is absent and the
+    parse_updates shuffle stays narrow.
 
     CACHE CONTRACT: the returned `docs_nested` and `links` frames are
     .cache()d (they feed multiple outputs). Every caller that materializes
@@ -813,8 +822,14 @@ def run_parse(
     # --- OPIC distribution (X9) + linked rows ---
     page_host = host_col(F.col("url"))
     to_host = host_col(F.col("to_url"))
+    parents = ok.select("url", F.col("score").alias("page_score"))
+    if url_meta is not None:
+        # same join key as the score join: Catalyst plans one exchange
+        parents = parents.join(
+            url_meta.select("url", F.col("urlmeta").alias("_urlmeta")),
+            "url", "left")
     linked = (
-        links.join(ok.select("url", F.col("score").alias("page_score")), "url")
+        links.join(parents, "url")
         .withColumn(
             "child_score",
             (F.col("page_score") / F.col("n_out"))
@@ -829,6 +844,7 @@ def run_parse(
             F.lit(None).cast("string").alias("signature"),
             F.col("anchor"),
             F.col("url").alias("from_url"),
+            *([F.col("_urlmeta").alias("metadata")] if url_meta is not None else []),
         )
     )
 
@@ -889,7 +905,12 @@ def run_parse(
     else:
         parse_meta = None
 
-    parse_updates = linked.unionByName(sig_rows).unionByName(redirs).unionByName(refreshes)
+    # sig/redirect/refresh rows never carry urlmeta (the reference attaches
+    # it only to outlink targets) — null-pad when the column is live
+    parse_updates = linked.unionByName(
+        sig_rows.unionByName(redirs).unionByName(refreshes),
+        allowMissingColumns=url_meta is not None,
+    )
     return {
         "parse_meta": parse_meta,
         "docs_nested": docs_nested,  # cached — caller unpersists after the cycle

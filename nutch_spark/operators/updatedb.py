@@ -57,7 +57,7 @@ def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
         )
 
     salted = linked.withColumn(
-        "_salt", F.pmod(F.xxhash64("from_url"), F.lit(8))
+        "_salt", F.pmod(F.xxhash64("from_url"), F.lit(cfg.salt_buckets))
     )
     phase1 = salted.groupBy("url", "_salt").agg(
         F.array_sort(F.collect_list("score")).alias("arr")
@@ -72,6 +72,35 @@ def aggregate_linked(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
             topk, F.lit(0.0), lambda acc, s: acc + s.cast("double")
         ).cast("float").alias("link_score"),
         F.size(topk).cast("long").alias("link_count"),
+    )
+
+
+def aggregate_linked_meta(parse_updates: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Per target: the metadata map of the top-scoring inlink datum.
+
+    CrawlDbReducer.java:143-147 — with no fetch datum, `fetch =
+    linkList.get(0)` (the priority queue's highest-score linked datum) and
+    `result.set(fetch)` copies its metadata onto the new row; this is how
+    urlmeta tags reach never-fetched children (URLMetaScoringFilter
+    distributeScoreToOutlinks). The reference leaves score-ties
+    unspecified; ties are pinned here by greatest from_url so runs are
+    deterministic. Same salted two-phase shape as aggregate_linked: both
+    phases run map-side partial max_by, no sort shuffle, and only rows
+    that actually carry metadata enter the aggregate (at steady state the
+    urlmeta frontier slice is a tiny fraction of links)."""
+    linked = parse_updates.filter(
+        (F.col("kind") == schemas.STATUS_LINKED) & F.col("metadata").isNotNull()
+    )
+    key = F.struct(F.col("score"), F.col("from_url"))
+    salted = linked.withColumn(
+        "_salt", F.pmod(F.xxhash64("from_url"), F.lit(cfg.salt_buckets))
+    )
+    phase1 = salted.groupBy("url", "_salt").agg(
+        F.max(key).alias("best_key"),
+        F.max_by("metadata", key).alias("meta"),
+    )
+    return phase1.groupBy("url").agg(
+        F.max_by("meta", F.col("best_key")).alias("link_meta")
     )
 
 
@@ -125,6 +154,13 @@ def update_frontier(
     the frontier's metadata (X10; CrawlDbReducer STATUS_PARSE_META overlay)."""
     linked = aggregate_linked(parse_updates, cfg)
     sigs = aggregate_signatures(parse_updates)
+    # urlmeta propagation: only when linked rows actually carry metadata
+    # (the column exists only when run_parse was handed a url_meta frame),
+    # so the default path adds no join and no shuffle payload
+    link_meta = (
+        aggregate_linked_meta(parse_updates, cfg)
+        if "metadata" in parse_updates.columns else None
+    )
 
     fetch = (
         fetch_out
@@ -155,6 +191,12 @@ def update_frontier(
     else:
         updates = updates.withColumn(
             "parse_meta", F.lit(None).cast("map<string,string>")
+        )
+    if link_meta is not None:
+        updates = updates.join(link_meta, "url", "full_outer")
+    else:
+        updates = updates.withColumn(
+            "link_meta", F.lit(None).cast("map<string,string>")
         )
 
     if frontier is not None:
@@ -297,6 +339,12 @@ def update_frontier(
             ),
             F.col("parse_meta"),
         ),
+    ).otherwise(metadata)
+    # urlmeta: a brand-new linked-only row takes the top inlink datum's
+    # metadata (CrawlDbReducer.java:143-147 result.set(linkList.get(0));
+    # existing rows keep their own — result.set(old) discards link meta)
+    metadata = F.when(
+        ~has_old & ~has_fetch & F.col("link_meta").isNotNull(), F.col("link_meta")
     ).otherwise(metadata)
 
     out = j.select(

@@ -139,7 +139,25 @@ class CrawlDriver:
         # cache_links=False: the cycle materializes links exactly once
         # (inside parse_updates -> update_frontier), so the cache write —
         # a full columnar copy of the highest-cardinality frame — is waste
-        parsed = run_parse(fetch_out, self.raw_content, cfg, cache_links=False)
+        url_meta = None
+        if cfg.urlmeta_tags:
+            # urlmeta page-side slice: this cycle's fetching pages with
+            # their configured tags (join keys on the bucketed frontier's
+            # url — narrow projection, non-empty maps only)
+            tags = list(cfg.urlmeta_tags)
+            url_meta = (
+                frontier.select(
+                    "url",
+                    F.map_filter(
+                        F.coalesce(F.col("metadata"),
+                                   F.create_map().cast("map<string,string>")),
+                        lambda k, _: k.isin(*tags),
+                    ).alias("urlmeta"),
+                )
+                .filter(F.size(F.map_keys(F.col("urlmeta"))) > 0)
+            )
+        parsed = run_parse(fetch_out, self.raw_content, cfg, cache_links=False,
+                           url_meta=url_meta)
         obs_docs = Observation()
         self.documents_t.commit(
             parsed["documents"].observe(obs_docs, F.count(F.lit(1)).alias("n")),
