@@ -68,3 +68,46 @@ def dump_csv(frontier: DataFrame, path: str) -> None:
         "url", "status", "fetch_time", "retries", "fetch_interval", "score",
         "signature", "modified_time",
     ).write.mode("overwrite").option("header", True).csv(path)
+
+
+def segment_dump(
+    fetch_status: DataFrame,
+    documents: DataFrame | None = None,
+    parse_text: DataFrame | None = None,
+) -> DataFrame:
+    """SegmentReader dump: the merged per-URL view across segment parts
+    (segment/SegmentReader.java:204-228 reduce concatenates CrawlDatum /
+    ParseData / ParseText per URL; :228-316 dump writes the co-grouped
+    records). One wide row per URL via full-outer joins on url — fetch
+    datum columns, parse span/outlink counts, parse text. At scale every
+    side is bucketed/keyed by url, so the co-group is a storage-partitioned
+    join like J1."""
+    f = fetch_status.select(
+        "url", "fetch_status", "fetch_ts", "signature", "content_length",
+    )
+    out = f
+    if documents is not None:
+        d = documents.select(
+            F.col("doc_id").alias("url"),
+            F.size("spans").cast("long").alias("n_spans"),
+            F.size(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+            ).cast("long").alias("n_outlinks"),
+        )
+        out = out.join(d, "url", "full_outer")
+    else:
+        out = out.select(
+            "*", F.lit(None).cast("long").alias("n_spans"),
+            F.lit(None).cast("long").alias("n_outlinks"))
+    if parse_text is not None:
+        out = out.join(parse_text.select("url", "text"), "url", "full_outer")
+    else:
+        out = out.select("*", F.lit(None).cast("string").alias("text"))
+    return out
+
+
+def segment_get(dump: DataFrame, url: str) -> DataFrame:
+    """SegmentReader get (SegmentReader.java:319-500): the per-URL record —
+    a key-equality filter over the merged view. With the url-bucketed
+    storage this prunes to one bucket instead of scanning the segment."""
+    return dump.filter(F.col("url") == url)

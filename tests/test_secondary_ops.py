@@ -217,3 +217,35 @@ def test_http_date_udfs(spark):
     for r in out:
         assert r.s == http_date_format(r.ts)
         assert r.back == r.ts
+
+
+def test_segment_dump_and_get(spark):
+    """SegmentReader.java:204-316 merged per-URL view + :319-500 get."""
+    from nutch_spark.operators.stats import segment_dump, segment_get
+
+    fetch = spark.createDataFrame(
+        [("http://a.example.com/", 33, 1000, "s1", 10),
+         ("http://b.example.com/", 35, 2000, "s2", 20)],
+        "url string, fetch_status int, fetch_ts long, signature string, "
+        "content_length int")
+    docs = spark.createDataFrame(
+        [("http://a.example.com/",
+          [{"kind": "text", "text": "T", "media_ref": None, "offset": 0},
+           {"kind": "link", "text": "", "media_ref": "http://c.example.com/",
+            "offset": 1}]),
+         ("http://only-parsed.example.com/",
+          [{"kind": "text", "text": "P", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    ptext = spark.createDataFrame(
+        [("http://a.example.com/", "T"), ("http://only-parsed.example.com/", "P")],
+        "url string, text string")
+    dump = segment_dump(fetch, docs, ptext)
+    rows = {r.url: r for r in dump.collect()}
+    assert len(rows) == 3  # full-outer: fetch-only + parse-only both survive
+    assert rows["http://a.example.com/"].n_spans == 2
+    assert rows["http://a.example.com/"].n_outlinks == 1
+    assert rows["http://b.example.com/"].n_spans is None  # fetch-only
+    assert rows["http://only-parsed.example.com/"].fetch_status is None
+    got = segment_get(dump, "http://a.example.com/").collect()
+    assert len(got) == 1 and got[0].text == "T"
