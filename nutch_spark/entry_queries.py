@@ -2122,6 +2122,27 @@ FROM fetchside f FULL OUTER JOIN parseside p ON f.url = p.url
 """
 
 
+def q_crawldb_scan(spark, sf_dir):
+    """CrawlDBScanner (tools/CrawlDBScanner.java:80-100): regex-filtered
+    crawldb dump with optional status-name pre-filter. Java String.matches
+    is a FULL match, so the regex is anchored; status 'db_fetched' = 2."""
+    from nutch_spark.operators.stats import crawldb_scan
+
+    f = derived_frontier(spark, sf_dir)
+    return crawldb_scan(
+        f, r"http://h1\d\.example\.com/order/.*[02468]", status="db_fetched"
+    ).select("url", "status", "retries", F.round("score", 2).alias("score"))
+
+
+SQL_CRAWLDB_SCAN = f"""
+WITH {FRONTIER_CTE}
+SELECT url, status, retries, ROUND(score, 2) AS score
+FROM frontier
+WHERE status = 2
+  AND regexp_full_match(url, 'http://h1\\d\\.example\\.com/order/.*[02468]')
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2710,6 +2731,7 @@ QUERIES: dict[str, tuple] = {
     "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
     "urlmeta": (q_urlmeta, SQL_URLMETA),
     "segment_dump": (q_segment_dump, SQL_SEGMENT_DUMP),
+    "crawldb_scan": (q_crawldb_scan, SQL_CRAWLDB_SCAN),
     # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
     "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
     "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),

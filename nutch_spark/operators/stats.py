@@ -111,3 +111,24 @@ def segment_get(dump: DataFrame, url: str) -> DataFrame:
     a key-equality filter over the merged view. With the url-bucketed
     storage this prunes to one bucket instead of scanning the segment."""
     return dump.filter(F.col("url") == url)
+
+
+def crawldb_scan(
+    frontier: DataFrame, regex: str, status: str | None = None
+) -> DataFrame:
+    """CrawlDBScanner (tools/CrawlDBScanner.java:80-100): dump frontier rows
+    whose URL FULLY matches the regex (Java String.matches semantics ->
+    anchored rlike), optionally pre-filtered by status NAME
+    (case-insensitive, :84-86). Pure Catalyst: both predicates push into
+    the frontier scan, so the dump reads only matching row groups instead
+    of materializing the 10^10-row table."""
+    from nutch_spark import schemas
+
+    out = frontier
+    if status is not None:
+        wanted = [code for code, name in schemas.STATUS_NAMES.items()
+                  if name.lower() == status.lower()]
+        code = wanted[0] if wanted else -1
+        out = out.filter(F.col("status") == code)
+    anchored = regex if regex.startswith("^") else "^(?:" + regex + ")$"
+    return out.filter(F.col("url").rlike(anchored))

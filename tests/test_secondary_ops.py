@@ -249,3 +249,22 @@ def test_segment_dump_and_get(spark):
     assert rows["http://only-parsed.example.com/"].fetch_status is None
     got = segment_get(dump, "http://a.example.com/").collect()
     assert len(got) == 1 and got[0].text == "T"
+
+
+def test_crawldb_scan_full_match_and_status(spark):
+    """CrawlDBScanner.java:84-91: status-name gate (case-insensitive) +
+    Java String.matches FULL-match regex semantics."""
+    from nutch_spark.operators.stats import crawldb_scan
+
+    f = spark.createDataFrame(
+        [("http://a.example.com/x", 1), ("http://a.example.com/xy", 2),
+         ("http://b.example.com/x", 2)],
+        "url string, status int")
+    # partial match is NOT enough: /xy does not fully match .../x
+    got = {r.url for r in crawldb_scan(
+        f, r"http://a\.example\.com/x").collect()}
+    assert got == {"http://a.example.com/x"}
+    got = {r.url for r in crawldb_scan(
+        f, r"http://.*/xy?", status="DB_FETCHED").collect()}
+    assert got == {"http://a.example.com/xy", "http://b.example.com/x"}
+    assert crawldb_scan(f, r".*", status="nope").count() == 0
