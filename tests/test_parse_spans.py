@@ -100,12 +100,13 @@ def test_mime_dispatch(spark):
         [
             ("http://a.com/h", "<html><head><title>t</title></head><body><p>hello  world</p></body></html>", "text/html"),
             ("http://a.com/p", "plain   body text", "text/plain; charset=utf-8"),
-            ("http://a.com/b", "%PDF-1.4 ...", "application/pdf"),
+            # image/png has no registered parser (pdf gained one in round 4)
+            ("http://a.com/b", "\x89PNG...", "image/png"),
         ],
         "url string, content string, content_type string",
     )
     got = {r.doc_id: r for r in extract_documents_by_mime(df).collect()}
-    assert set(got) == {"http://a.com/h", "http://a.com/p"}  # pdf skipped
+    assert set(got) == {"http://a.com/h", "http://a.com/p"}  # png skipped
     assert got["http://a.com/h"].title == "t"
     assert [s["text"] for s in got["http://a.com/h"].spans] == ["hello world"]
     p = got["http://a.com/p"]
