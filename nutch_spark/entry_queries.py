@@ -1823,8 +1823,11 @@ def q_js_outlinks(spark, sf_dir):
         F.lit(".com/x.y'; var c = \"nope\"; var d = \"q.php?a=1&amp;b="),
         k, F.lit('";'),
     )
-    df = o.select(base.alias("url"), script.alias("content"),
-                  F.lit("application/javascript").alias("content_type"))
+    # orders is ONE parquet file at bench SF: spread before the python
+    # kernel or it runs single-threaded (PLANS.md §5.5 lesson)
+    df = o.repartition(spark.sparkContext.defaultParallelism).select(
+        base.alias("url"), script.alias("content"),
+        F.lit("application/javascript").alias("content_type"))
     docs = extract_documents_by_mime(df)
     links = docs.select(
         F.col("doc_id").alias("url"), F.posexplode("spans").alias("i", "s")
