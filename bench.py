@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "minhash_neardup",
     "simhash_neardup",
     "ann_topk",
+    "ann_ivf",
     "regex_normalize",
     "cosine_topk",
     "events_hourly",

@@ -1911,6 +1911,29 @@ FROM range(120) t(i)
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN top-k — the second scale path next to the LSH tables
+    (q_ann_topk): a deterministic sampled-centroid coarse quantizer
+    (16 lists), data vectors in the inverted list of their argmax-cosine
+    centroid, each query probing its 2 best lists; exact cosine only within
+    probed lists. Assignment is a narrow literal-centroid projection (no
+    join/shuffle); the only exchange is the list-id equi-join."""
+    from nutch_spark.functions.similarity import ivf_cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_cosine_topk(e, q, k=3, n_centroids=16, n_probe=2,
+                           exclude_self=True)
+
+
+def _sql_ann_ivf():
+    from nutch_spark.oracles import sql_ivf_topk
+
+    return sql_ivf_topk(n_centroids=16, n_probe=2, k=3)
+
+
 def q_pdf_parse(spark, sf_dir):
     """X12 parse-tika PDF analogue (TikaParser.java:71-171 + the
     OutlinkExtractor.java:60-140 text-regex outlink fallback, since PDFs
@@ -2731,6 +2754,7 @@ FROM ks
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
+    "ann_ivf": (q_ann_ivf, _sql_ann_ivf),
     "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
     "urlmeta": (q_urlmeta, SQL_URLMETA),
     "segment_dump": (q_segment_dump, SQL_SEGMENT_DUMP),

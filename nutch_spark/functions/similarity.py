@@ -129,6 +129,109 @@ def ann_cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
 
 
+def ivf_centroid_vectors(
+    embeddings: DataFrame, n_centroids: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> np.ndarray:
+    """IVF coarse quantizer: (n_centroids, dim) float64 centroid matrix.
+
+    Initial centroids are a DETERMINISTIC uniform sample — the n_centroids
+    vectors with the smallest md5(CAST(id AS STRING)) (tie-break id), a rule
+    the DuckDB oracle can evaluate identically. kmeans_iters > 0 refines
+    them with Lloyd passes (assignment via the same literal-centroid argmax
+    the query path uses; new means via posexplode + per-dimension avg — two
+    bounded shuffles per pass, rows = N x dim, the standard distributed
+    k-means shape; at 100-TB scale run it on a sampled slice).
+
+    The collect here is model state (n_centroids x dim floats), not data —
+    the same driver-side role as `hyperplanes`.
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    picked = (
+        embeddings.select(F.col(vec_col).alias("v"), h.alias("_h"),
+                          F.col(id_col).alias("_id"))
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r.v for r in picked], dtype=np.float64)
+    for _ in range(kmeans_iters):
+        assigned = embeddings.select(
+            F.col(vec_col).alias("v"),
+            ivf_assign_col(F.col(vec_col), cents, n_probe=1)[0].alias("list_id"),
+        )
+        dims = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty lists keep their previous centroid
+        for r in dims:
+            nxt[r.list_id] = [x.m for x in r.ms]
+        cents = nxt
+    return cents
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray, n_probe: int) -> "F.Column":
+    """array<int> of the n_probe nearest centroid list-ids (cosine argmax,
+    ties to the smaller list id). Centroids ride as literals like the LSH
+    planes — the assignment is a narrow projection, NO join and NO shuffle.
+    For very large n_centroids switch to a broadcast-join variant; at the
+    IVF sweet spot (n_centroids ~ sqrt(N), probed lists ~ n_probe/n_centroids
+    of the data) literals stay small."""
+    scored = F.array(*[
+        F.struct(
+            (-cosine_col(vec_col, F.array(*[F.lit(float(x)) for x in c])))
+            .alias("negcos"),
+            F.lit(i).cast("int").alias("list_id"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["list_id"]
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    n_centroids: int = 16, n_probe: int = 2, kmeans_iters: int = 0,
+    exclude_self: bool = False,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-flat ANN: data vectors live in the inverted list of their nearest
+    centroid; each query probes its n_probe nearest lists and runs exact
+    cosine there only. The second scale path next to the LSH tables
+    (ann_cosine_topk): IVF trades the quantizer pass for candidate sets
+    that track the data distribution instead of random cuts. The only
+    exchange is the list-id equi-join — bucket-join-only, like LSH."""
+    cents = ivf_centroid_vectors(embeddings, n_centroids, id_col, vec_col,
+                                 kmeans_iters)
+    e = embeddings.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"),
+        ivf_assign_col(F.col(vec_col), cents, n_probe=1)[0].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
+        F.explode(
+            ivf_assign_col(F.col(q_vec_col), cents, n_probe)
+        ).alias("list_id"),
+    )
+    pairs = q.join(e, "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("nn_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "nn_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("nn_vec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95,
     n_planes: int = 8, n_tables: int = 1, dim: int = 64, seed: int = 42,

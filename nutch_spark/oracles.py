@@ -275,6 +275,70 @@ SELECT a, b, cosine FROM (
 """
 
 
+def sql_ivf_topk(n_centroids: int = 16, n_probe: int = 2, k: int = 3) -> str:
+    """Replicates similarity.ivf_cosine_topk (kmeans_iters=0): centroids are
+    the n_centroids vectors with the smallest md5(CAST(vec_id AS VARCHAR))
+    (tie-break vec_id) — the deterministic sampling rule both engines can
+    evaluate; data vectors join their argmax-cosine list, queries probe
+    their n_probe best lists. Assignment cosines run over DOUBLE[] casts so
+    the float64 accumulation matches Spark's F.aggregate fold bit-for-bit
+    (argmax must agree exactly — it is not protected by the output round)."""
+
+    def cos(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b})))")
+
+    return f"""
+WITH picked AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+         CAST(embedding AS DOUBLE[]) AS c_vec
+  FROM picked
+),
+easgn AS (
+  SELECT vec_id AS nn_id, embedding AS nn_vec, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos('CAST(e.embedding AS DOUBLE[])', 'c.c_vec')} DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings ORDER BY vec_id LIMIT 5),
+qasgn AS (
+  SELECT q_id, q_vec, list_id FROM (
+    SELECT q.q_id, q.q_vec, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {cos('CAST(q.q_vec AS DOUBLE[])', 'c.c_vec')} DESC,
+                      c.list_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {n_probe}
+),
+pairs AS (
+  SELECT qa.q_id, qa.q_vec, ea.nn_id, ea.nn_vec
+  FROM qasgn qa JOIN easgn ea USING (list_id)
+  WHERE ea.nn_id <> qa.q_id
+),
+scored AS (
+  SELECT q_id, nn_id,
+         ROUND({cos('CAST(q_vec AS DOUBLE[])', 'CAST(nn_vec AS DOUBLE[])')}, 4) AS cosine
+  FROM pairs
+)
+SELECT q_id, nn_id, cosine, rk FROM (
+  SELECT q_id, nn_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # linkrank (unrolled iterations)
 # --------------------------------------------------------------------------

@@ -321,3 +321,83 @@ def test_ann_planted_recall_at_scale_params():
     hits = sum(1 for r in got if r.rk == 1 and r.nn_id == r.q_id)
     recall = hits / len(base)
     assert recall >= 0.9, f"planted-NN recall {recall:.2f} < 0.9"
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (second scale path next to the LSH tables)
+# ---------------------------------------------------------------------------
+
+def _ivf_cluster_df(spark, n_clusters=4, per_cluster=25, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):
+        centers[c, c] = 10.0  # orthogonal, well-separated
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.1 * rng.standard_normal(dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, true_cluster int, embedding array<float>"
+    )
+
+
+def test_ivf_self_nearest(spark, embeddings):
+    from nutch_spark.functions.similarity import ivf_cosine_topk
+
+    q = embeddings.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = ivf_cosine_topk(embeddings, q, k=1, n_centroids=16, n_probe=1).collect()
+    # a query identical to a data vector lands in that vector's list, so
+    # n_probe=1 already recovers the exact self-match
+    assert len(top) == 5
+    assert all(r.nn_id == r.q_id and abs(r.cosine - 1.0) < 1e-4 for r in top)
+
+
+def test_ivf_planted_recall(spark):
+    import numpy as np
+
+    from nutch_spark.functions.similarity import ivf_cosine_topk
+
+    e = _ivf_cluster_df(spark)
+    base = e.orderBy("vec_id").limit(12).collect()
+    rng = np.random.default_rng(11)
+    qrows = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        qrows.append((int(r.vec_id),
+                      [float(x) for x in v + 0.02 * rng.standard_normal(v.size)]))
+    q = spark.createDataFrame(qrows, "q_id long, q_vec array<float>")
+    got = ivf_cosine_topk(e.select("vec_id", "embedding"), q, k=1,
+                          n_centroids=8, n_probe=2).collect()
+    hits = sum(1 for r in got if r.rk == 1 and r.nn_id == r.q_id)
+    assert hits == len(base), f"planted-NN recall {hits}/{len(base)}"
+
+
+def test_ivf_kmeans_refinement_purity_and_determinism(spark):
+    from nutch_spark.functions.similarity import (
+        ivf_assign_col, ivf_centroid_vectors,
+    )
+
+    e = _ivf_cluster_df(spark)
+    emb = e.select("vec_id", "embedding")
+    cents = ivf_centroid_vectors(emb, 8, kmeans_iters=2)
+    cents2 = ivf_centroid_vectors(emb, 8, kmeans_iters=2)
+    assert (cents == cents2).all(), "centroid training must be deterministic"
+
+    assigned = e.select(
+        "true_cluster",
+        ivf_assign_col(F.col("embedding"), cents, n_probe=1)[0].alias("list_id"),
+    ).collect()
+    by_list: dict[int, set[int]] = {}
+    for r in assigned:
+        by_list.setdefault(r.list_id, set()).add(r.true_cluster)
+    # after Lloyd refinement on well-separated clusters every inverted list
+    # is pure: no list mixes vectors from two true clusters
+    assert all(len(cl) == 1 for cl in by_list.values()), by_list
+    # and the 4 true clusters are all represented across the lists
+    assert {c for cl in by_list.values() for c in cl} == {0, 1, 2, 3}
