@@ -401,3 +401,29 @@ def test_ivf_kmeans_refinement_purity_and_determinism(spark):
     assert all(len(cl) == 1 for cl in by_list.values()), by_list
     # and the 4 true clusters are all represented across the lists
     assert {c for cl in by_list.values() for c in cl} == {0, 1, 2, 3}
+
+
+def test_ivf_planted_recall_at_scale_params():
+    """IVF recall lock (sf0.1): queries are perturbed copies of 100 real
+    vectors (true NN = source at cosine ~0.99). 64 lists / 4 probes must
+    recover >=90%: a small perturbation rarely crosses the Voronoi boundary
+    of the source's list, and when it does the probe set covers it."""
+    import numpy as np
+
+    from nutch_spark.functions.similarity import ivf_cosine_topk
+    from nutch_spark.session import get_spark
+
+    spark = get_spark("ivf-recall", master="local[8]", shuffle_partitions=8)
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    base = e.orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(7)
+    qrows = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        q = v + 0.05 * np.linalg.norm(v) / 8.0 * rng.standard_normal(v.size)
+        qrows.append((int(r.vec_id), [float(x) for x in q]))
+    qdf = spark.createDataFrame(qrows, "q_id long, q_vec array<float>")
+    got = ivf_cosine_topk(e, qdf, k=1, n_centroids=64, n_probe=4).collect()
+    hits = sum(1 for r in got if r.rk == 1 and r.nn_id == r.q_id)
+    recall = hits / len(base)
+    assert recall >= 0.9, f"planted-NN recall {recall:.2f} < 0.9"
