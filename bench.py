@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     # round-4 surface
     "pdf_parse",
     "urlmeta",
+    "segment_dump",
+    "crawldb_scan",
 ]
 
 
