@@ -81,10 +81,16 @@ def append_run(result: dict, window: dict) -> None:
 
 
 def main() -> None:
-    attempts = 0
-    log(f"watcher start: max_attempts={MAX_ATTEMPTS}, "
+    # resume numbering after prior watcher runs so attempt records never
+    # overwrite each other across restarts
+    import glob
+    attempts = len(glob.glob(os.path.join(REPO, "tools",
+                                          "scaling_attempt_r4_*.json")))
+    limit = attempts + MAX_ATTEMPTS
+    log(f"watcher start: prior_attempts={attempts}, "
+        f"max_attempts={limit}, "
         f"profile ratio>={CPU_RATIO_MIN} membw1<={MEMBW1_MAX}")
-    while attempts < MAX_ATTEMPTS:
+    while attempts < limit:
         w = probe()
         log(f"probe: ratio={w['cpu_ratio']} membw1={w['membw'].get(1)} "
             f"good={w['good']}")
