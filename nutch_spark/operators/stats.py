@@ -130,5 +130,7 @@ def crawldb_scan(
                   if name.lower() == status.lower()]
         code = wanted[0] if wanted else -1
         out = out.filter(F.col("status") == code)
-    anchored = regex if regex.startswith("^") else "^(?:" + regex + ")$"
-    return out.filter(F.col("url").rlike(anchored))
+    # String.matches anchors BOTH ends regardless of ^/$ in the pattern, so
+    # always wrap: a caller-supplied "^http" must not become a prefix match
+    # (the group also protects top-level alternation precedence)
+    return out.filter(F.col("url").rlike("^(?:" + regex + ")$"))

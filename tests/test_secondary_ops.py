@@ -268,3 +268,7 @@ def test_crawldb_scan_full_match_and_status(spark):
         f, r"http://.*/xy?", status="DB_FETCHED").collect()}
     assert got == {"http://a.example.com/xy", "http://b.example.com/x"}
     assert crawldb_scan(f, r".*", status="nope").count() == 0
+    # a caller-anchored pattern keeps FULL-match semantics: "^http" matches
+    # only the literal string "http" under String.matches, never a prefix
+    assert crawldb_scan(f, r"^http").count() == 0
+    assert crawldb_scan(f, r"^http://a\.example\.com/x$").count() == 1

@@ -91,15 +91,20 @@ def main() -> None:
         f"max_attempts={limit}, "
         f"profile ratio>={CPU_RATIO_MIN} membw1<={MEMBW1_MAX}")
     while attempts < limit:
+        # .busy must be absent BEFORE the probe too: local work running
+        # while the probe samples reads as a saturated bus (membw1 ~0.02)
+        # and a launch right after the load ends lands on a quiet window
+        # (observed 11:15 on 2026-08-18: probe during pytest, launch after)
+        busy_pre = os.path.exists(BUSY_FILE)
         w = probe()
         log(f"probe: ratio={w['cpu_ratio']} membw1={w['membw'].get(1)} "
             f"good={w['good']}")
         if not w["good"]:
             time.sleep(PROBE_SLEEP_S)
             continue
-        if os.path.exists(BUSY_FILE):
-            log("window open but .busy present (local work running) — "
-                "skipping launch")
+        if busy_pre or os.path.exists(BUSY_FILE):
+            log("window open but .busy present before/after probe (local "
+                "work running) — skipping launch")
             time.sleep(PROBE_SLEEP_S)
             continue
         attempts += 1
