@@ -7,7 +7,10 @@ means every cycle's candidate outlinks join against the full frontier.
 The north_rule demands the explicit performance layer:
 
 - a partitioned bloom bitmap (numpy uint8, k hashes via h1 + i*h2
-  double-hashing over md5 lanes), one bitmap row per bucket, built and
+  double-hashing over two JVM-computed xxhash64 lanes — the lanes are
+  whole-stage-codegen columns, so NO per-row Python hashing crosses the
+  Arrow boundary; the v1 format hashed md5 per url in a Python loop at
+  ~3.4 s/M urls/callsite), one bitmap row per bucket, built and
   UPDATED incrementally with a cogroup kernel — each cycle ORs only the
   new URLs into the previous cycle's bitmaps (no full-frontier rebuild);
 - probe: COGROUP candidates with the sketch on bucket — the bucket's
@@ -32,33 +35,47 @@ from pyspark.sql import types as T
 
 from nutch_spark.config import CrawlConfig
 
+# format 2 = xxhash64-lane double hashing (JVM-side). A catalog whose sketch
+# predates the fmt column is a v1 (md5-lane) sketch: its bit positions are
+# incompatible, so readers MUST rebuild from the frontier (crawl_cycle does).
+SKETCH_FMT = 2
+
 SKETCH_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("bitmap", T.BinaryType(), False),
         T.StructField("n_urls", T.LongType(), False),
+        T.StructField("fmt", T.IntegerType(), False),
     ]
 )
+
+# lane seeds are distinct from the bucket seed (1): with a shared seed the
+# low bits of h1 are constant within a bucket (bucket = h mod buckets) and
+# the k probe positions correlate, inflating the false-positive rate
+_SEED_H1, _SEED_H2 = 1042, 2043
 
 
 def _bucket_col(cfg: CrawlConfig):
     return F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(cfg.seen_buckets)).cast("int")
 
 
-def _hash_positions(urls: pd.Series, bits: int, k: int) -> np.ndarray:
-    """k bit positions per url via double hashing of two md5-derived 64-bit
-    lanes (one md5 per url; the k positions are vectorized)."""
-    import hashlib
+def _lane_cols():
+    """The two 64-bit hash lanes as JVM expressions (codegen, no Python).
+    h2 is forced odd so the double-hash stride is coprime with 2^64."""
+    u = F.coalesce(F.col("url"), F.lit(""))
+    return [
+        F.xxhash64(u, F.lit(_SEED_H1)).alias("_h1"),
+        F.xxhash64(u, F.lit(_SEED_H2)).bitwiseOR(F.lit(1)).alias("_h2"),
+    ]
 
-    n = len(urls)
-    h1 = np.empty(n, dtype=np.uint64)
-    h2 = np.empty(n, dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.md5(u.encode("utf-8")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little") | 1
+
+def _positions_from_lanes(h1: pd.Series, h2: pd.Series, bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions from the JVM lanes — pure vectorized uint64
+    wraparound arithmetic, no per-row work."""
+    u1 = h1.to_numpy(dtype=np.int64).view(np.uint64)
+    u2 = h2.to_numpy(dtype=np.int64).view(np.uint64)
     ks = np.arange(k, dtype=np.uint64)[:, None]
-    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(bits)).astype(np.int64)
+    return ((u1[None, :] + ks * u2[None, :]) % np.uint64(bits)).astype(np.int64)
 
 
 def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
@@ -70,7 +87,7 @@ def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
     spark = new_urls_df.sparkSession
     if sketch is None:
         sketch = spark.createDataFrame([], SKETCH_SCHEMA)
-    urls_b = new_urls_df.select("url").withColumn("bucket", _bucket_col(cfg))
+    urls_b = new_urls_df.select("url", *_lane_cols()).withColumn("bucket", _bucket_col(cfg))
 
     def build(key, url_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(sk_pdf):
@@ -80,11 +97,11 @@ def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
             bitmap = np.zeros(bits // 8, dtype=np.uint8)
             n_prev = 0
         if len(url_pdf):
-            pos = _hash_positions(url_pdf["url"], bits, k).ravel()
+            pos = _positions_from_lanes(url_pdf["_h1"], url_pdf["_h2"], bits, k).ravel()
             np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
             {"bucket": [int(key[0])], "bitmap": [bitmap.tobytes()],
-             "n_urls": [n_prev + len(url_pdf)]}
+             "n_urls": [n_prev + len(url_pdf)], "fmt": [SKETCH_FMT]}
         )
 
     return (
@@ -92,6 +109,16 @@ def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
         .cogroup(sketch.groupBy("bucket"))
         .applyInPandas(build, SKETCH_SCHEMA)
     )
+
+
+def sketch_if_current(sketch: DataFrame | None) -> DataFrame | None:
+    """None unless `sketch` is in the CURRENT wire format. A v1 (md5-lane)
+    sketch has no `fmt` column; its bit positions are incompatible with the
+    xxhash64 lanes, so callers must rebuild from the frontier instead of
+    OR-ing into stale bitmaps (which would break bloom no-false-negatives)."""
+    if sketch is None or "fmt" not in sketch.columns:
+        return None
+    return sketch
 
 
 def build_seen_sketch(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -103,9 +130,9 @@ def probe_seen_flags(candidates: DataFrame, sketch: DataFrame, cfg: CrawlConfig)
     """candidates + boolean `maybe_seen`. False = DEFINITELY new (bloom has
     no false negatives); True = needs the exact check. The cogroup ships
     each bucket's bitmap into the kernel once — probe cost per candidate is
-    one md5 + k bit tests, independent of bitmap size."""
+    k bit tests on JVM-precomputed hash lanes, independent of bitmap size."""
     bits, k = cfg.seen_bits_per_bucket, cfg.seen_num_hashes
-    cand = candidates.withColumn("bucket", _bucket_col(cfg))
+    cand = candidates.select("*", *_lane_cols()).withColumn("bucket", _bucket_col(cfg))
     cols = candidates.columns
     out_schema = T.StructType(
         list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
@@ -119,7 +146,7 @@ def probe_seen_flags(candidates: DataFrame, sketch: DataFrame, cfg: CrawlConfig)
             out["maybe_seen"] = False  # bucket never inserted -> all new
             return out
         arr = np.frombuffer(sk_pdf["bitmap"].iat[0], dtype=np.uint8)
-        pos = _hash_positions(cand_pdf["url"].fillna(""), bits, k)  # (k, n)
+        pos = _positions_from_lanes(cand_pdf["_h1"], cand_pdf["_h2"], bits, k)  # (k, n)
         hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         out["maybe_seen"] = np.all(hit, axis=0)
         return out

@@ -22,7 +22,8 @@ from nutch_spark.operators.fetch import fetch_metrics, run_fetch
 from nutch_spark.operators.generate import generate
 from nutch_spark.operators.inject import inject
 from nutch_spark.operators.parse import run_parse
-from nutch_spark.operators.seen import build_seen_sketch, update_seen_sketch
+from nutch_spark.operators.seen import (build_seen_sketch, sketch_if_current,
+                                        update_seen_sketch)
 from nutch_spark.operators.updatedb import update_frontier
 from nutch_spark.storage import Catalog
 
@@ -180,13 +181,15 @@ class CrawlDriver:
         # O(frontier) — at 10^10 frontier URLs the full rebuild was a
         # per-cycle scan of the whole crawl history). This action also
         # materializes the new frontier cache + its count.
-        if self.sketch_t.exists():
+        prev_sketch = sketch_if_current(
+            self.sketch_t.read(self.spark) if self.sketch_t.exists() else None)
+        if prev_sketch is not None:
             new_sketch = update_seen_sketch(
-                self.sketch_t.read(self.spark),
+                prev_sketch,
                 new_frontier.filter(F.col("is_new")).select("url"),
                 cfg,
             )
-        else:  # catalog predates the sketch: restore the ⊇-frontier invariant
+        else:  # no/legacy sketch: restore the ⊇-frontier invariant
             new_sketch = build_seen_sketch(new_frontier, cfg)
         self.sketch_t.commit(new_sketch, tag=f"cycle-{cycle}")
         _mark("A3:sketch_commit")

@@ -78,3 +78,23 @@ def test_probe_flags_route_positives_to_exact_check(spark):
     # …and new_urls must nevertheless return exactly the novel set
     got = {r.url for r in new_urls(mk(spark, seen + novel), frontier, cfg, sketch).collect()}
     assert got == set(novel)
+
+
+def test_legacy_sketch_format_rejected(spark):
+    """A v1 sketch (no fmt column, md5-lane positions) must not be OR'd into:
+    sketch_if_current returns None so callers rebuild from the frontier."""
+    from pyspark.sql import types as T
+
+    from nutch_spark.operators.seen import build_seen_sketch, sketch_if_current
+
+    cfg = CrawlConfig(seen_buckets=4, seen_bits_per_bucket=1 << 16)
+    v1_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("n_urls", T.LongType(), False),
+    ])
+    v1 = spark.createDataFrame([(0, bytearray(8192), 10)], v1_schema)
+    assert sketch_if_current(v1) is None
+    assert sketch_if_current(None) is None
+    v2 = build_seen_sketch(mk(spark, ["http://a.com/"]), cfg)
+    assert sketch_if_current(v2) is v2
