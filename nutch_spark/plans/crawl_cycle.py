@@ -75,7 +75,9 @@ class CrawlDriver:
         return ("url", n) if n and n > 0 else None
 
     def frontier(self) -> DataFrame:
-        return self.frontier_t.read(self.spark)
+        # is_new is a cycle-internal column (rides each snapshot so the
+        # sketch update can re-read it); consumers never see it
+        return self.frontier_t.read(self.spark).drop("is_new")
 
     # -- stages ------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> int:
@@ -167,33 +169,50 @@ class CrawlDriver:
         n_parsed = int(obs_docs.get["n"])
         _mark("A2:documents_commit")
 
+        new_frontier = update_frontier(
+            frontier, fetch_out, parsed["parse_updates"], cfg, cur,
+            include_new_flag=True, parse_meta=parsed.get("parse_meta"))
+
+        # Phase-1 frontier write (prepare, not install): the bucketed
+        # snapshot write IS the single materialization of the updatedb
+        # merge. The previous shape cached the merged frontier — a full
+        # columnar copy of the highest-cardinality table per cycle (at
+        # 10^10 rows, the worst possible frame to duplicate) — then
+        # re-scanned the cache for the final write. `is_new` rides into
+        # the snapshot (an RLE-compressed boolean, ~free in parquet) so
+        # the sketch update below reads it back with a pushed filter;
+        # frontier() drops it for every other consumer. The pointer
+        # install — the cycle-completeness marker resume keys on — stays
+        # the LAST step of the cycle (A6), exactly as before.
         obs_front = Observation()
-        new_frontier = (
-            update_frontier(frontier, fetch_out, parsed["parse_updates"], cfg, cur,
-                            include_new_flag=True,
-                            parse_meta=parsed.get("parse_meta"))
-            .observe(obs_front, F.count(F.lit(1)).alias("n"))
-            .cache()
-        )
+        pending = self.frontier_t.prepare(
+            new_frontier.observe(obs_front, F.count(F.lit(1)).alias("n")),
+            tag=f"cycle-{cycle}", bucket_by=self._bucket_spec())
+        new_n = int(obs_front.get["n"])
+        _mark("A3:frontier_write")
 
         # seen sketch updated INCREMENTALLY: only this cycle's new URLs are
         # OR'd into the previous cycle's bitmaps (O(new) per cycle, not
         # O(frontier) — at 10^10 frontier URLs the full rebuild was a
-        # per-cycle scan of the whole crawl history). This action also
-        # materializes the new frontier cache + its count.
+        # per-cycle scan of the whole crawl history). Source = the pending
+        # snapshot's files, column-pruned to (url, is_new) with the filter
+        # pushed to the scan. Crash windows are safe: redo before install
+        # overwrites the same snapshot dir; a sketch committed for a cycle
+        # whose install never happened is a superset of the frontier
+        # (bloom OR is idempotent), same as the previous ordering.
+        committed = self.frontier_t.read_pending(self.spark, pending)
         prev_sketch = sketch_if_current(
             self.sketch_t.read(self.spark) if self.sketch_t.exists() else None)
         if prev_sketch is not None:
             new_sketch = update_seen_sketch(
                 prev_sketch,
-                new_frontier.filter(F.col("is_new")).select("url"),
+                committed.filter(F.col("is_new")).select("url"),
                 cfg,
             )
         else:  # no/legacy sketch: restore the ⊇-frontier invariant
-            new_sketch = build_seen_sketch(new_frontier, cfg)
+            new_sketch = build_seen_sketch(committed, cfg)
         self.sketch_t.commit(new_sketch, tag=f"cycle-{cycle}")
-        _mark("A3:sketch_commit")
-        new_n = int(obs_front.get["n"])
+        _mark("A4:sketch_commit")
 
         # metrics + lineage (north_rule: per-partition rows). The metrics
         # aggregate is one collect over the CACHED fetch output (~1 row per
@@ -201,7 +220,7 @@ class CrawlDriver:
         # write — one Spark job instead of two write jobs + two serial
         # output-committer passes per cycle.
         met_rows = [r.asDict() for r in fetch_metrics(fetch_out, cycle, cur).collect()]
-        _mark("A4:metrics_collect")
+        _mark("A5:metrics_collect")
         if met_rows:
             self.metrics_t.append_rows(met_rows, tag=f"cycle-{cycle}")
         self.lineage_t.append_rows(
@@ -217,16 +236,15 @@ class CrawlDriver:
             tag=f"cycle-{cycle}",
         )
 
-        _mark("A5:log_appends")
-        # atomic install — THE commit that marks the cycle complete.
+        _mark("A5b:log_appends")
+        # atomic install — THE pointer swap that marks the cycle complete.
         # Bucketed by url: next cycle's scan reports HashPartitioning(url),
         # so updatedb's merge shuffles only the topN-bounded updates side —
-        # never the 10^10-row frontier. The write itself is exchange-free
-        # too: the merge output is already hash-placed on url, so each task
-        # emits one bucket-tagged file.
-        self.frontier_t.commit(new_frontier.drop("is_new"), tag=f"cycle-{cycle}",
-                               bucket_by=self._bucket_spec())
-        _mark("A6:frontier_commit")
+        # never the 10^10-row frontier. The data files were written in A3
+        # (already hash-placed on url: one bucket-tagged file per task, no
+        # exchange); this step is a driver-side JSON rename, no Spark job.
+        self.frontier_t.install(pending)
+        _mark("A6:frontier_install")
 
         frontier.unpersist()
         fetchlist.unpersist()

@@ -107,6 +107,20 @@ class SnapshotTable:
         col (as the updatedb merge output is), each task holds exactly one
         bucket and emits one bucket-tagged file; misaligned input merely
         yields more files per bucket, never wrong results."""
+        return self.install(self.prepare(df, tag=tag, partition_by=partition_by,
+                                         bucket_by=bucket_by))
+
+    def prepare(self, df: DataFrame, tag: str | None = None,
+                partition_by: list[str] | None = None,
+                bucket_by: tuple[str, int] | None = None) -> dict:
+        """Phase 1 of a two-phase commit (the Iceberg write protocol: data
+        files first, metadata-pointer swap last). Writes the snapshot's data
+        WITHOUT installing the pointer — invisible to readers until
+        install(). Lets a caller use the snapshot write itself as a plan's
+        single materialization (instead of a .cache() columnar copy) and
+        still keep the pointer swap — the completeness marker — as the last
+        step. A crash before install() leaves only an orphan data dir; a
+        redo recomputes the same snapshot id and overwrites it in place."""
         log = self._load_log()
         sid = (log[-1]["snapshot_id"] + 1) if log else 1
         path = os.path.join(self.root, f"snap-{sid:06d}")
@@ -137,9 +151,29 @@ class SnapshotTable:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
-        log.append(snap)
+        return snap
+
+    def read_pending(self, spark: SparkSession, pending: dict) -> DataFrame:
+        """Scan a prepare()d-but-not-installed snapshot's data files."""
+        snap = Snapshot(**pending)
+        if snap.bucket_col:
+            return self._read_bucketed(spark, snap)
+        return spark.read.parquet(snap.path)
+
+    def install(self, pending: dict) -> Snapshot:
+        """Phase 2: atomically install a prepare()d snapshot (pointer swap).
+        Refuses if another snapshot landed since prepare() — the id (and
+        with it the data path) would collide."""
+        log = self._load_log()
+        expected = (log[-1]["snapshot_id"] + 1) if log else 1
+        if pending["snapshot_id"] != expected:
+            raise RuntimeError(
+                f"install({self.name}): snapshot id {pending['snapshot_id']} is "
+                f"stale (next id is {expected}); a commit landed since prepare()")
+        pending["committed_at_ms"] = int(time.time() * 1000)
+        log.append(pending)
         self._install_log(log)
-        return Snapshot(**snap)
+        return Snapshot(**pending)
 
     def append(self, df: DataFrame, tag: str | None = None) -> Snapshot:
         """Append-only commit (fast path for logs: lineage, metrics).

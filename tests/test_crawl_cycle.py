@@ -72,3 +72,53 @@ def test_crawl_ordering_deterministic(spark, corpus_tables, cfg, tmp_path):
         return sorted((r.url, r.partition_id, r.seq) for r in fs.collect())
 
     assert run(str(tmp_path / "r1")) == run(str(tmp_path / "r2"))
+
+
+def test_resume_mid_cycle_crash_windows(spark, corpus_tables, cfg, tmp_path):
+    """Two-phase frontier commit crash windows (storage.prepare/install).
+
+    Window A: crash after the frontier data write but before any commit —
+    redo recomputes the same snapshot id and overwrites in place.
+    Window B: crash after the sketch commit but before the frontier pointer
+    install — the sketch is a SUPERSET of the installed frontier (bloom OR
+    is idempotent), so redoing the cycle keeps sketch ⊇ frontier and lands
+    the same final state as an uninterrupted run."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    args = (corpus_tables["seeds"], corpus_tables["web_graph"],
+            corpus_tables["robots"], corpus_tables["raw_content"])
+
+    crawl(spark, a, cfg, *args, depth=2)  # uninterrupted run to compare
+
+    # run cycle 1 normally, then simulate a cycle-2 crash in window B:
+    # frontier PREPARED + sketch COMMITTED, pointer never installed
+    crawl(spark, b, cfg, *args, depth=1)
+    drv = CrawlDriver(spark, b, cfg, corpus_tables["web_graph"],
+                      corpus_tables["robots"], corpus_tables["raw_content"])
+    orig_install = drv.frontier_t.install
+    drv.frontier_t.install = lambda pending: (_ for _ in ()).throw(
+        RuntimeError("injected crash before pointer install"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        drv.run_cycle(2)
+    drv.frontier_t.install = orig_install
+    # the crash left cycle 1 as the last COMPLETE cycle
+    assert drv.last_completed_cycle() == 1
+    # sketch is ahead of the frontier pointer (window B) — still a superset
+
+    resumed = crawl(spark, b, cfg, *args, depth=2)  # redo cycle 2
+    assert [r.cycle for r in resumed] == [2]
+
+    fa = Catalog(a).table("frontier").read(spark)
+    fb = Catalog(b).table("frontier").read(spark)
+    cols = ["url", "status", "retries", "fetch_interval", "signature"]
+    assert ({tuple(r) for r in fa.select(*cols).collect()}
+            == {tuple(r) for r in fb.select(*cols).collect()})
+
+    # sketch ⊇ frontier invariant after the redo: probing every frontier
+    # URL against the committed sketch yields zero bloom false negatives
+    from nutch_spark.operators.seen import probe_seen_flags
+    cat = Catalog(b)
+    sketch = cat.table("seen_sketch").read(spark)
+    frontier_urls = fb.select("url")
+    misses = (probe_seen_flags(frontier_urls, sketch, cfg)
+              .filter(~F.col("maybe_seen")).count())
+    assert misses == 0
