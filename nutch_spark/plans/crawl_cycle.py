@@ -83,10 +83,16 @@ class CrawlDriver:
     def bootstrap(self, seeds: DataFrame) -> int:
         """Inject seeds (idempotent: skipped if already committed)."""
         if self.frontier_t.exists():
-            return self.frontier().count()
+            snap = self.frontier_t.latest()
+            return snap.row_count if snap.row_count is not None else self.frontier().count()
         frontier = inject(None, seeds, self.cfg, self.t0_ms)
-        n = frontier.count()
-        self.frontier_t.commit(frontier, tag="inject", bucket_by=self._bucket_spec())
+        obs = Observation()
+        pending = self.frontier_t.prepare(
+            frontier.observe(obs, F.count(F.lit(1)).alias("n")),
+            tag="inject", bucket_by=self._bucket_spec())
+        n = int(obs.get["n"])
+        pending["row_count"] = n
+        self.frontier_t.install(pending)
         # seed the seen sketch: the incremental per-cycle OR requires the
         # invariant sketch ⊇ frontier (bloom negatives short-circuit the
         # exact join, so the sketch must cover every frontier URL)
@@ -111,14 +117,20 @@ class CrawlDriver:
 
         cfg = self.cfg
         cur = self.t0_ms + cycle * CYCLE_VIRTUAL_MS
-        # frontier size rides an Observation on the scan instead of a
-        # dedicated count() action (one less driver barrier per cycle)
-        obs_frontier = Observation()
-        frontier = (
-            self.frontier()
-            .observe(obs_frontier, F.count(F.lit(1)).alias("n"))
-            .cache()
-        )
+        # NOT cached: the frontier is the highest-cardinality table in the
+        # system (10^10 rows at target scale) — a columnar cache copy per
+        # cycle is the one frame that can never fit. Every consumer
+        # (generate, the urlmeta slice, the updatedb merge) scans the
+        # immutable bucketed snapshot directly: pruned-column streaming
+        # reads that keep HashPartitioning(url), so the cycle's peak cached
+        # memory is O(topN + new URLs), independent of frontier size. The
+        # size comes from the snapshot summary (writer-side Observation),
+        # never a count() scan.
+        frontier_snap = self.frontier_t.latest()
+        frontier = self.frontier()
+        frontier_n = (frontier_snap.row_count
+                      if frontier_snap and frontier_snap.row_count is not None
+                      else frontier.count())  # legacy snapshots only
 
         obs_gen, obs_fetch = Observation(), Observation()
         fetchlist = (
@@ -137,7 +149,6 @@ class CrawlDriver:
         _mark("A1:fetch_append")
         n_gen = int(obs_gen.get["n"])
         n_fetch = int(obs_fetch.get["n"])
-        frontier_n = int(obs_frontier.get["n"])
 
         # cache_links=False: the cycle materializes links exactly once
         # (inside parse_updates -> update_frontier), so the cache write —
@@ -189,6 +200,7 @@ class CrawlDriver:
             new_frontier.observe(obs_front, F.count(F.lit(1)).alias("n")),
             tag=f"cycle-{cycle}", bucket_by=self._bucket_spec())
         new_n = int(obs_front.get["n"])
+        pending["row_count"] = new_n  # snapshot summary: next cycle's frontier_n
         _mark("A3:frontier_write")
 
         # seen sketch updated INCREMENTALLY: only this cycle's new URLs are
@@ -246,7 +258,6 @@ class CrawlDriver:
         self.frontier_t.install(pending)
         _mark("A6:frontier_install")
 
-        frontier.unpersist()
         fetchlist.unpersist()
         fetch_out.unpersist()
         parsed["docs_nested"].unpersist()

@@ -40,6 +40,9 @@ class Snapshot:
     bucket_col: str | None = None
     bucket_n: int | None = None
     table_name: str | None = None
+    # Iceberg snapshot-summary analogue: row count recorded at commit time
+    # (from the writer's Observation) so readers never pay a count() scan
+    row_count: int | None = None
 
 
 class SnapshotTable:
