@@ -49,6 +49,15 @@ def get_spark(
         # it; auto mode would drop the bucketed scan in plans where the
         # cache is materialized before the join is visible
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        # report bucket SORT order from bucketed scans (pre-3.0 behavior).
+        # Spark disabled this by default because it only applies when every
+        # bucket is exactly one file — which the frontier snapshot write
+        # guarantees (merge output is hash-placed on url: one task, one
+        # bucket, one file). With it, the updatedb merge's frontier side is
+        # Scan -> SortMergeJoin with NO per-cycle re-sort of the 10^10-row
+        # table (Spark still verifies the one-file condition per scan, so a
+        # multi-file bucket safely falls back to sorting)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
