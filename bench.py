@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "urlmeta",
     "segment_dump",
     "crawldb_scan",
+    "partition_byip",
 ]
 
 

@@ -185,6 +185,34 @@ SELECT host, COUNT(*) AS n_urls FROM frontier GROUP BY host
 """
 
 
+def q_partition_byip(spark, sf_dir):
+    """P1 byIP: politeness key = resolved address with host fallback
+    (URLPartitioner.java:79-86), the resolver injected as a (host, ip)
+    table (operators/resolve.py) — deterministic md5 fixture standing in
+    for the batched-resolution table (no DNS in this sandbox); ~25% of
+    hosts stay unresolved to exercise the UnknownHostException fallback."""
+    from nutch_spark.operators.resolve import fake_resolver, with_resolved_keys
+
+    f = derived_frontier(spark, sf_dir)
+    res = fake_resolver(f.select("host"))
+    keyed = with_resolved_keys(f, res)
+    return keyed.groupBy("pkey").agg(F.count(F.lit(1)).alias("n_urls"))
+
+
+SQL_PARTITION_BYIP = f"""
+WITH {FRONTIER_CTE},
+res AS (
+  SELECT host,
+         CASE WHEN substr(md5(host), 1, 1) < 'c'
+              THEN 'ip-' || substr(md5(host), 1, 8) END AS ip
+  FROM (SELECT DISTINCT host FROM frontier)
+)
+SELECT coalesce(r.ip, f.host) AS pkey, COUNT(*) AS n_urls
+FROM frontier f LEFT JOIN res r USING (host)
+GROUP BY 1
+"""
+
+
 def q_inject_merge(spark, sf_dir):
     """A1: inject-merge — existing frontier row wins over injected seed
     (Injector.java:175-242)."""
@@ -2759,6 +2787,7 @@ QUERIES: dict[str, tuple] = {
     "urlmeta": (q_urlmeta, SQL_URLMETA),
     "segment_dump": (q_segment_dump, SQL_SEGMENT_DUMP),
     "crawldb_scan": (q_crawldb_scan, SQL_CRAWLDB_SCAN),
+    "partition_byip": (q_partition_byip, SQL_PARTITION_BYIP),
     # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
     "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
     "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),

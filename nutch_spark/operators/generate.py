@@ -73,18 +73,28 @@ def select_due(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataF
     return df
 
 
-def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFrame:
+def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
+             resolver: DataFrame | None = None) -> DataFrame:
     """Produce the fetchlist: due rows, topN per partition, host caps,
     politeness partitioning, hash-ordered within partition."""
     due = select_due(frontier, cfg, cur_time_ms)
 
     # byDomain mode (URLPartitioner.java:36-93 PARTITION_MODE_DOMAIN):
-    # derive the registered domain once; byIP falls back to host (no
-    # resolver in this environment — declared, not silent)
+    # derive the registered domain once. byIP (URLPartitioner.java:79-86)
+    # keys on the resolved address from an injectable (host, ip) resolver
+    # table (operators/resolve.py — no DNS here, and per-record lookups
+    # would not scale anyway); unresolved or resolver-less rows fall back
+    # to host, the reference's UnknownHostException path.
     needs_domain = "byDomain" in (cfg.partition_mode, cfg.gen_count_mode)
     if needs_domain and "domain" not in due.columns:
         due = due.withColumn("domain", domain_udf(F.col("url")))
-    key = F.col(cfg.politeness_key) if cfg.politeness_key in due.columns else F.col("host")
+    if cfg.partition_mode == "byIP" and resolver is not None:
+        from nutch_spark.operators.resolve import with_resolved_keys
+
+        due = with_resolved_keys(due, resolver)
+        key = F.col("pkey")
+    else:
+        key = F.col(cfg.politeness_key) if cfg.politeness_key in due.columns else F.col("host")
     df = due.withColumn("partition_id", partition_expr(key, cfg))
 
     limit = max(1, cfg.topn // cfg.num_partitions)  # Generator.java:141
@@ -140,12 +150,17 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataFra
     # partitions; byDomain co-locates a domain's hosts — a superset of the
     # per-host politeness invariant); partition_id stays the LOGICAL reducer
     # id for topN semantics + metrics
-    place = F.col("domain") if (cfg.partition_mode == "byDomain" and "domain" in df.columns) else F.col("host")
+    if cfg.partition_mode == "byDomain" and "domain" in df.columns:
+        place = F.col("domain")
+    elif "pkey" in df.columns:  # byIP: co-locate every vhost of an address
+        place = F.col("pkey")
+    else:
+        place = F.col("host")
     df = df.withColumn("sort_hash", fetch_order_hash_udf(F.col("url")))
     df = df.repartition(cfg.num_partitions, place).sortWithinPartitions(
         "sort_hash", "url"
     )
-    return df
+    return df.drop("pkey")
 
 
 def mark_generated(frontier: DataFrame, fetchlist: DataFrame, cur_time_ms: int) -> DataFrame:

@@ -139,3 +139,58 @@ def test_generated_marked_with_ngt(spark):
     fl = generate(frontier, CrawlConfig(topn=10, num_partitions=1), T0)
     md = fl.collect()[0].metadata
     assert md[GENERATE_TIME_KEY] == str(T0)
+
+
+def test_byip_vhosts_colocate_and_unresolved_falls_back(spark):
+    """URLPartitioner.java:79-86 byIP: two vhosts on one address share a
+    partition key; a host missing from the resolver keeps its host key
+    (the UnknownHostException path)."""
+    rows = [
+        (f"http://{h}/{i}.html", h, 1.0)
+        for h in ("a.com", "b.com", "c.com", "d.com")
+        for i in range(5)
+    ]
+    frontier = mk_frontier(spark, rows)
+    resolver = spark.createDataFrame(
+        [("a.com", "1.2.3.4"), ("b.com", "1.2.3.4"), ("d.com", "5.6.7.8")],
+        "host string, ip string",
+    )
+    cfg = CrawlConfig(topn=1000, num_partitions=16, partition_mode="byIP")
+    fl = generate(frontier, cfg, T0, resolver=resolver)
+    pid = {r.host: r.pids for r in fl.groupBy("host")
+           .agg(F.collect_set("partition_id").alias("pids")).collect()}
+    assert all(len(v) == 1 for v in pid.values())
+    # shared address -> shared logical partition
+    assert pid["a.com"] == pid["b.com"]
+    # unresolved host keys on the host string: same id as a byHost run
+    byhost = generate(frontier, CrawlConfig(topn=1000, num_partitions=16), T0)
+    byhost_pid = {r.host: r.pid for r in byhost
+                  .groupBy("host").agg(F.first("partition_id").alias("pid")).collect()}
+    assert pid["c.com"][0] == byhost_pid["c.com"]
+    # physical placement follows the resolved key too
+    phys = {r.host: r.parts for r in fl
+            .withColumn("p", F.spark_partition_id()).groupBy("host")
+            .agg(F.collect_set("p").alias("parts")).collect()}
+    assert phys["a.com"] == phys["b.com"] and len(phys["a.com"]) == 1
+    # byIP without a resolver table degrades to byHost (declared fallback)
+    nores = generate(frontier, cfg, T0)
+    assert nores.count() == 20
+
+
+def test_resolve_urls_report(spark):
+    """tools/ResolveUrls.java analogue: per-URL resolution report."""
+    from nutch_spark.operators.resolve import fake_resolver, resolve_urls
+
+    urls = spark.createDataFrame(
+        [(f"http://h{i}.example.com/x",) for i in range(40)], "url string")
+    hosts = urls.selectExpr("lower(parse_url(url, 'HOST')) AS host")
+    res = fake_resolver(hosts)
+    rep = resolve_urls(urls, res).collect()
+    assert len(rep) == 40
+    resolved = [r for r in rep if r.resolved]
+    # md5 fixture: ~75% coverage, fallback rows carry null ip
+    assert 0 < len(resolved) < 40
+    assert all(r.ip.startswith("ip-") for r in resolved)
+    assert all(r.ip is None for r in rep if not r.resolved)
+    none_rep = resolve_urls(urls, None).collect()
+    assert all((not r.resolved) and r.ip is None for r in none_rep)
