@@ -31,6 +31,7 @@ class CrawlConfig:
     gen_cur_time_ms: int = 0                 # set per cycle (no wall clock in kernels)
     gen_update_crawldb: bool = False         # generate.update.crawldb
     partition_mode: str = "byHost"           # partition.url.mode
+    fetcher_queue_mode: str = "byHost"       # fetcher.queue.mode (byHost|byDomain|byIP)
     partition_seed: int = 42                 # partition.url.seed (fixed for reproducibility)
     num_partitions: int = 32                 # reducer count analogue
     salt_buckets: int = 8                    # explicit skew salting (north_rule P5)
@@ -38,6 +39,13 @@ class CrawlConfig:
     # sized so one bucket of the 10^10-row frontier fits an executor —
     # at 100 TB this is ~2^13-2^14, locally it matches shuffle partitions
     frontier_buckets: int = 32
+    # state-table snapshot retention (CrawlDb.install keeps current + old
+    # in the reference; Iceberg expire_snapshots analogue). 0 = keep all
+    # (safest default; resumable from any cycle). Applies only to the
+    # pure-state tables (frontier, seen sketch) — segment-style append
+    # tables (fetch_status, documents) keep their full history like
+    # Nutch segments do until explicitly deleted.
+    snapshot_keep: int = 0
 
     # --- fetcher (reference: fetcher/Fetcher.java + nutch-default.xml:662-791) ---
     fetcher_server_delay_ms: int = 5_000     # fetcher.server.delay (5.0 s)

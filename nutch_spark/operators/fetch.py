@@ -184,9 +184,14 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         # their own '' queue — factorize's -1 sentinel would otherwise file
         # them into the LAST host's queue (and crash on all-null partitions);
         # '' is also what the output row carries (host is non-null in
-        # FETCH_SCHEMA: the queue identity IS the emitted host)
+        # FETCH_SCHEMA). Queue identity = `queue_key` when run_fetch
+        # attached one (fetcher.queue.mode byDomain/byIP,
+        # Fetcher.java FetchItemQueues.getFetchItemQueue queueMode), else
+        # the host itself (byHost default).
         host_filled = pdf["host"].fillna("")
-        host_codes, hosts_u = pd.factorize(host_filled)  # codes = insertion order
+        queue_filled = (pdf["queue_key"].fillna("")
+                        if "queue_key" in pdf.columns else host_filled)
+        host_codes, hosts_u = pd.factorize(queue_filled)  # codes = insertion order
         crawl_delay_s = pdf["crawl_delay"].to_numpy(dtype=float)
         robots_delay_ms = crawl_delay_s * 1000.0  # NaN stays NaN
         too_long = (~np.isnan(robots_delay_ms)) & (
@@ -578,6 +583,7 @@ def run_fetch(
     cfg: CrawlConfig,
     cycle: int,
     start_ms: int,
+    resolver: DataFrame | None = None,
 ) -> DataFrame:
     """Join the fetchlist with the simulated web + robots, then run the
     politeness kernel per host-partition.
@@ -617,13 +623,33 @@ def run_fetch(
         )
         fl = fl.join(build_redirect_chains(seed, wg, rb, cfg), "url", "left")
 
-    # politeness placement: one host -> one partition, spread by sort_hash
-    # (P1/P3/P4). Repartition on the HIGH-CARDINALITY host, not on the
-    # logical partition_id: hashing a 0..n-1 id into n buckets collides
-    # (measured: 18/32 buckets filled, 2x skew) while hash(host) balances;
-    # the politeness invariant (one host -> one physical partition) holds
-    # either way.
-    fl = fl.repartition(cfg.num_partitions, F.col("host")).sortWithinPartitions(
+    # fetcher.queue.mode (Fetcher.java FetchItemQueues queueMode): the
+    # politeness-queue unit. byDomain shares one queue across a domain's
+    # hosts; byIP shares one across an address's vhosts, keyed by the
+    # injectable resolution table (operators/resolve.py) with host
+    # fallback on unresolved rows. The kernel reads `queue_key` when
+    # present; in-kernel redirect targets queue by host (no resolver at
+    # that point — the reference's UnknownHostException path).
+    qmode = cfg.fetcher_queue_mode
+    if qmode == "byIP" and resolver is not None:
+        fl = (
+            fl.join(resolver.select("host", "ip"), "host", "left")
+            .withColumn("queue_key", F.coalesce(F.col("ip"), F.col("host")))
+            .drop("ip")
+        )
+    elif qmode == "byDomain":
+        from nutch_spark.functions.urls import domain_udf
+
+        fl = fl.withColumn("queue_key", domain_udf(F.col("url")))
+
+    # politeness placement: one queue unit -> one partition, spread by
+    # sort_hash (P1/P3/P4). Repartition on the HIGH-CARDINALITY queue key
+    # (host by default), not on the logical partition_id: hashing a 0..n-1
+    # id into n buckets collides (measured: 18/32 buckets filled, 2x skew)
+    # while hash(host) balances; the politeness invariant (one queue unit
+    # -> one physical partition) holds either way.
+    place = F.col("queue_key") if "queue_key" in fl.columns else F.col("host")
+    fl = fl.repartition(cfg.num_partitions, place).sortWithinPartitions(
         "sort_hash", "url"
     )
     kernel = fetch_partition_kernel(cfg, cycle, start_ms)

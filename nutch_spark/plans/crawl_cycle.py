@@ -258,6 +258,16 @@ class CrawlDriver:
         self.frontier_t.install(pending)
         _mark("A6:frontier_install")
 
+        # snapshot GC (CrawlDb.install old-dir rotation / Iceberg
+        # expire_snapshots analogue): state tables only — at 10^10 rows
+        # every retained frontier snapshot is a full copy of the crawl
+        # state, so unbounded retention is itself a scale bug. Runs AFTER
+        # install so a crash mid-expire still leaves the committed cycle
+        # intact; keep >= 2 preserves current + old like the reference.
+        if cfg.snapshot_keep > 0:
+            self.frontier_t.expire_snapshots(cfg.snapshot_keep, self.spark)
+            self.sketch_t.expire_snapshots(cfg.snapshot_keep, self.spark)
+
         fetchlist.unpersist()
         fetch_out.unpersist()
         parsed["docs_nested"].unpersist()

@@ -122,3 +122,38 @@ def test_resume_mid_cycle_crash_windows(spark, corpus_tables, cfg, tmp_path):
     misses = (probe_seen_flags(frontier_urls, sketch, cfg)
               .filter(~F.col("maybe_seen")).count())
     assert misses == 0
+
+
+def test_snapshot_expiry_keeps_resume_intact(spark, corpus_tables, cfg, tmp_path):
+    """snapshot_keep GC (CrawlDb.install current+old rotation / Iceberg
+    expire_snapshots analogue): state tables keep only the newest K
+    snapshots, old data dirs are gone from disk, and both resume and the
+    final frontier are identical to a keep-everything run."""
+    import os
+
+    a, b = str(tmp_path / "keepall"), str(tmp_path / "gc")
+    args = (corpus_tables["seeds"], corpus_tables["web_graph"],
+            corpus_tables["robots"], corpus_tables["raw_content"])
+    gc_cfg = CrawlConfig(**{**cfg.__dict__, "snapshot_keep": 2})
+
+    crawl(spark, a, cfg, *args, depth=3)      # keep-all reference run
+    crawl(spark, b, gc_cfg, *args, depth=2)   # "killed" after cycle 2
+    cat = Catalog(b)
+    front = cat.table("frontier")
+    snaps = front.snapshots()
+    assert len(snaps) == 2                    # current + old, like CrawlDb.install
+    assert [s.tag for s in snaps] == ["cycle-1", "cycle-2"]
+    # expired snapshot data dirs are actually gone from disk
+    live = {os.path.basename(s.path) for s in snaps}
+    on_disk = {d for d in os.listdir(front.root) if d.startswith("snap-")}
+    assert on_disk == live  # no dead snap dirs linger
+
+    resumed = crawl(spark, b, gc_cfg, *args, depth=3)  # resume past the GC
+    assert [r.cycle for r in resumed] == [3]
+    fa = Catalog(a).table("frontier").read(spark)
+    fb = cat.table("frontier").read(spark)
+    cols = ["url", "status", "retries", "fetch_interval", "signature"]
+    assert ({tuple(r) for r in fa.select(*cols).collect()}
+            == {tuple(r) for r in fb.select(*cols).collect()})
+    # sketch table GC'd too
+    assert len(cat.table("seen_sketch").snapshots()) == 2

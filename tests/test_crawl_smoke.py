@@ -139,3 +139,43 @@ def test_robots_rules(spark, corpus_tables, cfg):
     assert out["http://h007.example.com/private/0.html"] == schemas.STATUS_FETCH_GONE
     assert out["http://h005.example.com/page/0.html"] == schemas.STATUS_FETCH_GONE
     assert out["http://h008.example.com/page/0.html"] == schemas.STATUS_FETCH_SUCCESS
+
+
+def test_fetcher_queue_modes_share_politeness_clock(spark, corpus_tables, cfg):
+    """fetcher.queue.mode (Fetcher.java FetchItemQueues queueMode): byIP
+    shares ONE politeness queue across vhosts resolving to one address;
+    byDomain shares one across a domain's hosts; byHost keeps them
+    parallel. Evidence = the virtual-clock span of the fetch ordering."""
+    seeds = spark.createDataFrame(
+        [(f"http://h00{h}.example.com/page/{i}.html", {})
+         for h in (1, 2) for i in range(3)],
+        schemas.SEEDS_SCHEMA,
+    )
+    frontier = inject(None, seeds, cfg, T0)
+    fetchlist = generate(frontier, cfg, T0).cache()
+    resolver = spark.createDataFrame(
+        [("h001.example.com", "9.9.9.9"), ("h002.example.com", "9.9.9.9")],
+        "host string, ip string",
+    )
+
+    def span(cfg2, res=None):
+        out = run_fetch(fetchlist, corpus_tables["web_graph"],
+                        corpus_tables["robots"], cfg2, 1, T0, resolver=res)
+        ok = out.filter(F.col("fetch_status") != schemas.STATUS_FETCH_GONE)
+        r = ok.agg(F.min("fetch_ts").alias("a"), F.max("fetch_ts").alias("b"),
+                   F.count("*").alias("n")).collect()[0]
+        return r.a, r.b, r.n
+
+    d = cfg.fetcher_server_delay_ms
+    a0, b0, n0 = span(cfg)                                   # byHost: 2 queues
+    ip_cfg = CrawlConfig(**{**cfg.__dict__, "fetcher_queue_mode": "byIP"})
+    a1, b1, n1 = span(ip_cfg, resolver)                      # byIP: 1 queue
+    dom_cfg = CrawlConfig(**{**cfg.__dict__, "fetcher_queue_mode": "byDomain"})
+    a2, b2, n2 = span(dom_cfg)                               # byDomain: 1 queue
+    assert n0 == n1 == n2 == 6
+    assert b1 - a1 >= 5 * d, "byIP must serialize all six fetches"
+    assert b2 - a2 >= 5 * d, "byDomain must serialize all six fetches"
+    assert b0 - a0 <= 3 * d, "byHost keeps the two hosts' queues parallel"
+    # byIP without a resolver degrades to byHost semantics (declared)
+    a3, b3, n3 = span(ip_cfg, None)
+    assert n3 == 6 and b3 - a3 <= 3 * d
