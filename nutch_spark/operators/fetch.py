@@ -226,6 +226,18 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
         q_exc = [0] * nq
         max_exc = cfg.fetcher_max_exceptions_per_queue
         q_delay = q_delay.tolist()
+        # fetcher.threads.per.queue (FetchItemQueue maxThreads): when > 1,
+        # a queue admits up to max_per_q concurrent in-flight fetches and
+        # fetcher.server.min.delay REPLACES the crawl delay
+        # (nutch-default.xml: min.delay "applies ONLY if
+        # fetcher.threads.per.queue is greater than 1"). Admission gates on
+        # the last FINISHED fetch's end + delay (the reference updates
+        # nextFetchTime in finishFetchItem), never on in-flight ones.
+        max_per_q = max(1, cfg.fetcher_threads_per_queue)
+        if max_per_q > 1:
+            q_delay = [int(cfg.fetcher_server_min_delay_ms)] * nq
+            q_inflight = [0] * nq
+            q_fin: list[list[int]] = [[] for _ in range(nq)]
         # per-queue next-ready time: lets an in-thread redirect fetch (R5)
         # push out a queue's politeness clock even while the queue sits in
         # the eligible heap (stale heap entries are re-deferred on pop)
@@ -293,11 +305,16 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 q_items.append([])
                 q_head.append(0)
                 q_len.append(0)
-                q_delay.append(int(delay_ms) if delay_ms is not None
-                               else cfg.fetcher_server_delay_ms)
+                if max_per_q > 1:
+                    q_delay.append(int(cfg.fetcher_server_min_delay_ms))
+                    q_inflight.append(0)
+                    q_fin.append([])
+                else:
+                    q_delay.append(int(delay_ms) if delay_ms is not None
+                                   else cfg.fetcher_server_delay_ms)
                 q_exc.append(0)
                 q_ready.append(start_ms)
-            elif delay_ms is not None:
+            elif delay_ms is not None and max_per_q == 1:
                 q_delay[qi] = int(delay_ms)  # fiq.crawlDelay update (:804)
             return qi
 
@@ -440,6 +457,16 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 qi = heapq.heappop(eligible)
                 if q_head[qi] >= q_len[qi]:
                     continue
+                if max_per_q > 1:
+                    # retire finished in-flight fetches (finishFetchItem:
+                    # nextFetchTime = finish end + min delay)
+                    while q_fin[qi] and q_fin[qi][0] <= now:
+                        fin = heapq.heappop(q_fin[qi])
+                        q_inflight[qi] -= 1
+                        q_ready[qi] = max(q_ready[qi], fin + q_delay[qi])
+                    if q_inflight[qi] >= max_per_q:
+                        heapq.heappush(pending, (q_fin[qi][0], qi))
+                        continue
                 if q_ready[qi] > now:  # deferred by an in-thread redirect fetch
                     heapq.heappush(pending, (q_ready[qi], qi))
                     continue
@@ -482,9 +509,24 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
             # source queue unblocks at the SOURCE fetch's end (the reference
             # calls finishFetchItem before redirect handling), never at the
             # redirect chain's end
-            q_ready[qpick] = end + int(q_delay[qpick])
-            if q_head[qpick] < q_len[qpick]:
-                heapq.heappush(pending, (q_ready[qpick], qpick))
+            if max_per_q > 1:
+                # in-flight until `end`; nextFetchTime moves only when the
+                # fetch retires (drained at the next admission check), so
+                # other threads may start from this queue meanwhile
+                q_inflight[qpick] += 1
+                heapq.heappush(q_fin[qpick], end)
+                if q_head[qpick] < q_len[qpick]:
+                    if q_inflight[qpick] < max_per_q and q_ready[qpick] <= now:
+                        heapq.heappush(eligible, qpick)
+                    else:
+                        wake = (q_fin[qpick][0]
+                                if q_inflight[qpick] >= max_per_q
+                                else q_ready[qpick])
+                        heapq.heappush(pending, (wake, qpick))
+            else:
+                q_ready[qpick] = end + int(q_delay[qpick])
+                if q_head[qpick] < q_len[qpick]:
+                    heapq.heappush(pending, (q_ready[qpick], qpick))
             heapq.heapreplace(threads_heap, (end, ti))
             if chains_np is not None and (is_rp[i] or is_rt[i]):
                 ch = chains_np[i]

@@ -212,3 +212,27 @@ def test_throughput_above_threshold_not_killed(spark):
     wg = _wg(spark, [(u, "a-sim.com", "ok", None) for u in urls])
     out = run_fetch(_fetchlist(spark, urls), wg, _robots(spark), cfg, 1, T0).collect()
     assert len(out) == 20  # 5 pages/s clears the threshold
+
+
+def test_threads_per_queue_concurrent_inflight(spark):
+    """fetcher.threads.per.queue=2 (FetchItemQueue maxThreads): two fetches
+    of one queue run concurrently; fetcher.server.min.delay replaces the
+    crawl delay and gates on the last FINISHED fetch. Virtual clock is
+    deterministic, so the exact start times are asserted."""
+    urls = [f"http://q-sim.com/p{i}.html" for i in range(6)]
+    wg = _wg(spark, [(u, "q-sim.com", "ok", None) for u in urls])
+    base = dict(num_partitions=1, fetcher_threads=4,
+                fetch_duration_ms=100, fetcher_server_delay_ms=5000)
+
+    one = CrawlConfig(**base)
+    out1 = run_fetch(_fetchlist(spark, urls), wg, _robots(spark), one, 1, T0).collect()
+    ts1 = sorted(r.fetch_ts - T0 for r in out1)
+    assert ts1 == [0, 5100, 10200, 15300, 20400, 25500]  # serial: end+5000 each
+
+    two = CrawlConfig(**base, fetcher_threads_per_queue=2,
+                      fetcher_server_min_delay_ms=1000)
+    out2 = run_fetch(_fetchlist(spark, urls), wg, _robots(spark), two, 1, T0).collect()
+    ts2 = sorted(r.fetch_ts - T0 for r in out2)
+    # pairs start together; next pair at previous finish (100) + min delay
+    assert ts2 == [0, 0, 1100, 1100, 2200, 2200]
+    assert len({r.url for r in out2}) == 6
