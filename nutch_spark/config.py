@@ -56,7 +56,8 @@ class CrawlConfig:
     fetcher_max_exceptions_per_queue: int = -1
     fetcher_timelimit_ms: int = -1           # fetcher.timelimit.mins (virtual ms)
     http_redirect_max: int = 0               # http.redirect.max (1.6 default: 0 -> defer)
-    db_ignore_external_links: bool = False   # db.ignore.external.links (redirect gate)
+    # (db.ignore.external.links — shared by the redirect gate and the parse
+    # outlink chain — is declared once in the parse section below)
     # throughput kill-switch (Fetcher.java:1366-1386): sustained sub-threshold
     # pages/s empties every queue. threshold -1 disables (reference default).
     fetcher_throughput_threshold_pages: int = -1   # fetcher.throughput.threshold.pages
