@@ -244,17 +244,37 @@ def update_frontier(
     # modified detection (T6, CrawlDbReducer.java:205-217)
     modified = F.col("o_signature").isNull() | (new_sig != F.col("o_signature"))
 
+    # new modified time (also reused by the sync-delta schedule below)
+    new_modified = (
+        F.when(modified, F.col("fetch_ts"))
+        .otherwise(F.coalesce(F.col("o_modified"), F.lit(0)))
+    )
+
     # schedule (T1 default / T2 adaptive) for success-ish statuses
     if cfg.db_fetch_schedule_adaptive:
         inc, dec = cfg.adaptive_inc_rate, cfg.adaptive_dec_rate
         adj = F.when(modified, interval_s * (1.0 - dec)).otherwise(interval_s * (1.0 + inc))
+        ref_time = F.col("fetch_ts")
+        if cfg.adaptive_sync_delta:
+            # AdaptiveFetchSchedule.java:101-116: pull the schedule toward
+            # the observed change time — modifiedTime<=0 counts as "changed
+            # now" (delta 0); a delta larger than the adjusted interval
+            # replaces it, and the reference point shifts back by
+            # delta * sync_delta_rate
+            mt = F.when(new_modified <= 0, F.col("fetch_ts")).otherwise(new_modified)
+            delta_s = (F.col("fetch_ts") - mt) / F.lit(1000.0)
+            adj = F.when(delta_s > adj, delta_s).otherwise(adj)
+            ref_time = F.col("fetch_ts") - F.round(
+                delta_s * F.lit(cfg.adaptive_sync_delta_rate) * 1000.0
+            ).cast("long")
         next_interval = F.greatest(
             F.lit(cfg.adaptive_min_interval),
             F.least(F.lit(cfg.adaptive_max_interval), adj),
         ).cast("int")
+        next_fetch_time = ref_time + next_interval.cast("long") * 1000
     else:
         next_interval = interval_s.cast("int")
-    next_fetch_time = F.col("fetch_ts") + next_interval.cast("long") * 1000
+        next_fetch_time = F.col("fetch_ts") + next_interval.cast("long") * 1000
 
     gone_interval = (interval_s * cfg.gone_backoff_factor).cast("int")  # T4
 

@@ -44,7 +44,8 @@ def mk_old(spark, rows):
             "fetch_time": r.get("fetch_time", T0), "retries": r.get("retries", 0),
             "fetch_interval": r.get("fetch_interval", IV),
             "score": float(r.get("score", 1.0)), "signature": r.get("signature"),
-            "modified_time": 0, "metadata": r.get("metadata", {}),
+            "modified_time": r.get("modified_time", 0),
+            "metadata": r.get("metadata", {}),
         }
         for r in rows
     ]
@@ -269,3 +270,29 @@ def test_fetch_kernel_emits_repr_url(spark):
             assert r.repr_url == choose_repr_url(r.url, r.redirect_to, bool(r.redirect_temp))
     nonredir = out.filter(F.col("redirect_to").isNull()).limit(5).collect()
     assert all(r.repr_url is None for r in nonredir)
+
+
+def test_adaptive_sync_delta_pulls_toward_change_time(spark):
+    """AdaptiveFetchSchedule.java:101-116 SYNC_DELTA: a change observed
+    long after it happened replaces the adjusted interval with the delta
+    and shifts the reference time back by delta * sync_delta_rate."""
+    url = "http://a.com/s.html"
+    old_mod = FETCH_TS - 10_000_000  # page last changed 10,000 s ago
+    rows_old = [{"url": url, "status": S.STATUS_DB_FETCHED,
+                 "signature": "same", "fetch_interval": 1000,
+                 "modified_time": old_mod}]
+    rows_fetch = [{"url": url, "fetch_status": S.STATUS_FETCH_SUCCESS,
+                   "signature": "same", "fetch_interval": 1000}]
+
+    on = CrawlConfig(db_fetch_schedule_adaptive=True, adaptive_sync_delta=True,
+                     adaptive_sync_delta_rate=0.3)
+    r = update_frontier(mk_old(spark, rows_old), mk_fetch(spark, rows_fetch),
+                        empty_updates(spark), on, T0).collect()[0]
+    assert r.fetch_interval == 10_000                 # delta wins over x1.4
+    assert r.fetch_time == FETCH_TS - 3_000_000 + 10_000_000  # refTime+interval
+
+    off = CrawlConfig(db_fetch_schedule_adaptive=True, adaptive_sync_delta=False)
+    r2 = update_frontier(mk_old(spark, rows_old), mk_fetch(spark, rows_fetch),
+                         empty_updates(spark), off, T0).collect()[0]
+    assert r2.fetch_interval == 1400                  # plain x(1+0.4)
+    assert r2.fetch_time == FETCH_TS + 1_400_000
