@@ -142,7 +142,6 @@ class CrawlConfig:
 
     # --- misc ---
     signature_impl: str = "md5"              # md5 | text_profile
-    interval_clamp_factor: float = 1.5       # AbstractFetchSchedule:171-185 clamp
 
     metadata: dict = field(default_factory=dict)
 

@@ -2467,25 +2467,33 @@ FROM f
 
 
 def q_schedule_forced(spark, sf_dir):
-    """T5 forceRefetch clamp (AbstractFetchSchedule.java:171-185 via
-    select_due): a fetch_time more than clamp_factor x interval in the
-    future is clamped to now (and thus selected); plus the F9/F10 gates —
-    not-due rows, gone rows and gen-delay-suppressed rows drop out."""
+    """T5 forced-refetch clamp (AbstractFetchSchedule.java:168-185
+    shouldFetch via select_due): a fetch_time more than
+    db.fetch.interval.max (90 d) remote is pulled to now (and thus
+    selected), an interval beyond the max shrinks to max*0.9; plus the
+    F9/F10 gates — not-due rows, gone rows and gen-delay-suppressed rows
+    drop out."""
     from nutch_spark.config import CrawlConfig
     from nutch_spark.operators.generate import select_due
 
     cfg = CrawlConfig(gen_delay_ms=60_000)
+    max_iv = cfg.db_fetch_interval_max  # 7_776_000 s (90 d)
     cur = 1_000_000_000_000
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("k")
     )
     k = F.col("k")
     v = k % 5
-    interval = (86400 * (1 + k % 3)).cast("long")
+    # v==2 rows alternate a sane and an over-max interval so the clamp's
+    # interval shrink shows up in the hashed output
+    interval = (
+        F.when(v == 2, F.when(k % 2 == 0, F.lit(max_iv + 86400)).otherwise(F.lit(3600)))
+        .otherwise(86400 * (1 + k % 3))
+    ).cast("long")
     fetch_time = (
         F.when(v == 0, F.lit(cur - 1000))
         .when(v == 1, F.lit(cur + 1000))
-        .when(v == 2, F.lit(cur) + 2 * interval * 1000)
+        .when(v == 2, F.lit(cur + (max_iv + 10) * 1000))  # > max_iv remote
         .otherwise(F.lit(cur - 1000))
     ).cast("long")
     status = F.when(v == 3, F.lit(3)).otherwise(F.lit(1)).cast("long")
@@ -2502,16 +2510,23 @@ def q_schedule_forced(spark, sf_dir):
         meta.alias("metadata"),
         "k",
     )
-    return select_due(frontier, cfg, cur).select("k", "url", "fetch_time")
+    return select_due(frontier, cfg, cur).select(
+        "k", "url", "fetch_time", "fetch_interval")
 
 
 SQL_SCHEDULE_FORCED = """
 SELECT CAST(o_orderkey AS BIGINT) AS k,
        'http://h' || o_orderkey || '.example.com/f/' || o_orderkey AS url,
        CASE WHEN o_orderkey % 5 = 2
-            THEN CAST(1000000000000 AS BIGINT)         -- clamped to now
+            THEN CAST(1000000000000 AS BIGINT)         -- pulled to now
             ELSE CAST(1000000000000 - 1000 AS BIGINT)
-       END AS fetch_time
+       END AS fetch_time,
+       CAST(CASE
+            WHEN o_orderkey % 5 = 2 AND o_orderkey % 2 = 0
+            THEN CAST(7776000 * 0.9 AS BIGINT)         -- shrunk to max*0.9
+            WHEN o_orderkey % 5 = 2 THEN 3600
+            ELSE 86400 * (1 + o_orderkey % 3)
+       END AS BIGINT) AS fetch_interval
 FROM orders
 WHERE o_orderkey % 5 IN (0, 2)
 """

@@ -43,13 +43,21 @@ def select_due(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int) -> DataF
     """Generator gate predicates F9/F10 — plain Catalyst predicates so they
     push down to the frontier scan (partition pruning on `status` at scale)."""
     df = frontier
-    # shouldFetch (AbstractFetchSchedule.java:171-185): clamp absurd intervals
-    over_clamp = (F.col("fetch_time") - F.lit(cur_time_ms)) > (
-        F.lit(cfg.interval_clamp_factor) * F.col("fetch_interval").cast("long") * 1000
-    )
+    # shouldFetch (AbstractFetchSchedule.java:168-185): a fetchTime more
+    # than db.fetch.interval.max remote is pulled to now, and an interval
+    # beyond the max is shrunk to max*0.9 so the page fits the segment
+    # retention period
+    max_iv = cfg.db_fetch_interval_max
+    too_remote = (F.col("fetch_time") - F.lit(cur_time_ms)) > F.lit(max_iv * 1000)
     df = df.withColumn(
+        "fetch_interval",
+        F.when(
+            too_remote & (F.col("fetch_interval") > max_iv),
+            F.lit(int(max_iv * 0.9)),
+        ).otherwise(F.col("fetch_interval")),
+    ).withColumn(
         "fetch_time",
-        F.when(over_clamp, F.lit(cur_time_ms)).otherwise(F.col("fetch_time")),
+        F.when(too_remote, F.lit(cur_time_ms)).otherwise(F.col("fetch_time")),
     )
     df = df.filter(F.col("fetch_time") <= F.lit(cur_time_ms))
     # fetchable db statuses only (skip gone/redirects which Generator skips via

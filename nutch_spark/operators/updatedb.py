@@ -277,6 +277,13 @@ def update_frontier(
         next_fetch_time = F.col("fetch_ts") + next_interval.cast("long") * 1000
 
     gone_interval = (interval_s * cfg.gone_backoff_factor).cast("int")  # T4
+    # setPageGoneSchedule (AbstractFetchSchedule.java:105-112): when the
+    # backed-off interval outgrows db.fetch.interval.max, forceRefetch
+    # (:199-208, asap=false) resets the row to unfetched with interval
+    # max*0.9, cleared signature/modified/retries; fetchTime keeps the
+    # just-set backoff value (asap=false leaves it)
+    max_iv = cfg.db_fetch_interval_max
+    gone_exceeded = gone_interval > F.lit(max_iv)
 
     is_success = fs == S.STATUS_FETCH_SUCCESS
     is_notmod = fs == S.STATUS_FETCH_NOTMODIFIED
@@ -297,6 +304,7 @@ def update_frontier(
         .when(is_redir_p, F.lit(S.STATUS_DB_REDIR_PERM))
         .when(is_retry & retry_exceeded, F.lit(S.STATUS_DB_GONE))
         .when(is_retry, F.lit(S.STATUS_DB_UNFETCHED))
+        .when(is_gone & gone_exceeded, F.lit(S.STATUS_DB_UNFETCHED))  # forceRefetch
         .when(is_gone, F.lit(S.STATUS_DB_GONE))
         .otherwise(F.coalesce(F.col("o_status"), F.lit(S.STATUS_DB_UNFETCHED)))
     )
@@ -314,11 +322,13 @@ def update_frontier(
     retries = (
         F.when(is_retry, retries0 + 1)
         .when(is_success | is_notmod | is_redir_t | is_redir_p, F.lit(0))
+        .when(is_gone & gone_exceeded, F.lit(0))  # forceRefetch reset
         .otherwise(retries0)
     )
 
     fetch_interval = (
         F.when(is_success | is_notmod, next_interval)
+        .when(is_gone & gone_exceeded, F.lit(int(max_iv * 0.9)))
         .when(is_gone, gone_interval)
         .otherwise(interval_s.cast("int"))
     )
@@ -327,10 +337,13 @@ def update_frontier(
     score = (base_score + link_score).cast("float")
 
     signature = (
-        F.when(is_success, new_sig).otherwise(F.col("o_signature"))
+        F.when(is_gone & gone_exceeded, F.lit(None).cast("string"))  # forceRefetch
+        .when(is_success, new_sig)
+        .otherwise(F.col("o_signature"))
     )
     modified_time = (
-        F.when(is_success & modified, F.col("fetch_ts"))
+        F.when(is_gone & gone_exceeded, F.lit(0))  # forceRefetch
+        .when(is_success & modified, F.col("fetch_ts"))
         .otherwise(F.coalesce(F.col("o_modified"), F.lit(0)))
     )
     # drop the generate-time key after a completed cycle (CrawlDbReducer:289-293)

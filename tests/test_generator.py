@@ -100,15 +100,23 @@ def test_due_gate_and_gen_delay(spark):
 
 
 def test_interval_clamp(spark):
-    """AbstractFetchSchedule.java:171-185: fetch_time absurdly far in the
-    future (beyond 1.5x interval) is clamped to now -> due."""
+    """AbstractFetchSchedule.java:168-185 shouldFetch: fetch_time more than
+    db.fetch.interval.max remote is pulled to now -> due, and an interval
+    beyond the max is shrunk to max*0.9."""
+    max_iv = 90 * 24 * 3600
     rows = [
         {"url": "http://a.com/clamped.html", "host": "a.com", "score": 1.0,
          "fetch_time": T0 + 10**12, "fetch_interval": 3600},
+        {"url": "http://a.com/huge-interval.html", "host": "a.com", "score": 1.0,
+         "fetch_time": T0 + 10**12, "fetch_interval": 200 * 24 * 3600},
+        {"url": "http://a.com/merely-future.html", "host": "a.com", "score": 1.0,
+         "fetch_time": T0 + 1000, "fetch_interval": 200 * 24 * 3600},
     ]
     frontier = mk_frontier(spark, rows)
-    due = select_due(frontier, CrawlConfig(), T0)
-    assert due.count() == 1
+    due = {r.url: r for r in select_due(frontier, CrawlConfig(), T0).collect()}
+    assert len(due) == 2  # merely-future stays not-due (fetch_time > cur)
+    assert due["http://a.com/clamped.html"].fetch_interval == 3600  # untouched
+    assert due["http://a.com/huge-interval.html"].fetch_interval == int(max_iv * 0.9)
 
 
 def test_min_score_gate(spark):

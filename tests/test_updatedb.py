@@ -296,3 +296,24 @@ def test_adaptive_sync_delta_pulls_toward_change_time(spark):
                          empty_updates(spark), off, T0).collect()[0]
     assert r2.fetch_interval == 1400                  # plain x(1+0.4)
     assert r2.fetch_time == FETCH_TS + 1_400_000
+
+
+def test_gone_backoff_force_refetch_at_interval_max(spark):
+    """setPageGoneSchedule (AbstractFetchSchedule.java:105-112): backoff
+    beyond db.fetch.interval.max -> forceRefetch(asap=false): row resets to
+    unfetched with interval max*0.9, cleared signature/retries/modified;
+    fetch_time keeps the backoff value."""
+    cfg = CrawlConfig(db_fetch_interval_max=1200)
+    old = mk_old(spark, [{"url": "http://a.com/g.html", "fetch_interval": 1000,
+                          "signature": "s", "retries": 2,
+                          "modified_time": T0 - 5}])
+    fetch = mk_fetch(spark, [{"url": "http://a.com/g.html",
+                              "fetch_status": S.STATUS_FETCH_GONE,
+                              "fetch_interval": 1000, "retries": 2}])
+    r = update_frontier(old, fetch, empty_updates(spark), cfg, T0).collect()[0]
+    assert r.status == S.STATUS_DB_UNFETCHED       # not GONE
+    assert r.fetch_interval == 1080                # 1200 * 0.9
+    assert r.signature is None
+    assert r.retries == 0
+    assert r.modified_time == 0
+    assert r.fetch_time == FETCH_TS + 1500 * 1000  # asap=false keeps backoff
