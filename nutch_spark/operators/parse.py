@@ -793,6 +793,14 @@ def run_parse(
         .filter(F.col("link_rank") <= cfg.db_max_outlinks_per_page)
         .withColumn("n_out", F.count("*").over(w_url))
     )
+    if cfg.db_score_count_filtered:
+        # db.score.count.filtered (OPICScoringFilter.java distribute:
+        # countFiltered divides by allCount — the PRE-filter outlink total
+        # ParseOutputFormat passes in — instead of the surviving targets)
+        n_all = raw_links.groupBy("url").agg(F.count("*").alias("n_div"))
+        links = links.join(n_all, "url")
+    else:
+        links = links.withColumn("n_div", F.col("n_out"))
     # cache only when the caller will materialize links more than once
     # (parse_data + linked rows). The crawl cycle materializes it exactly
     # once (through parse_updates), where the cache write is pure overhead.
@@ -832,7 +840,7 @@ def run_parse(
         links.join(parents, "url")
         .withColumn(
             "child_score",
-            (F.col("page_score") / F.col("n_out"))
+            (F.col("page_score") / F.col("n_div"))
             * F.when(to_host == page_host, F.lit(cfg.db_score_link_internal)).otherwise(
                 F.lit(cfg.db_score_link_external)
             ),

@@ -230,3 +230,50 @@ def test_cc_meta_priority_and_rdf():
         '<a href="http://other.com/licenses/by/2.0/">y</a>',
         "http://h.example.com/", g)
     assert "license-url" not in g
+
+
+def test_opic_count_filtered_divisor(spark):
+    """db.score.count.filtered: OPIC divides by the PRE-filter outlink total
+    (links.length, ParseOutputFormat.java:255) instead of the surviving
+    targets (OPICScoringFilter.java:121-130)."""
+    from pyspark.sql import types as T
+
+    page = "http://h000.example.com/p.html"
+    html = (
+        "<html><body>"
+        '<a href="http://h000.example.com/c1.html">one</a>'
+        '<a href="http://h000.example.com/c2.html">two</a>'
+        '<a href="http://h000.example.com/c1.html">dup</a>'   # deduped
+        f'<a href="{page}">self</a>'                          # self-link drop
+        "</body></html>"
+    )
+    raw_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("base_url", T.StringType(), False),
+    ])
+    raw = spark.createDataFrame(
+        [{"url": page, "host": "h000.example.com", "content": html,
+          "content_type": "text/html", "base_url": page}], raw_schema)
+    fetch_out = _fetch_ok(spark, [page])
+
+    def child_scores(cfg):
+        parsed = run_parse(fetch_out, raw, cfg)
+        rows = parsed["parse_updates"].filter(
+            F.col("kind") == S.STATUS_LINKED).collect()
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
+        return sorted((r.url, r.score) for r in rows)
+
+    # default: divisor = surviving targets (2 unique non-self outlinks)
+    default = child_scores(CrawlConfig())
+    assert [u for u, _ in default] == [
+        "http://h000.example.com/c1.html", "http://h000.example.com/c2.html"]
+    assert all(abs(s - 0.5) < 1e-6 for _, s in default)
+
+    # countFiltered: divisor = raw outlink count (4, incl. dup + self-link)
+    filtered = child_scores(CrawlConfig(db_score_count_filtered=True))
+    assert [u for u, _ in filtered] == [u for u, _ in default]
+    assert all(abs(s - 0.25) < 1e-6 for _, s in filtered)
