@@ -28,8 +28,11 @@ class CrawlConfig:
     gen_max_count: int = -1                  # generate.max.count (-1 = no cap)
     gen_count_mode: str = "byHost"           # generate.count.mode
     gen_max_num_segments: int = 1            # -maxNumSegments
-    gen_cur_time_ms: int = 0                 # set per cycle (no wall clock in kernels)
-    gen_update_crawldb: bool = False         # generate.update.crawldb
+    # generate.update.crawldb (Generator.java:582-612): write _ngt_ back to
+    # the frontier so overlapping generates within crawl.gen.delay skip rows
+    # already handed to a fetcher (generate.curTime is the cur_time_ms
+    # argument threaded through generate(), not a conf knob)
+    gen_update_crawldb: bool = False
     partition_mode: str = "byHost"           # partition.url.mode
     fetcher_queue_mode: str = "byHost"       # fetcher.queue.mode (byHost|byDomain|byIP)
     partition_seed: int = 42                 # partition.url.seed (fixed for reproducibility)
@@ -77,8 +80,15 @@ class CrawlConfig:
     follow_outlinks_ignore_external: bool = True  # fetcher.follow.outlinks.ignore.external
 
     # --- robots ---
+    # http.robots.agents (RobotRulesParser.java:227-252): comma-separated
+    # agent names in precedence order; '*' is always the implicit last
+    # fallback. The stanza whose agent matches at the LOWEST index wins.
     robots_agent: str = "nutch-spark"
-    robots_403_forbid_all: bool = False
+    # http.robots.403.allow=false is the fork default (RobotRulesParser.java:
+    # 222,470-471): a 403 on robots.txt means FORBID_ALL_RULES. Takes effect
+    # when the robots table carries a `status` column; rows with status 403
+    # forbid the whole host (or are ignored when this is False = allow).
+    robots_403_forbid_all: bool = True
 
     # --- parse (reference: parse/ParseOutputFormat.java, nutch-default.xml:449-474) ---
     db_max_outlinks_per_page: int = 100      # db.max.outlinks.per.page

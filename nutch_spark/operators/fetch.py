@@ -34,7 +34,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from nutch_spark import schemas
@@ -618,6 +618,51 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
     return kernel
 
 
+def select_robots_rules(robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Per-host robots rule selection with agent precedence
+    (RobotRulesParser.java:227-252,316-330): cfg.robots_agent is the
+    http.robots.agents comma list; the stanza whose agent name matches at
+    the lowest index wins, '*' is the implicit last fallback. A `status`
+    column (robots.txt fetch outcome), when present, applies
+    http.robots.403.allow (:222,470-471): 403 forbids the whole host when
+    robots_403_forbid_all, else the row is dropped (EMPTY_RULES = allow).
+
+    The output is one (host, crawl_delay, rb_disallow, rb_allow) row per
+    host — tiny (per-host cardinality), always broadcast by the caller, so
+    the extra precedence window costs nothing at scale.
+    """
+    agents = [a.strip().lower() for a in cfg.robots_agent.split(",") if a.strip()]
+    r = robots
+    if "status" in r.columns:
+        is_403 = F.col("status") == 403
+        if cfg.robots_403_forbid_all:
+            # FORBID_ALL_RULES: one disallow-everything stanza for the host
+            r = r.withColumn(
+                "disallow", F.when(is_403, F.array(F.lit("/"))).otherwise(F.col("disallow"))
+            ).withColumn(
+                "allow", F.when(is_403, F.array().cast("array<string>")).otherwise(F.col("allow"))
+            )
+        else:
+            r = r.filter(~F.coalesce(is_403, F.lit(False)))
+        r = r.drop("status")
+    pri = F.lit(None).cast("int")
+    for i, a in reversed(list(enumerate(agents))):
+        pri = F.when(F.lower(F.col("agent")) == a, F.lit(i)).otherwise(pri)
+    pri = F.coalesce(pri, F.when(F.col("agent") == "*", F.lit(len(agents))))
+    w_host = Window.partitionBy("host")
+    r = (
+        r.withColumn("rb_pri", pri)
+        .filter(F.col("rb_pri").isNotNull())
+        .withColumn("rb_best", F.min("rb_pri").over(w_host))
+        .filter(F.col("rb_pri") == F.col("rb_best"))
+    )
+    return r.groupBy("host").agg(
+        F.first("crawl_delay", ignorenulls=True).alias("crawl_delay"),
+        F.flatten(F.collect_list("disallow")).alias("rb_disallow"),
+        F.flatten(F.collect_list("allow")).alias("rb_allow"),
+    )
+
+
 def run_fetch(
     fetchlist: DataFrame,
     web_graph: DataFrame,
@@ -642,11 +687,7 @@ def run_fetch(
         "declared_length",
         "signature_seed",
     )
-    rb = robots.groupBy("host").agg(
-        F.first("crawl_delay", ignorenulls=True).alias("crawl_delay"),
-        F.flatten(F.collect_list("disallow")).alias("rb_disallow"),
-        F.flatten(F.collect_list("allow")).alias("rb_allow"),
-    )
+    rb = select_robots_rules(robots, cfg)
     fl = (
         fetchlist.join(wg, "url", "left")
         .join(F.broadcast(rb), "host", "left")

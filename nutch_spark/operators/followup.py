@@ -91,6 +91,14 @@ def fetch_with_outlink_following(
     from nutch_spark.operators.fetch import run_fetch
     from nutch_spark.operators.parse import run_parse
 
+    if not cfg.fetcher_parse:
+        # Fetcher.java:1065: in-fetch parse happens only when fetcher.parse;
+        # without it there is no parse output to follow outlinks from,
+        # whatever follow.outlinks.depth says — plain fetch pass.
+        fo = run_fetch(fetchlist, web_graph, robots, cfg, cycle, start_ms).cache()
+        return {"fetch_out": fo, "parsed_by_depth": [],
+                "cleanup": lambda: fo.unpersist()}
+
     depth_budget = max(cfg.follow_outlinks_depth, 0)
     fetch_outs: list[DataFrame] = []
     parsed_all = []

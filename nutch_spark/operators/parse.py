@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
 from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+from nutch_spark.functions.signatures import text_profile_signature_udf
 from nutch_spark.functions.urls import (
     RegexUrlFilter, host_col, normalize_inline, normalize_url, normalize_url_udf,
 )
@@ -856,15 +857,36 @@ def run_parse(
         )
     )
 
-    # signature rows (ParseOutputFormat.java:127-129)
-    sig_rows = ok.select(
-        "url",
-        F.lit(schemas.STATUS_SIGNATURE).alias("kind"),
-        F.lit(None).cast("float").alias("score"),
-        F.col("signature"),
-        F.lit(None).cast("string").alias("anchor"),
-        F.lit(None).cast("string").alias("from_url"),
-    )
+    # signature rows (ParseOutputFormat.java:127-129). signature_impl
+    # selects the SignatureFactory class: md5 keeps the fetch-side content
+    # digest (MD5Signature.java:33-37); text_profile recomputes from the
+    # parse text (TextProfileSignature.java:40-170), falling back to the
+    # content MD5 when the page yields no text (:64-72 `fallback`).
+    if cfg.signature_impl == "text_profile":
+        tp = ptext.select(
+            "url", text_profile_signature_udf(F.col("text")).alias("_tp_sig")
+        )
+        sig_rows = (
+            ok.select("url", "signature")
+            .join(tp, "url", "left")
+            .select(
+                "url",
+                F.lit(schemas.STATUS_SIGNATURE).alias("kind"),
+                F.lit(None).cast("float").alias("score"),
+                F.coalesce(F.col("_tp_sig"), F.col("signature")).alias("signature"),
+                F.lit(None).cast("string").alias("anchor"),
+                F.lit(None).cast("string").alias("from_url"),
+            )
+        )
+    else:
+        sig_rows = ok.select(
+            "url",
+            F.lit(schemas.STATUS_SIGNATURE).alias("kind"),
+            F.lit(None).cast("float").alias("score"),
+            F.col("signature"),
+            F.lit(None).cast("string").alias("anchor"),
+            F.lit(None).cast("string").alias("from_url"),
+        )
 
     # redirect targets -> linked rows (ParseOutputFormat.java:168-204 analogue)
     redirs = (

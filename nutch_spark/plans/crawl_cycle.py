@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from nutch_spark.config import CrawlConfig
 from nutch_spark.operators.fetch import fetch_metrics, run_fetch
-from nutch_spark.operators.generate import generate
+from nutch_spark.operators.generate import generate, mark_generated
 from nutch_spark.operators.inject import inject
 from nutch_spark.operators.parse import run_parse
 from nutch_spark.operators.seen import (build_seen_sketch, sketch_if_current,
@@ -170,7 +170,14 @@ class CrawlDriver:
                 )
                 .filter(F.size(F.map_keys(F.col("urlmeta"))) > 0)
             )
-        parsed = run_parse(fetch_out, self.raw_content, cfg, cache_links=False,
+        # fetcher.store.content=false AND fetcher.parse=false
+        # (Fetcher.java:1065,1090): nothing stored content and nothing
+        # parsed in-fetch, so the segment has no content for a parse pass —
+        # the parse stage sees zero rows (status transitions still flow
+        # from fetch_out through updatedb).
+        parse_in = (fetch_out if cfg.fetcher_store_content or cfg.fetcher_parse
+                    else fetch_out.limit(0))
+        parsed = run_parse(parse_in, self.raw_content, cfg, cache_links=False,
                            url_meta=url_meta)
         obs_docs = Observation()
         self.documents_t.commit(
@@ -180,8 +187,17 @@ class CrawlDriver:
         n_parsed = int(obs_docs.get["n"])
         _mark("A2:documents_commit")
 
+        # generate.update.crawldb (Generator.java:582-612): stamp _ngt_ on
+        # the generated rows BEFORE the merge so rows the fetch pass never
+        # produced output for (timelimit / throughput-kill purges) stay
+        # protected by crawl.gen.delay next cycle. Fetched rows shed the
+        # stamp in the merge (CrawlDbReducer.java:293). The left join keys
+        # on url, so the bucketed frontier side still shows no Exchange —
+        # only the topN-bounded fetchlist side shuffles.
+        merge_frontier = (mark_generated(frontier, fetchlist, cur)
+                          if cfg.gen_update_crawldb else frontier)
         new_frontier = update_frontier(
-            frontier, fetch_out, parsed["parse_updates"], cfg, cur,
+            merge_frontier, fetch_out, parsed["parse_updates"], cfg, cur,
             include_new_flag=True, parse_meta=parsed.get("parse_meta"))
 
         # Phase-1 frontier write (prepare, not install): the bucketed

@@ -1,0 +1,159 @@
+"""Config knobs wired to reference behavior: http.robots.agents precedence,
+http.robots.403.allow, SignatureFactory impl selection, generate.update.crawldb,
+fetcher.store.content / fetcher.parse gates."""
+
+from pyspark.sql import functions as F
+
+from nutch_spark import schemas as S
+from nutch_spark.config import CrawlConfig
+from nutch_spark.operators.fetch import select_robots_rules
+
+
+def _robots_df(spark, rows, with_status=False):
+    schema = ("host string, agent string, disallow array<string>, "
+              "allow array<string>, crawl_delay double")
+    if with_status:
+        schema += ", status int"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_robots_agent_precedence(spark):
+    """RobotRulesParser.java:227-252,316-330: stanza whose agent matches the
+    http.robots.agents list at the LOWEST index wins; '*' is the implicit
+    last fallback; non-matching stanzas are ignored."""
+    rows = [
+        # host a: named stanza beats wildcard
+        ("a.com", "nutch-spark", ["/private/"], [], 1.0),
+        ("a.com", "*", ["/"], [], 9.0),
+        # host b: only wildcard
+        ("b.com", "*", ["/w/"], [], None),
+        # host c: second-choice agent beats wildcard; unknown agent ignored
+        ("c.com", "other-bot", ["/o/"], [], 2.0),
+        ("c.com", "evil-bot", ["/"], [], None),
+        ("c.com", "*", ["/w/"], [], 5.0),
+    ]
+    cfg = CrawlConfig(robots_agent="nutch-spark, other-bot")
+    rb = {r["host"]: r for r in
+          select_robots_rules(_robots_df(spark, rows), cfg).collect()}
+    assert rb["a.com"]["rb_disallow"] == ["/private/"]
+    assert rb["a.com"]["crawl_delay"] == 1.0
+    assert rb["b.com"]["rb_disallow"] == ["/w/"]
+    assert rb["c.com"]["rb_disallow"] == ["/o/"]
+    assert rb["c.com"]["crawl_delay"] == 2.0
+    # case-insensitive agent match (setRobotNames lowercases)
+    rows2 = [("d.com", "Nutch-Spark", ["/x/"], [], None),
+             ("d.com", "*", ["/"], [], None)]
+    rb2 = select_robots_rules(_robots_df(spark, rows2), cfg).collect()[0]
+    assert rb2["rb_disallow"] == ["/x/"]
+
+
+def test_robots_403_forbid_all(spark):
+    """RobotRulesParser.java:222,470-471: 403 on robots.txt -> FORBID_ALL
+    when http.robots.403.allow=false (the fork default), EMPTY_RULES
+    (row dropped) when allow=true."""
+    rows = [("f.com", "*", [], [], None, 403),
+            ("ok.com", "*", ["/p/"], [], None, 200)]
+    df = _robots_df(spark, rows, with_status=True)
+
+    forbid = {r["host"]: r for r in
+              select_robots_rules(df, CrawlConfig()).collect()}
+    assert forbid["f.com"]["rb_disallow"] == ["/"]          # forbid-all stanza
+    assert forbid["ok.com"]["rb_disallow"] == ["/p/"]       # untouched
+
+    allow = {r["host"]: r for r in select_robots_rules(
+        df, CrawlConfig(robots_403_forbid_all=False)).collect()}
+    assert "f.com" not in allow                              # EMPTY_RULES
+    assert allow["ok.com"]["rb_disallow"] == ["/p/"]
+
+    # no status column -> knob inert, rules pass through
+    plain = select_robots_rules(
+        _robots_df(spark, [("p.com", "*", ["/q/"], [], None)]),
+        CrawlConfig()).collect()[0]
+    assert plain["rb_disallow"] == ["/q/"]
+
+
+def test_signature_impl_text_profile(spark):
+    """SignatureFactory selection: text_profile recomputes the parse-text
+    profile digest (TextProfileSignature.java:40-170); pages with no text
+    fall back to the content MD5 (:64-72) — here the fetch signature."""
+    from nutch_spark.functions.signatures import text_profile_signature
+    from nutch_spark.operators.parse import run_parse
+    from tests.test_meta_directives import _fetch_ok
+
+    page = "http://h000.example.com/sig.html"
+    empty = "http://h000.example.com/empty.html"
+    html = "<html><body><p>alpha beta alpha gamma delta words</p></body></html>"
+    raw = spark.createDataFrame(
+        [(page, "h000.example.com", html, "text/html", page),
+         (empty, "h000.example.com", "<html><body></body></html>",
+          "text/html", empty)],
+        "url string, host string, content string, content_type string, "
+        "base_url string")
+    fetch_out = _fetch_ok(spark, [page, empty])
+
+    def sigs(cfg):
+        parsed = run_parse(fetch_out, raw, cfg)
+        rows = {r.url: r.signature for r in parsed["parse_updates"].filter(
+            F.col("kind") == S.STATUS_SIGNATURE).collect()}
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
+        return rows
+
+    md5 = sigs(CrawlConfig())
+    assert md5[page] == "aa"  # fetch-side content digest passes through
+
+    tp = sigs(CrawlConfig(signature_impl="text_profile"))
+    assert tp[page] == text_profile_signature("alpha beta alpha gamma delta words")
+    assert tp[page] != "aa"
+    assert tp[empty] == "aa"  # no text -> MD5 fallback
+
+
+def test_fetcher_parse_gate_in_followup(spark, corpus_tables):
+    """Fetcher.java:1065: fetcher.parse=false means no in-fetch parse, so
+    no outlink following regardless of follow.outlinks.depth."""
+    from nutch_spark.operators.followup import fetch_with_outlink_following
+    from nutch_spark.operators.generate import generate
+    from nutch_spark.operators.inject import inject
+
+    cfg = CrawlConfig(num_partitions=4, topn=50, fetcher_parse=False,
+                      follow_outlinks_depth=2)
+    frontier = inject(None, corpus_tables["seeds"], cfg, 0)
+    fl = generate(frontier, cfg, 10_000_000_000)
+    res = fetch_with_outlink_following(
+        fl, corpus_tables["web_graph"], corpus_tables["robots"],
+        corpus_tables["raw_content"], cfg, 0, 0)
+    try:
+        assert res["parsed_by_depth"] == []
+        n_seed = fl.count()
+        assert res["fetch_out"].count() >= n_seed  # no extra depths queued
+        assert res["fetch_out"].select("url").distinct().count() <= n_seed
+    finally:
+        res["cleanup"]()
+
+
+def test_store_content_gate_and_gen_update_crawldb(spark, corpus_tables, tmp_path):
+    """fetcher.store.content=false + fetcher.parse=false -> the cycle's
+    parse stage sees no content (0 docs, no outlinks); generate.update.crawldb
+    stamps _ngt_ on generated rows so unfetched ones keep it after updatedb
+    while fetched rows shed it (CrawlDbReducer.java:293)."""
+    from nutch_spark.operators.generate import GENERATE_TIME_KEY
+    from nutch_spark.plans.crawl_cycle import crawl
+
+    cfg = CrawlConfig(num_partitions=4, topn=500, fetcher_store_content=False,
+                      gen_update_crawldb=True)
+    res = crawl(spark, str(tmp_path / "cat"), cfg, corpus_tables["seeds"],
+                corpus_tables["web_graph"], corpus_tables["robots"],
+                corpus_tables["raw_content"], depth=1)
+    assert res[0].fetched > 0
+    assert res[0].parsed == 0                 # no content -> no parse output
+    assert res[0].new_urls <= 0 or res[0].frontier_size == res[0].generated
+
+    # frontier after the cycle: every fetched row shed _ngt_; the flag's
+    # write-back path ran (the merge saw the stamped frontier)
+    from nutch_spark.storage import Catalog
+    front = Catalog(str(tmp_path / "cat")).table("frontier").read(spark)
+    fetched = front.filter(F.col("status") != S.STATUS_DB_UNFETCHED)
+    stamped = fetched.filter(
+        F.col("metadata").isNotNull()
+        & F.map_contains_key(F.col("metadata"), GENERATE_TIME_KEY))
+    assert stamped.count() == 0
