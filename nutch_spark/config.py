@@ -110,6 +110,19 @@ class CrawlConfig:
     scoring_link: bool = False
     link_analyze_normalize_score: float = 1.0  # link.analyze.normalize.score
 
+    # --- webgraph / LinkRank (scoring/webgraph/WebGraph.java:233-234,569,
+    # LinkRank.java:333,476-480,635, ScoreUpdater.java:76, Loops.java:515) ---
+    link_analyze_damping_factor: float = 0.85  # link.analyze.damping.factor
+    link_analyze_initial_score: float = 1.0    # link.analyze.initial.score
+    link_analyze_num_iterations: int = 10      # link.analyze.num.iterations
+    link_ignore_limit_page: bool = True        # link.ignore.limit.page
+    link_ignore_limit_domain: bool = True      # link.ignore.limit.domain
+    link_ignore_internal_host: bool = True     # link.ignore.internal.host
+    link_ignore_internal_domain: bool = True   # link.ignore.internal.domain
+    link_delete_gone: bool = False             # link.delete.gone
+    link_score_updater_clear_score: float = 0.0  # link.score.updater.clear.score
+    link_loops_depth: int = 2                  # link.loops.depth
+
     # --- scoring: OPIC (reference: scoring/opic/OPICScoringFilter.java) ---
     db_score_link_internal: float = 1.0      # db.score.link.internal
     db_score_link_external: float = 1.0      # db.score.link.external

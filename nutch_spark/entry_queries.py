@@ -615,23 +615,27 @@ WHERE to_url NOT IN (SELECT url FROM frontier)
 
 
 def q_score_updater(spark, sf_dir):
-    """J5: ScoreUpdater — graph score (inlink count) overlays frontier score
-    (scoring/webgraph/ScoreUpdater.java:60+)."""
+    """J5: ScoreUpdater — graph score (inlink count) overlays frontier score;
+    urls ABSENT from the node db are reset to link.score.updater.clear.score
+    (ScoreUpdater.java:76,119-131), not left with their old score."""
+    from nutch_spark.operators.webgraph import update_scores
+
     f = derived_frontier(spark, sf_dir)
     g = (
         derived_edges(spark, sf_dir)
-        .groupBy("from_url")
-        .agg(F.count("*").cast("double").alias("graph_score"))
+        .groupBy(F.col("from_url").alias("url"))
+        .agg(F.count("*").cast("double").alias("rank"))
     )
-    return f.join(g, f.url == g.from_url, "left").select(
-        "url", F.round(F.coalesce(F.col("graph_score"), F.col("score")), 2).alias("new_score")
+    return update_scores(f, g, clear_score=0.0).select(
+        "url", F.round(F.col("score").cast("double"), 2).alias("new_score")
     )
 
 
 SQL_SCORE_UPDATER = f"""
 WITH {FRONTIER_CTE}, {EDGES_CTE},
 g AS (SELECT from_url, CAST(COUNT(*) AS DOUBLE) AS graph_score FROM edges GROUP BY from_url)
-SELECT f.url, ROUND(COALESCE(g.graph_score, f.score), 2) AS new_score
+SELECT f.url,
+       ROUND(CAST(CAST(COALESCE(g.graph_score, 0.0) AS REAL) AS DOUBLE), 2) AS new_score
 FROM frontier f LEFT JOIN g ON f.url = g.from_url
 """
 
@@ -1158,14 +1162,21 @@ def _sql_ann_topk():
 def q_linkrank(spark, sf_dir):
     """L2: iterative LinkRank over a DETERMINISTIC edge subset
     (l_orderkey % 3 = 0 — a filter, not a limit, so the oracle sees the
-    identical graph). Oracle unrolls the 3 iterations as SQL CTEs."""
+    identical graph), reference-exact semantics: initial score 1.0
+    (LinkRank.java:333), per-iteration rankOne base 1/numNodes (:625-627),
+    and the Analyzer's one-counted-inlink-per-src-domain dedup (:509-545).
+    Src hosts carry DISTINCT registered domains (h{sk}.example{sk}.com) so
+    the domain dedup is exercised; srcs are distinct per dst, so the greedy
+    reduces exactly to first-per-(dst, domain) in src order — which is what
+    the oracle unrolls as SQL CTEs."""
     from nutch_spark.operators.webgraph import linkrank
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
     sk = (F.col("l_suppkey") % 50).cast("string")
     pk = (F.col("l_partkey") % 40).cast("string")
     e = li.select(
-        F.concat(F.lit("http://h"), sk, F.lit(".example.com/order/"),
+        F.concat(F.lit("http://h"), sk, F.lit(".example"), sk,
+                 F.lit(".com/order/"),
                  F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("http://p"), pk, F.lit(".example.com/part/"),
                  F.col("l_partkey").cast("string")).alias("dst"),

@@ -344,15 +344,21 @@ SELECT q_id, nn_id, cosine, rk FROM (
 # --------------------------------------------------------------------------
 
 def sql_linkrank(iterations: int = 3, damping: float = 0.85) -> str:
-    """Unrolls webgraph.linkrank over the deterministic edge subset
-    (l_orderkey % 3 = 0). Literals reproduce the Python float expressions
+    """Unrolls webgraph.linkrank (reference-exact semantics) over the
+    deterministic edge subset (l_orderkey % 3 = 0). Initial score 1.0,
+    rankOne = 1/numNodes added to every node's inlink sum each iteration
+    (LinkRank.java:333,551,625-627), and the Analyzer inlink dedup: srcs
+    are distinct per dst in this fixture (pages never block), so the
+    src-ascending greedy reduces exactly to first-per-(dst, domain) —
+    a plain window. Literals reproduce the Python float expressions
     bit-for-bit (1.0 - damping is NOT 0.15 in binary)."""
     base = repr(1.0 - damping)  # e.g. 0.15000000000000002
     d = repr(damping)
     ctes = ["""
 e0 AS (
   SELECT DISTINCT
-    'http://h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/order/'
+    'http://h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example'
+      || CAST(l_suppkey % 50 AS VARCHAR) || '.com/order/'
       || CAST(l_orderkey AS VARCHAR) AS src,
     'http://p' || CAST(l_partkey % 40 AS VARCHAR) || '.example.com/part/'
       || CAST(l_partkey AS VARCHAR) AS dst
@@ -360,16 +366,25 @@ e0 AS (
 ),
 nodes AS (SELECT src AS url FROM e0 UNION SELECT dst FROM e0),
 deg AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src),
-r0 AS (SELECT url, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes)"""]
+ek AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (
+      PARTITION BY dst, regexp_extract(src, '^http://h[0-9]+\\.([^/]+)/', 1)
+      ORDER BY src) AS rk
+    FROM e0) WHERE rk = 1
+),
+r0 AS (SELECT url, 1.0 AS rank FROM nodes),
+rone AS (SELECT 1.0 / COUNT(*) AS v FROM nodes)"""]
     for i in range(1, iterations + 1):
         ctes.append(f"""
 c{i} AS (
   SELECT e.dst, SUM(r.rank / d.out_deg) AS in_share
-  FROM e0 e JOIN r{i - 1} r ON r.url = e.src JOIN deg d ON d.src = e.src
+  FROM ek e JOIN r{i - 1} r ON r.url = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst
 ),
 r{i} AS (
-  SELECT n.url, {base} + {d} * COALESCE(c.in_share, 0.0) AS rank
+  SELECT n.url,
+         {base} + {d} * ((SELECT v FROM rone) + COALESCE(c.in_share, 0.0)) AS rank
   FROM nodes n LEFT JOIN c{i} c ON c.dst = n.url
 )""")
     return ("WITH " + ",".join(ctes)
