@@ -129,6 +129,14 @@ class CrawlConfig:
     db_score_count_filtered: bool = False    # db.score.count.filtered
     db_update_max_inlinks: int = 10_000      # db.update.max.inlinks (top-K inlink cap)
     indexer_score_power: float = 0.5         # indexer.score.power
+    # index-basic / index-anchor / IndexerMapReduce knobs
+    # (BasicIndexingFilter.java:113-115, AnchorIndexingFilter.java:45,
+    # IndexerMapReduce.java:61,85,244)
+    indexer_max_title_length: int = 100      # indexer.max.title.length
+    indexer_max_content_length: int = -1     # indexer.max.content.length (-1 = no cap)
+    indexer_add_domain: bool = False         # indexer.add.domain
+    indexer_skip_notmodified: bool = False   # indexer.skip.notmodified
+    anchor_deduplicate: bool = False         # anchorIndexingFilter.deduplicate
     # parse-metatags + index-metadata + index-static + tld plugins
     metatags_names: tuple = ("*",)           # metatags.names (parse-metatags; '*' = all)
     index_parse_md: tuple = ()               # index.parse.md (index-metadata parse keys)

@@ -575,7 +575,7 @@ SELECT url,
        'web crawl' AS collection,
        'sim' AS source
 FROM frontier
-WHERE status NOT IN (3, 6)
+WHERE status <> 3
 """
 
 
@@ -2688,7 +2688,7 @@ WITH {FRONTIER_CTE},
 keyed AS (
   SELECT url, host,
          CAST(regexp_extract(url, '/order/(\\d+)$', 1) AS BIGINT) AS k
-  FROM frontier WHERE status NOT IN (3, 6)
+  FROM frontier WHERE status <> 3
 )
 SELECT url,
        'T ' || host AS title,

@@ -55,10 +55,15 @@ def build_index(
     cfg: CrawlConfig,
 ) -> DataFrame:
     """The indexer co-group (J2) + basic/anchor/score filters (I2-I4)."""
-    db = frontier.filter(
-        ~F.col("status").isin(schemas.STATUS_DB_GONE, schemas.STATUS_DB_NOTMODIFIED)
-    ).select(
+    skip_status = [schemas.STATUS_DB_GONE]
+    if cfg.indexer_skip_notmodified:
+        # indexer.skip.notmodified (IndexerMapReduce.java:61,85,244):
+        # DB_NOTMODIFIED pages are indexed UNLESS the knob is set
+        skip_status.append(schemas.STATUS_DB_NOTMODIFIED)
+    have_repr = "repr_url" in frontier.columns
+    db = frontier.filter(~F.col("status").isin(*skip_status)).select(
         "url", "status", "score", "fetch_time", "signature",
+        *(["repr_url"] if have_repr else []),
         *(["metadata"] if cfg.urlmeta_tags and "metadata" in frontier.columns
           else []),
     )
@@ -89,15 +94,49 @@ def build_index(
             "url",
             F.transform(F.col("inlinks"), lambda s: s["anchor"]).alias("anchors"),
         )
+        if cfg.anchor_deduplicate:
+            # anchorIndexingFilter.deduplicate (AnchorIndexingFilter.java:
+            # 45,63-75): case-insensitive dedup, first occurrence wins,
+            # original casing kept — an order-preserving fold over the
+            # bounded inlink-anchor array
+            anchors = anchors.withColumn(
+                "anchors",
+                F.aggregate(
+                    "anchors",
+                    F.struct(
+                        F.array().cast("array<string>").alias("seen"),
+                        F.array().cast("array<string>").alias("kept"),
+                    ),
+                    lambda acc, a: F.when(
+                        F.array_contains(acc["seen"], F.lower(a)), acc
+                    ).otherwise(F.struct(
+                        F.array_append(acc["seen"], F.lower(a)).alias("seen"),
+                        F.array_append(acc["kept"], a).alias("kept"),
+                    )),
+                    lambda acc: acc["kept"],
+                ),
+            )
         doc = doc.join(anchors, "url", "left")
     else:
         doc = doc.withColumn("anchors", F.lit(None).cast("array<string>"))
+    # index-basic url/host/domain come from the representative url when the
+    # frontier carries one (BasicIndexingFilter.java:55-79: reprUrl ?? url)
+    doc_url = (F.coalesce(F.col("repr_url"), F.col("url")) if have_repr
+               else F.col("url"))
+    title_c = F.when(
+        F.length("title") > 0,
+        F.substring(F.col("title"), 1, cfg.indexer_max_title_length),
+    )
+    content_c = F.col("text")
+    if cfg.indexer_max_content_length > -1:
+        content_c = F.substring(content_c, 1, cfg.indexer_max_content_length)
     return doc.select(
-        F.col("url"),
-        host_col(F.col("url")).alias("host"),
-        domain_udf(F.col("url")).alias("domain"),
-        F.col("title"),
-        F.col("text").alias("content"),
+        doc_url.alias("url"),
+        host_col(doc_url).alias("host"),
+        (domain_udf(doc_url) if cfg.indexer_add_domain
+         else F.lit(None).cast("string")).alias("domain"),
+        title_c.alias("title"),
+        content_c.alias("content"),
         F.col("anchors"),
         F.col("signature").alias("digest"),
         F.col("fetch_ts").alias("tstamp"),

@@ -157,3 +157,79 @@ def test_store_content_gate_and_gen_update_crawldb(spark, corpus_tables, tmp_pat
         F.col("metadata").isNotNull()
         & F.map_contains_key(F.col("metadata"), GENERATE_TIME_KEY))
     assert stamped.count() == 0
+
+
+def _idx_fixture(spark):
+    from nutch_spark import schemas as S
+    frontier = spark.createDataFrame(
+        [("http://x.a-sim.com/a", S.STATUS_DB_FETCHED, 4.0, 0, "s1", None),
+         ("http://x.a-sim.com/nm", S.STATUS_DB_NOTMODIFIED, 1.0, 0, "s2", None),
+         ("http://x.a-sim.com/r", S.STATUS_DB_FETCHED, 1.0, 0, "s3",
+          "http://canon.b-sim.com/r")],
+        "url string, status int, score float, fetch_time long, "
+        "signature string, repr_url string")
+    fetch_out = frontier.select(
+        "url", F.lit(S.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = frontier.select("url", F.lit("x" * 300).alias("text"))
+    pdata = frontier.select(
+        "url",
+        F.when(F.col("url").endswith("/nm"), F.lit(""))
+        .otherwise(F.lit("T" * 150)).alias("title"),
+        F.lit(None).cast("map<string,string>").alias("meta"))
+    return frontier, fetch_out, ptext, pdata
+
+
+def test_indexer_basic_knobs(spark):
+    """BasicIndexingFilter.java:55-115: title truncated to
+    indexer.max.title.length (100) and dropped when empty; content capped by
+    indexer.max.content.length; `domain` only with indexer.add.domain;
+    url/host/domain come from repr_url when set. IndexerMapReduce.java:244:
+    DB_NOTMODIFIED indexed unless indexer.skip.notmodified."""
+    from nutch_spark.operators.indexer import build_index
+
+    frontier, fetch_out, ptext, pdata = _idx_fixture(spark)
+    rows = {r.url: r for r in build_index(
+        frontier, fetch_out, ptext, pdata, None, CrawlConfig()).collect()}
+    # default: notmodified indexed, empty title -> null
+    assert rows["http://x.a-sim.com/nm"].title is None
+    # title truncated at 100, content uncapped, no domain by default
+    a = rows["http://x.a-sim.com/a"]
+    assert len(a.title) == 100 and len(a.content) == 300 and a.domain is None
+    # repr_url drives doc url/host
+    assert "http://canon.b-sim.com/r" in rows
+    assert rows["http://canon.b-sim.com/r"].host == "canon.b-sim.com"
+
+    cfg2 = CrawlConfig(indexer_skip_notmodified=True, indexer_add_domain=True,
+                       indexer_max_content_length=7,
+                       indexer_max_title_length=3)
+    rows2 = {r.url: r for r in build_index(
+        frontier, fetch_out, ptext, pdata, None, cfg2).collect()}
+    assert "http://x.a-sim.com/nm" not in rows2
+    a2 = rows2["http://x.a-sim.com/a"]
+    assert a2.title == "TTT" and a2.content == "xxxxxxx"
+    assert a2.domain == "a-sim.com"
+    assert rows2["http://canon.b-sim.com/r"].domain == "b-sim.com"
+
+
+def test_anchor_deduplicate(spark):
+    """AnchorIndexingFilter.java:45,63-75: case-insensitive anchor dedup,
+    first occurrence (original casing) wins, order preserved."""
+    from nutch_spark.operators.indexer import build_index
+
+    frontier, fetch_out, ptext, pdata = _idx_fixture(spark)
+    linkdb = spark.createDataFrame(
+        [("http://x.a-sim.com/a",
+          [{"from_url": "http://i1-sim.com/", "anchor": "Home"},
+           {"from_url": "http://i2-sim.com/", "anchor": "hOmE"},
+           {"from_url": "http://i3-sim.com/", "anchor": "About"},
+           {"from_url": "http://i4-sim.com/", "anchor": "home"}])],
+        "to_url string, inlinks array<struct<from_url:string,anchor:string>>")
+    plain = {r.url: r.anchors for r in build_index(
+        frontier, fetch_out, ptext, pdata, linkdb, CrawlConfig()).collect()}
+    assert plain["http://x.a-sim.com/a"] == ["Home", "hOmE", "About", "home"]
+    dedup = {r.url: r.anchors for r in build_index(
+        frontier, fetch_out, ptext, pdata, linkdb,
+        CrawlConfig(anchor_deduplicate=True)).collect()}
+    assert dedup["http://x.a-sim.com/a"] == ["Home", "About"]
