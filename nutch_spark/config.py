@@ -26,6 +26,10 @@ class CrawlConfig:
     gen_min_score: float = 0.0               # generate.min.score
     gen_min_interval: int = -1               # generate.min.interval
     gen_max_count: int = -1                  # generate.max.count (-1 = no cap)
+    # deprecated alias (Generator.java:142-148): feeds generate.max.count
+    # when that is unset; generate.count.mode still decides the key (:149
+    # re-reads the mode after the back-compat assignment)
+    gen_max_per_host: int = -1               # generate.max.per.host
     gen_count_mode: str = "byHost"           # generate.count.mode
     gen_max_num_segments: int = 1            # -maxNumSegments
     # generate.update.crawldb (Generator.java:582-612): write _ngt_ back to
@@ -97,6 +101,14 @@ class CrawlConfig:
     db_max_anchor_length: int = 100          # db.max.anchor.length
     db_max_inlinks: int = 10_000             # db.max.inlinks
     parse_skip_truncated: bool = True        # parser.skip.truncated
+    # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142):
+    # link-bearing tags removed from outlink collection. The interleaved
+    # corpus's only outlink-bearing tag is <a> (media are span refs, not
+    # outlinks), so 'a' is the one effective member here.
+    parser_html_outlinks_ignore_tags: tuple = ()
+    # urlnormalizer.loop.count (URLNormalizers.java:138,279-293): repeat the
+    # whole normalizer chain up to N times, stopping at a fixpoint
+    urlnormalizer_loop_count: int = 1
     db_parsemeta_to_crawldb: tuple = ()      # db.parsemeta.to.crawldb (ParseOutputFormat.java:154-166)
     # urlmeta plugin (plugin/urlmeta URLMetaScoringFilter.java:63-85 +
     # URLMetaIndexingFilter.java:84-100): datum metadata keys listed here
@@ -173,8 +185,16 @@ class CrawlConfig:
 
     # --- misc ---
     signature_impl: str = "md5"              # md5 | text_profile
+    # db.signature.text_profile.* (TextProfileSignature.java:67-68)
+    signature_text_profile_min_token_len: int = 2
+    signature_text_profile_quant_rate: float = 0.01
 
     metadata: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # generate.max.per.host back-compat (Generator.java:142-148)
+        if self.gen_max_count == -1 and self.gen_max_per_host != -1:
+            self.gen_max_count = self.gen_max_per_host
 
     @property
     def politeness_key(self) -> str:

@@ -171,11 +171,14 @@ class ScopedNormalizers:
 
     def __init__(self,
                  regex_rules_by_scope: dict[str, list] | None = None,
-                 host_aliases: dict[str, str] | None = None):
+                 host_aliases: dict[str, str] | None = None,
+                 loop_count: int = 1):
         self.regex_by_scope = regex_rules_by_scope or {}
         self.host = HostAliasNormalizer(host_aliases)
         self._default_regex = RegexURLNormalizer(
             self.regex_by_scope.get("default", DEFAULT_REGEX_RULES))
+        # urlnormalizer.loop.count (URLNormalizers.java:138,279-293)
+        self.loop_count = max(1, loop_count)
 
     def regex_for(self, scope: str) -> RegexURLNormalizer:
         if scope in self.regex_by_scope:
@@ -183,18 +186,35 @@ class ScopedNormalizers:
         return self._default_regex
 
     def normalize(self, url: str | None, scope: str = "default") -> str | None:
+        """Full chain, repeated up to loop_count times until the url is
+        stable (URLNormalizers.normalize, URLNormalizers.java:279-293)."""
         from nutch_spark.functions.urls import normalize_url
 
-        url = normalize_url(url)
-        if url is None:
-            return None
-        url = self.host.normalize(url)
-        return self.regex_for(scope).normalize(url)
+        regex = self.regex_for(scope)
+        for _ in range(self.loop_count):
+            prev = url
+            url = normalize_url(url)
+            if url is None:
+                return None
+            url = regex.normalize(self.host.normalize(url))
+            if url == prev:
+                break
+        return url
 
     def post_basic_col(self, url_col: Column, scope: str = "default") -> Column:
         """The native Host+Regex tail of the chain (callers run the basic
-        normalizer first via urls.normalize_split's hybrid path)."""
-        return self.regex_for(scope).col(self.host.col(url_col))
+        normalizer first via urls.normalize_split's hybrid path). loop_count
+        > 1 composes the tail that many times — equivalent to the reference's
+        break-at-fixpoint loop because re-applying a chain to a stable url is
+        a no-op (the basic stage is not repeated here: its output is
+        idempotent, and a regex rule rewriting into basic-unnormal form is a
+        rule-authoring bug; the scalar `normalize` path repeats the full
+        chain exactly)."""
+        regex = self.regex_for(scope)
+        col = url_col
+        for _ in range(self.loop_count):
+            col = regex.col(self.host.col(col))
+        return col
 
 
 def with_column_once(df: DataFrame, name: str, expr: Column) -> DataFrame:

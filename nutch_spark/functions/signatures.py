@@ -24,6 +24,10 @@ _NON_ALNUM = re.compile(r"[^0-9a-z]+")
 
 
 def text_profile_signature(text: str | None, min_token_len: int = 2, quant_rate: float = 0.01) -> str | None:
+    """min_token_len / quant_rate mirror db.signature.text_profile.*
+    (TextProfileSignature.java:67-68)."""
+    import numpy as np
+
     if text is None or len(text) == 0:
         return None
     tokens: dict[str, int] = {}
@@ -34,7 +38,12 @@ def text_profile_signature(text: str | None, min_token_len: int = 2, quant_rate:
             tokens[tok] = c
             if c > max_freq:
                 max_freq = c
-    quant = round(max_freq * quant_rate)
+    # Math.round(maxFreq * QUANT_RATE) in FLOAT32 (TextProfileSignature.java:
+    # 111): floor(f32(maxFreq * f32(rate)) + 0.5f) — Python's banker's round
+    # over float64 diverges (e.g. maxFreq=350, rate=0.01: Java 3, round() 4)
+    quant = int(np.floor(
+        np.float32(np.float32(max_freq) * np.float32(quant_rate))
+        + np.float32(0.5)))
     if quant < 2:
         quant = 2 if max_freq > 1 else 1
     profile = []
@@ -50,6 +59,18 @@ def text_profile_signature(text: str | None, min_token_len: int = 2, quant_rate:
 @F.pandas_udf(StringType())
 def text_profile_signature_udf(texts: pd.Series) -> pd.Series:
     return texts.map(text_profile_signature)
+
+
+def make_text_profile_udf(min_token_len: int = 2, quant_rate: float = 0.01):
+    """Parameterized variant carrying db.signature.text_profile.min_token_len
+    / .quant_rate (TextProfileSignature.java:67-68)."""
+
+    @F.pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: text_profile_signature(t, min_token_len, quant_rate))
+
+    return _udf
 
 
 def md5_signature_col(content_col):

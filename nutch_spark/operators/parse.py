@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
 from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
-from nutch_spark.functions.signatures import text_profile_signature_udf
+from nutch_spark.functions.signatures import make_text_profile_udf
 from nutch_spark.functions.urls import (
     RegexUrlFilter, host_col, normalize_inline, normalize_url, normalize_url_udf,
 )
@@ -754,8 +754,12 @@ def run_parse(
     # robots-nofollow pages contribute NO outlinks (X6,
     # HTMLMetaProcessor directives consumed by HtmlParser.getParse)
     nofollow_docs = docs_nested.filter(F.col("nofollow")).select("doc_id")
+    # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142): drop
+    # outlinks from ignored tags; <a> is the corpus's only outlink source
+    link_kind = (F.col("kind") == "link") & F.lit(
+        "a" not in cfg.parser_html_outlinks_ignore_tags)
     raw_links = (
-        span_rows.filter(F.col("kind") == "link")
+        span_rows.filter(link_kind)
         .join(F.broadcast(nofollow_docs), "doc_id", "left_anti")
         .select(
             F.col("doc_id").alias("url"),
@@ -864,7 +868,11 @@ def run_parse(
     # content MD5 when the page yields no text (:64-72 `fallback`).
     if cfg.signature_impl == "text_profile":
         tp = ptext.select(
-            "url", text_profile_signature_udf(F.col("text")).alias("_tp_sig")
+            "url",
+            make_text_profile_udf(
+                cfg.signature_text_profile_min_token_len,
+                cfg.signature_text_profile_quant_rate,
+            )(F.col("text")).alias("_tp_sig")
         )
         sig_rows = (
             ok.select("url", "signature")

@@ -233,3 +233,84 @@ def test_anchor_deduplicate(spark):
         frontier, fetch_out, ptext, pdata, linkdb,
         CrawlConfig(anchor_deduplicate=True)).collect()}
     assert dedup["http://x.a-sim.com/a"] == ["Home", "About"]
+
+
+def test_text_profile_quant_float32_rounding():
+    """TextProfileSignature.java:111: Math.round(maxFreq * QUANT_RATE) is
+    floor(x+0.5) in FLOAT32; at maxFreq=250 Java computes quant=3 (2.5f +
+    0.5f -> floor 3) while Python's banker's round(2.5) gives 2 — the
+    divergence recurs every 200 (450, 650, ...)."""
+    import hashlib
+
+    from nutch_spark.functions.signatures import text_profile_signature
+
+    # 250x "alpha" + 7x "beta" -> quant 3: alpha -> 249, beta -> 6
+    text = " ".join(["alpha"] * 250 + ["beta"] * 7)
+    expected = hashlib.md5(b"alpha 249\nbeta 6").hexdigest()
+    assert text_profile_signature(text) == expected
+    # knobs: min_token_len=4 drops 4-char 'beta'; quant_rate=0.1 -> quant=25,
+    # alpha -> (250//25)*25 = 250
+    expected2 = hashlib.md5(b"alpha 250").hexdigest()
+    assert text_profile_signature(text, min_token_len=4, quant_rate=0.1) == expected2
+
+
+def test_gen_max_per_host_alias():
+    """Generator.java:142-148: generate.max.per.host feeds generate.max.count
+    only when the latter is unset."""
+    assert CrawlConfig(gen_max_per_host=5).gen_max_count == 5
+    assert CrawlConfig(gen_max_per_host=5, gen_max_count=7).gen_max_count == 7
+    assert CrawlConfig().gen_max_count == -1
+
+
+def test_outlinks_ignore_tags(spark):
+    """DOMContentUtils.java:138-142: tags listed in
+    parser.html.outlinks.ignore_tags contribute no outlinks ('a' is the
+    corpus's only outlink-bearing tag)."""
+    from nutch_spark.operators.parse import run_parse
+    from tests.test_meta_directives import _fetch_ok
+
+    page = "http://h000.example.com/ig.html"
+    html = ('<html><body><p>t</p><a href="http://h001.example.com/x">x</a>'
+            "</body></html>")
+    raw = spark.createDataFrame(
+        [(page, "h000.example.com", html, "text/html", page)],
+        "url string, host string, content string, content_type string, "
+        "base_url string")
+    fetch_out = _fetch_ok(spark, [page])
+
+    def n_outlinks(cfg):
+        parsed = run_parse(fetch_out, raw, cfg)
+        n = parsed["links"].count()
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
+        return n
+
+    assert n_outlinks(CrawlConfig()) == 1
+    assert n_outlinks(CrawlConfig(
+        parser_html_outlinks_ignore_tags=("a",))) == 0
+
+
+def test_urlnormalizer_loop_count():
+    """URLNormalizers.java:279-293: the whole chain repeats up to loop.count
+    times, breaking at a fixpoint. Rule order [b->c, a->b] needs two passes
+    to reach 'c' from 'a'."""
+    from nutch_spark.functions.normalizers import ScopedNormalizers
+
+    rules = [("/b$", "/c", "/b$", "/c"), ("/a$", "/b", "/a$", "/b")]
+    one = ScopedNormalizers({"default": rules})
+    two = ScopedNormalizers({"default": rules}, loop_count=2)
+    url = "http://x-sim.com/a"
+    assert one.normalize(url) == "http://x-sim.com/b"
+    assert two.normalize(url) == "http://x-sim.com/c"
+    # already-stable url: loop breaks, same output
+    assert two.normalize("http://x-sim.com/z") == "http://x-sim.com/z"
+
+
+def test_urlnormalizer_loop_count_columnar(spark):
+    from nutch_spark.functions.normalizers import ScopedNormalizers
+
+    rules = [("/b$", "/c", "/b$", "/c"), ("/a$", "/b", "/a$", "/b")]
+    two = ScopedNormalizers({"default": rules}, loop_count=2)
+    df = spark.createDataFrame([("http://x-sim.com/a",)], "url string")
+    got = df.select(two.post_basic_col(F.col("url")).alias("n")).collect()[0].n
+    assert got == "http://x-sim.com/c"
