@@ -106,6 +106,10 @@ class CrawlConfig:
     # corpus's only outlink-bearing tag is <a> (media are span refs, not
     # outlinks), so 'a' is the one effective member here.
     parser_html_outlinks_ignore_tags: tuple = ()
+    # parser.caching.forbidden.policy (HtmlParser.java:107,222-226): value
+    # written to the caching.forbidden parse meta when robots meta carries
+    # 'noarchive'; index-basic exposes it as the `cache` field unless 'none'
+    parser_caching_forbidden_policy: str = "content"
     # urlnormalizer.loop.count (URLNormalizers.java:138,279-293): repeat the
     # whole normalizer chain up to N times, stopping at a fixpoint
     urlnormalizer_loop_count: int = 1

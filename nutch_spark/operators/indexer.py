@@ -80,7 +80,9 @@ def build_index(
         want_meta or bool(cfg.headings) or cfg.index_reltag or cfg.index_lang
         or cfg.index_cc
     )
-    pd_sel = ["url", "title"] + (["meta"] if need_meta else [])
+    have_cache = "cache" in parse_data.columns
+    pd_sel = (["url", "title"] + (["meta"] if need_meta else [])
+              + (["cache"] if have_cache else []))
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
@@ -152,6 +154,10 @@ def build_index(
         ).alias("boost"),
         # index-more fields (plugin/index-more MoreIndexingFilter: date,
         # contentLength; content-type is constant text/html in this corpus)
+        # cache policy field (BasicIndexingFilter.java:99-103: added when
+        # the caching.forbidden parse meta is set and not 'none')
+        (F.when(F.col("cache") != "none", F.col("cache")) if have_cache
+         else F.lit(None).cast("string")).alias("cache"),
         F.col("content_length").alias("content_length"),
         http_date_format_udf(F.col("fetch_ts")).alias("date"),
         # tld plugin: the host's domain suffix (TLDIndexingFilter.java:50-53)

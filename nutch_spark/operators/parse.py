@@ -815,7 +815,19 @@ def run_parse(
     # parse_data: title + meta directives + ordered outlinks per page
     # `meta` (general meta tags) rides into parse_data for the
     # parse-metatags -> index-metadata handoff (indexer._metatags_col)
-    titles = docs_nested.select("doc_id", "title", "noindex", "nofollow", "meta")
+    # caching.forbidden (HtmlParser.java:222-226 + HTMLMetaProcessor.java:
+    # 109-111): robots meta 'noarchive' -> parse meta gets the configured
+    # policy string; carried as a narrow column instead of widening `meta`
+    cache_col = F.when(
+        F.contains(
+            F.lower(F.coalesce(F.element_at(F.col("meta"), F.lit("robots")),
+                               F.lit(""))),
+            F.lit("noarchive"),
+        ),
+        F.lit(cfg.parser_caching_forbidden_policy),
+    )
+    titles = docs_nested.select("doc_id", "title", "noindex", "nofollow",
+                                "meta", cache_col.alias("cache"))
     parse_data = (
         links.groupBy("url")
         .agg(

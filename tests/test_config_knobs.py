@@ -314,3 +314,48 @@ def test_urlnormalizer_loop_count_columnar(spark):
     df = spark.createDataFrame([("http://x-sim.com/a",)], "url string")
     got = df.select(two.post_basic_col(F.col("url")).alias("n")).collect()[0].n
     assert got == "http://x-sim.com/c"
+
+
+def test_caching_forbidden_policy(spark):
+    """HTMLMetaProcessor.java:109-111 + HtmlParser.java:222-226 +
+    BasicIndexingFilter.java:99-103: robots meta 'noarchive' -> parse meta
+    caching.forbidden = parser.caching.forbidden.policy; the indexer adds
+    the `cache` field unless the policy is 'none'."""
+    from nutch_spark.operators.indexer import build_index
+    from nutch_spark.operators.parse import run_parse
+    from tests.test_meta_directives import _fetch_ok
+
+    arch = "http://h000.example.com/c1.html"
+    plain = "http://h000.example.com/c2.html"
+    html_a = ('<html><head><meta name="robots" content="noarchive"></head>'
+              "<body><p>x</p></body></html>")
+    html_p = "<html><body><p>y</p></body></html>"
+    raw = spark.createDataFrame(
+        [(arch, "h000.example.com", html_a, "text/html", arch),
+         (plain, "h000.example.com", html_p, "text/html", plain)],
+        "url string, host string, content string, content_type string, "
+        "base_url string")
+    fetch_out = _fetch_ok(spark, [arch, plain])
+
+    def cache_fields(cfg):
+        parsed = run_parse(fetch_out, raw, cfg)
+        pd_ = parsed["parse_data"]
+        frontier = fetch_out.select(
+            "url", F.lit(2).alias("status"), F.lit(1.0).alias("score"),
+            F.lit(0).cast("long").alias("fetch_time"),
+            F.lit("s").alias("signature"))
+        fo = fetch_out.select(
+            "url", "fetch_status", F.lit(5).cast("long").alias("fetch_ts"),
+            F.lit(10).cast("long").alias("content_length"))
+        idx = {r.url: r.cache for r in build_index(
+            frontier, fo, parsed["parse_text"], pd_, None, cfg).collect()}
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
+        return idx
+
+    got = cache_fields(CrawlConfig())
+    assert got[arch] == "content" and got[plain] is None
+    got_all = cache_fields(CrawlConfig(parser_caching_forbidden_policy="all"))
+    assert got_all[arch] == "all"
+    got_none = cache_fields(CrawlConfig(parser_caching_forbidden_policy="none"))
+    assert got_none[arch] is None  # set in parse meta but never indexed
