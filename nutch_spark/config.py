@@ -63,6 +63,11 @@ class CrawlConfig:
     fetcher_max_exceptions_per_queue: int = -1
     fetcher_timelimit_ms: int = -1           # fetcher.timelimit.mins (virtual ms)
     http_redirect_max: int = 0               # http.redirect.max (1.6 default: 0 -> defer)
+    # http.content.limit (nutch-default.xml, HttpBase): the protocol keeps
+    # at most this many content bytes; longer pages are capped and marked
+    # truncated (parser.skip.truncated then drops them from parse). -1 = no
+    # cap. The simulated protocol applies it to the corpus content_length.
+    http_content_limit: int = 65536
     # (db.ignore.external.links — shared by the redirect gate and the parse
     # outlink chain — is declared once in the parse section below)
     # throughput kill-switch (Fetcher.java:1366-1386): sustained sub-threshold

@@ -390,13 +390,20 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
             cl = ent["content_length"]
             cl = int(cl) if cl is not None and cl == cl else None
             dl = ent["declared_length"]
+            # http.content.limit: the protocol caps kept bytes and marks
+            # the record truncated (HttpBase.getProtocolOutput analogue)
+            climit = cfg.http_content_limit
+            over_limit = climit >= 0 and cl is not None and cl > climit
+            if over_limit:
+                cl = climit
             trunc = False
             redirect_to = None
             redirect_temp = None
             if ps == "ok":
                 sig = page_signature(int(ent["signature_seed"]))
                 pages_total += 1  # updateStatus: SUCCESS only
-                trunc = bool(dl is not None and cl is not None and dl > cl)
+                trunc = over_limit or bool(
+                    dl is not None and cl is not None and dl > cl)
             elif ps in ("redir_perm", "redir_temp"):
                 redirect_to = ent["redirect_to"]
                 redirect_temp = ps == "redir_temp"
@@ -559,8 +566,16 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
 
         declared = pdf["declared_length"].to_numpy(dtype=float)[sel]
         content_len = pdf["content_length"].to_numpy(dtype=float)[sel]
+        # http.content.limit cap (see scheduler path above)
+        if cfg.http_content_limit >= 0:
+            with np.errstate(invalid="ignore"):
+                over = content_len > cfg.http_content_limit
+            content_len = np.where(over, float(cfg.http_content_limit),
+                                   content_len)
+        else:
+            over = np.zeros(m, dtype=bool)
         with np.errstate(invalid="ignore"):
-            trunc = ok_mask & (declared > content_len)
+            trunc = ok_mask & ((declared > content_len) | over)
 
         redir_mask = (is_rp[sel] | is_rt[sel]) & ~g
         redirect_to = np.full(m, None, dtype=object)

@@ -359,3 +359,37 @@ def test_caching_forbidden_policy(spark):
     assert got_all[arch] == "all"
     got_none = cache_fields(CrawlConfig(parser_caching_forbidden_policy="none"))
     assert got_none[arch] is None  # set in parse meta but never indexed
+
+
+def test_http_content_limit(spark):
+    """http.content.limit (HttpBase): content beyond the limit is capped and
+    the record marked truncated; parser.skip.truncated then keeps it out of
+    the parse. -1 disables the cap."""
+    from nutch_spark.functions.urls import host_col
+    from nutch_spark.operators.fetch import run_fetch
+
+    big = "http://big.h-sim.com/"
+    small = "http://small.h-sim.com/"
+    wg = spark.createDataFrame(
+        [{"url": u, "host": h, "status": "ok", "redirect_to": None,
+          "outlinks": [], "content_length": cl, "declared_length": cl,
+          "signature_seed": i}
+         for i, (u, h, cl) in enumerate(
+             [(big, "big.h-sim.com", 100_000), (small, "small.h-sim.com", 900)])],
+        schema=S.WEB_GRAPH_SCHEMA)
+    fl = (spark.createDataFrame([(big,), (small,)], "url string")
+          .withColumn("host", host_col(F.col("url")))
+          .withColumn("score", F.lit(1.0).cast("float"))
+          .withColumn("fetch_interval", F.lit(2592000))
+          .withColumn("retries", F.lit(0))
+          .withColumn("sort_hash", F.lit(0)))
+    robots = spark.createDataFrame([], schema=S.ROBOTS_SCHEMA)
+
+    out = {r.url: r for r in run_fetch(
+        fl, wg, robots, CrawlConfig(http_content_limit=4096), 1, 0).collect()}
+    assert out[big].truncated and out[big].content_length == 4096
+    assert not out[small].truncated and out[small].content_length == 900
+
+    off = {r.url: r for r in run_fetch(
+        fl, wg, robots, CrawlConfig(http_content_limit=-1), 1, 0).collect()}
+    assert not off[big].truncated and off[big].content_length == 100_000
