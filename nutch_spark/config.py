@@ -168,6 +168,13 @@ class CrawlConfig:
     headings: tuple = ()                     # headings conf, e.g. ("h1", "h2")
     index_reltag: bool = False               # expose rel-tag anchors as `tag`
     index_lang: bool = False                 # language-identifier `lang` field
+    # HTMLLanguageParser knobs (HTMLLanguageParser.java:93-111,313-321):
+    # policy order decides detect (meta/header declarations) vs identify
+    # (n-gram analysis) precedence; max.length caps analyzed chars;
+    # only.certain suppresses uncertain identifications
+    lang_extraction_policy: tuple = ("detect", "identify")
+    lang_analyze_max_length: int = -1        # lang.analyze.max.length
+    lang_identification_only_certain: bool = False
     index_cc: bool = False                   # creativecommons `cc` field
     # ((name, whitelist_tuple, blacklist_tuple), ...) — Subcollection
     # white/black substring lists (plugin/subcollection Subcollection.java)

@@ -38,17 +38,30 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column, only_certain: bool = False,
+                    max_length: int = -1) -> Column:
     """Stopword-vote language heuristic — returns the language whose
-    stopwords appear most among tokens ('und' for unknown)."""
+    stopwords appear most among tokens ('und' for unknown).
+
+    only_certain mirrors lang.identification.only.certain
+    (HTMLLanguageParser.java:314 + LanguageIdentifier.isReasonablyCertain):
+    NULL unless the top language strictly beats the runner-up. max_length
+    mirrors lang.analyze.max.length (:313): only the first N chars are
+    analyzed (-1 = all)."""
+    if max_length >= 0:
+        text = F.substring(text, 1, max_length)
     toks = tokens_col(text)
     scores = []
     for lang, words in _LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ranked = F.reverse(F.array_sort(F.array(*scores)))
+    best = ranked[0]
+    out = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    if only_certain:
+        return F.when(best["score"] > ranked[1]["score"], out)
+    return out
 
 
 def quality_score(text: Column) -> Column:

@@ -260,17 +260,38 @@ def _subcollection_col(cfg: CrawlConfig):
 
 def _lang_col(cfg: CrawlConfig, need_meta: bool):
     """language-identifier (plugin/language-identifier
-    HTMLLanguageParser + LanguageIndexingFilter.java:55-70): the meta
-    content-language declaration wins, else the n-gram identifier over the
-    extracted text."""
+    HTMLLanguageParser.java:93-111 + LanguageIndexingFilter.java:55-80):
+    lang.extraction.policy orders the detect (meta declarations: language,
+    dc.language, content-language) and identify (n-gram analysis, capped by
+    lang.analyze.max.length, gated by lang.identification.only.certain)
+    stages; a policy naming only one stage runs only it. The indexing
+    filter falls back to 'unknown' when neither stage yields a language."""
     if not cfg.index_lang:
         return F.lit(None).cast("string")
     from nutch_spark.functions.text import detect_language
 
-    detected = detect_language(F.col("text"))
-    if not need_meta:
-        return detected
-    return F.coalesce(F.col("meta").getItem("content-language"), detected)
+    identified = detect_language(
+        F.col("text"),
+        only_certain=cfg.lang_identification_only_certain,
+        max_length=cfg.lang_analyze_max_length,
+    )
+    # the n-gram identifier's 'und' is its null (LanguageIdentifier returns
+    # null on no evidence; the 'unknown' default belongs to the indexer)
+    identified = F.when(identified != "und", identified)
+    declared = F.lit(None).cast("string")
+    if need_meta:
+        # getLanguageFromMetadata (HTMLLanguageParser.java:240-258) key order
+        declared = F.coalesce(
+            F.col("meta").getItem("language"),
+            F.col("meta").getItem("dc.language"),
+            F.col("meta").getItem("content-language"),
+        )
+    policy = tuple(cfg.lang_extraction_policy)
+    stages = [declared if s == "detect" else identified
+              for s in policy if s in ("detect", "identify")]
+    if not stages:  # no policy -> filter adds nothing (reference warns)
+        return F.lit(None).cast("string")
+    return F.coalesce(*stages, F.lit("unknown"))
 
 
 def _cc_col(cfg: CrawlConfig, need_meta: bool):

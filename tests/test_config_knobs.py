@@ -393,3 +393,61 @@ def test_http_content_limit(spark):
     off = {r.url: r for r in run_fetch(
         fl, wg, robots, CrawlConfig(http_content_limit=-1), 1, 0).collect()}
     assert not off[big].truncated and off[big].content_length == 100_000
+
+
+def test_lang_extraction_knobs(spark):
+    """HTMLLanguageParser.java:93-111,313-321: extraction policy order,
+    analyze max length, only-certain gating; LanguageIndexingFilter.java:75-80
+    'unknown' fallback."""
+    from nutch_spark.operators.indexer import build_index
+
+    en_text = "the and is of to in that it was for on are with"
+    mixed = "der the"  # one 'de' stopword vote vs one 'en' vote -> tie
+    frontier = spark.createDataFrame(
+        [("http://l1-sim.com/", 2, 1.0, 0, "s"),
+         ("http://l2-sim.com/", 2, 1.0, 0, "s"),
+         ("http://l3-sim.com/", 2, 1.0, 0, "s")],
+        "url string, status int, score float, fetch_time long, signature string")
+    fo = frontier.select(
+        "url", F.lit(S.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = spark.createDataFrame(
+        [("http://l1-sim.com/", en_text),
+         ("http://l2-sim.com/", mixed),
+         ("http://l3-sim.com/", en_text)],
+        "url string, text string")
+    pdata = spark.createDataFrame(
+        [("http://l1-sim.com/", "t", None),
+         ("http://l2-sim.com/", "t", None),
+         ("http://l3-sim.com/", "t", {"content-language": "fr"})],
+        "url string, title string, meta map<string,string>")
+
+    def langs(cfg):
+        return {r.url: r.lang for r in build_index(
+            frontier, fo, ptext, pdata, None, cfg).collect()}
+
+    base = langs(CrawlConfig(index_lang=True))
+    assert base["http://l1-sim.com/"] == "en"
+    assert base["http://l3-sim.com/"] == "fr"   # declaration wins (detect first)
+
+    # identify-first policy: the n-gram result shadows the declaration
+    ident_first = langs(CrawlConfig(
+        index_lang=True, lang_extraction_policy=("identify", "detect")))
+    assert ident_first["http://l3-sim.com/"] == "en"
+
+    # only-certain: the tied-vote page is uncertain -> unknown
+    certain = langs(CrawlConfig(
+        index_lang=True, lang_identification_only_certain=True))
+    assert certain["http://l2-sim.com/"] == "unknown"
+    assert certain["http://l1-sim.com/"] == "en"
+
+    # max length 0: nothing analyzed -> unknown unless declared
+    capped = langs(CrawlConfig(index_lang=True, lang_analyze_max_length=0))
+    assert capped["http://l1-sim.com/"] == "unknown"
+    assert capped["http://l3-sim.com/"] == "fr"
+
+    # detect-only policy: undeclared pages -> unknown
+    det_only = langs(CrawlConfig(
+        index_lang=True, lang_extraction_policy=("detect",)))
+    assert det_only["http://l1-sim.com/"] == "unknown"
