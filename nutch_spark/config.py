@@ -158,6 +158,11 @@ class CrawlConfig:
     indexer_add_domain: bool = False         # indexer.add.domain
     indexer_skip_notmodified: bool = False   # indexer.skip.notmodified
     anchor_deduplicate: bool = False         # anchorIndexingFilter.deduplicate
+    # index-more type field (MoreIndexingFilter.java:198-257,312):
+    # indexMimeTypeParts appends primary/sub parts to the full mime;
+    # mapMimeTypes rewrites via ((from, to), ...) pairs before splitting
+    more_index_mime_type_parts: bool = True  # moreIndexingFilter.indexMimeTypeParts
+    more_map_mime_types: tuple = ()          # moreIndexingFilter.mapMimeTypes + map file
     # parse-metatags + index-metadata + index-static + tld plugins
     metatags_names: tuple = ("*",)           # metatags.names (parse-metatags; '*' = all)
     index_parse_md: tuple = ()               # index.parse.md (index-metadata parse keys)

@@ -551,6 +551,10 @@ def q_index_fields(spark, sf_dir):
             F.lit("description"), F.col("signature"),
             F.lit("viewport"), F.lit("w=1024"),  # not in index.parse.md -> dropped
         ).alias("meta"),
+        # index-more type source: declared with params/casing noise for the
+        # cleanMimeType path (MoreIndexingFilter.addType)
+        F.when(F.col("retries") % 2 == 0,
+               F.lit("Text/HTML; charset=UTF-8")).alias("content_type"),
     )
     idx = build_index(f, fetch_out, parse_text, parse_data, None, cfg)
     return idx.select(
@@ -561,6 +565,7 @@ def q_index_fields(spark, sf_dir):
         F.element_at("metatags", "metatag.viewport").alias("vp"),
         F.element_at("static_fields", "collection").alias("collection"),
         F.element_at("static_fields", "source").alias("source"),
+        F.array_join("type", "|").alias("mime_type"),
     )
 
 
@@ -573,7 +578,9 @@ SELECT url,
        signature AS descr,
        CAST(NULL AS VARCHAR) AS vp,
        'web crawl' AS collection,
-       'sim' AS source
+       'sim' AS source,
+       CASE WHEN retries % 2 = 0 THEN 'text/html|text|html'
+            ELSE CAST(NULL AS VARCHAR) END AS mime_type
 FROM frontier
 WHERE status <> 3
 """

@@ -81,8 +81,10 @@ def build_index(
         or cfg.index_cc
     )
     have_cache = "cache" in parse_data.columns
+    have_ct = "content_type" in parse_data.columns
     pd_sel = (["url", "title"] + (["meta"] if need_meta else [])
-              + (["cache"] if have_cache else []))
+              + (["cache"] if have_cache else [])
+              + (["content_type"] if have_ct else []))
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
@@ -160,6 +162,9 @@ def build_index(
          else F.lit(None).cast("string")).alias("cache"),
         F.col("content_length").alias("content_length"),
         http_date_format_udf(F.col("fetch_ts")).alias("date"),
+        # index-more type field (MoreIndexingFilter.addType:198-257):
+        # multi-valued [full mime (+ primary, sub parts)]
+        _type_col(cfg, have_ct, doc_url).alias("type"),
         # tld plugin: the host's domain suffix (TLDIndexingFilter.java:50-53)
         suffix_udf(F.col("url")).alias("tld"),
         _metatags_col(cfg, want_meta).alias("metatags"),
@@ -174,6 +179,40 @@ def build_index(
         # column keyed by tag, like the metatags composition above
         _urlmeta_col(cfg, "metadata" in db.columns).alias("urlmeta"),
     )
+
+
+def _type_col(cfg: CrawlConfig, have_ct: bool, doc_url):
+    """index-more `type` field (MoreIndexingFilter.addType:198-257): the
+    cleaned content type (MimeUtil.cleanMimeType: strip ';params', trim,
+    lowercase), falling back to the url-extension map when no content type
+    was resolved upstream; mapMimeTypes rewrites the full mime; parts
+    (primary, sub) appended when indexMimeTypeParts. Multi-valued -> array."""
+    from nutch_spark.functions.content import EXTENSION_TYPES
+
+    path = F.substring_index(F.substring_index(doc_url, "?", 1), "#", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    ext_map = F.create_map(
+        *[F.lit(x) for kv in EXTENSION_TYPES.items() for x in kv])
+    from_url = F.when(ext != "", F.element_at(ext_map, ext))
+    if have_ct:
+        cleaned = F.lower(F.trim(F.substring_index(F.col("content_type"), ";", 1)))
+        ct = F.coalesce(F.nullif(cleaned, F.lit("")), from_url)
+    else:
+        ct = from_url
+    if cfg.more_map_mime_types:
+        mm = F.create_map(
+            *[F.lit(x) for kv in cfg.more_map_mime_types for x in kv])
+        ct = F.coalesce(F.element_at(mm, ct), ct)
+    if cfg.more_index_mime_type_parts:
+        arr = F.array_distinct(F.array(
+            ct,
+            F.substring_index(ct, "/", 1),
+            F.when(F.contains(ct, F.lit("/")), F.substring_index(ct, "/", -1)),
+        ))
+        arr = F.filter(arr, lambda x: x.isNotNull())
+    else:
+        arr = F.array(ct)
+    return F.when(ct.isNotNull(), arr)
 
 
 def _urlmeta_col(cfg: CrawlConfig, have_meta: bool):

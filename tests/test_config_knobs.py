@@ -451,3 +451,42 @@ def test_lang_extraction_knobs(spark):
     det_only = langs(CrawlConfig(
         index_lang=True, lang_extraction_policy=("detect",)))
     assert det_only["http://l1-sim.com/"] == "unknown"
+
+
+def test_more_indexing_type_field(spark):
+    """MoreIndexingFilter.addType (MoreIndexingFilter.java:198-257,312):
+    cleaned mime + parts, url-extension fallback, mapMimeTypes rewrite,
+    indexMimeTypeParts off -> full mime only."""
+    from nutch_spark.operators.indexer import build_index
+
+    declared = "http://t1-sim.com/page"
+    by_ext = "http://t2-sim.com/doc.pdf"
+    neither = "http://t3-sim.com/plain"
+    frontier = spark.createDataFrame(
+        [(u, 2, 1.0, 0, "s") for u in (declared, by_ext, neither)],
+        "url string, status int, score float, fetch_time long, signature string")
+    fo = frontier.select(
+        "url", F.lit(S.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = frontier.select("url", F.lit("body").alias("text"))
+    pdata = spark.createDataFrame(
+        [(declared, "t", "Application/XML ; q=1"),
+         (by_ext, "t", None), (neither, "t", None)],
+        "url string, title string, content_type string")
+
+    def types(cfg):
+        return {r.url: r.type for r in build_index(
+            frontier, fo, ptext, pdata, None, cfg).collect()}
+
+    got = types(CrawlConfig())
+    assert got[declared] == ["application/xml", "application", "xml"]
+    assert got[by_ext] == ["application/pdf", "application", "pdf"]
+    assert got[neither] is None
+
+    no_parts = types(CrawlConfig(more_index_mime_type_parts=False))
+    assert no_parts[declared] == ["application/xml"]
+
+    mapped = types(CrawlConfig(
+        more_map_mime_types=(("application/xml", "text/xml"),)))
+    assert mapped[declared] == ["text/xml", "text", "xml"]
