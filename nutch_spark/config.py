@@ -166,6 +166,10 @@ class CrawlConfig:
     # parse-metatags + index-metadata + index-static + tld plugins
     metatags_names: tuple = ("*",)           # metatags.names (parse-metatags; '*' = all)
     index_parse_md: tuple = ()               # index.parse.md (index-metadata parse keys)
+    # index.db.md (MetadataIndexer.java:44,56-63): crawl-datum metadata keys
+    # copied verbatim onto the doc (index.content.md is declared out: the
+    # simulated protocol carries no content headers)
+    index_db_md: tuple = ()
     index_static: str = ""                   # index.static ("f1:v1 v2,f2:v3")
     # headings / microformats-reltag / subcollection / language-identifier
     # plugins (all off by default, matching plugin.includes in the

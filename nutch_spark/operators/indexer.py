@@ -61,11 +61,12 @@ def build_index(
         # DB_NOTMODIFIED pages are indexed UNLESS the knob is set
         skip_status.append(schemas.STATUS_DB_NOTMODIFIED)
     have_repr = "repr_url" in frontier.columns
+    want_db_meta = bool(cfg.urlmeta_tags or cfg.index_db_md) \
+        and "metadata" in frontier.columns
     db = frontier.filter(~F.col("status").isin(*skip_status)).select(
         "url", "status", "score", "fetch_time", "signature",
         *(["repr_url"] if have_repr else []),
-        *(["metadata"] if cfg.urlmeta_tags and "metadata" in frontier.columns
-          else []),
+        *(["metadata"] if want_db_meta else []),
     )
     fetched = fetch_out.filter(
         F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
@@ -178,6 +179,19 @@ def build_index(
         # configured tag found in the datum metadata — expressed as a map
         # column keyed by tag, like the metatags composition above
         _urlmeta_col(cfg, "metadata" in db.columns).alias("urlmeta"),
+        # index.db.md (MetadataIndexer.java:56-63): datum metadata keys
+        # copied verbatim (no prefixing, unlike the parse-metatags combo)
+        _db_md_col(cfg, "metadata" in db.columns).alias("db_md"),
+    )
+
+
+def _db_md_col(cfg: CrawlConfig, have_meta: bool):
+    if not cfg.index_db_md or not have_meta:
+        return F.lit(None).cast("map<string,string>")
+    keys = list(cfg.index_db_md)
+    return F.map_filter(
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+        lambda k, _: k.isin(*keys),
     )
 
 

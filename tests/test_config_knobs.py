@@ -490,3 +490,29 @@ def test_more_indexing_type_field(spark):
     mapped = types(CrawlConfig(
         more_map_mime_types=(("application/xml", "text/xml"),)))
     assert mapped[declared] == ["text/xml", "text", "xml"]
+
+
+def test_index_db_md(spark):
+    """MetadataIndexer.java:56-63: index.db.md keys come verbatim from the
+    crawl-datum metadata; unlisted keys stay out."""
+    from nutch_spark.operators.indexer import build_index
+
+    frontier = spark.createDataFrame(
+        [{"url": "http://m-sim.com/", "status": 2, "score": 1.0,
+          "fetch_time": 0, "signature": "s",
+          "metadata": {"distance": "3", "secret": "x"}}],
+        "url string, status int, score float, fetch_time long, "
+        "signature string, metadata map<string,string>")
+    fo = frontier.select(
+        "url", F.lit(S.STATUS_FETCH_SUCCESS).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = frontier.select("url", F.lit("body").alias("text"))
+    pdata = frontier.select("url", F.lit("t").alias("title"))
+
+    row = build_index(frontier, fo, ptext, pdata, None,
+                      CrawlConfig(index_db_md=("distance",))).collect()[0]
+    assert row.db_md == {"distance": "3"}
+    off = build_index(frontier, fo, ptext, pdata, None,
+                      CrawlConfig()).collect()[0]
+    assert off.db_md is None
