@@ -2867,9 +2867,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "loops": (q_loops, SQL_LOOPS),
     "js_outlinks": (q_js_outlinks, SQL_JS_OUTLINKS),
+    "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
     "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
     "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
-    "index_plugins": (q_index_plugins, SQL_INDEX_PLUGINS),
     "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
     # --- 3. rotate-out: green in CORRECTNESS_r01-r03, parked this round ---
     "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
