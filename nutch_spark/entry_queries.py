@@ -2430,10 +2430,11 @@ FROM orders
 
 
 def q_repr_url(spark, sf_dir):
-    """C4 repr-URL on redirects (URLUtil.chooseRepr semantics as shipped in
-    functions/urls.choose_repr_url): permanent redirect -> target; temp
-    redirect -> source unless the target is same-host and strictly
-    shorter."""
+    """C4 repr-URL on redirects (URLUtil.chooseRepr:343-449, exact port in
+    functions/urls.choose_repr_url). Fixture branches: v=0 perm non-root
+    src -> dst; v=1 temp same-host, dst has fewer path segments -> dst;
+    v=2 temp same-host, equal segments + longer dst file -> src; v=3 temp
+    same registered domain, equal host label counts -> src."""
     from nutch_spark.functions.urls import choose_repr_url
 
     o = load(spark, sf_dir, "orders").select(
@@ -2475,10 +2476,10 @@ WITH f AS (
   FROM orders)
 SELECT k, src, dst,
        CASE k % 4
-         WHEN 0 THEN dst                                   -- permanent -> dst
-         WHEN 1 THEN CASE WHEN length(dst) < length(src) THEN dst ELSE src END
-         WHEN 2 THEN src                                   -- longer same-host
-         ELSE src                                          -- cross-host temp
+         WHEN 0 THEN dst   -- permanent, src not root -> dst
+         WHEN 1 THEN dst   -- temp same-host: dst has fewer path segments
+         WHEN 2 THEN src   -- temp same-host: equal segments, dst file longer
+         ELSE src          -- temp same domain, equal host label counts
        END AS repr_url
 FROM f
 """

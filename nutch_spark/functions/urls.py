@@ -370,16 +370,46 @@ def fetch_order_hash_udf(urls: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 def choose_repr_url(src: str, dst: str, temp: bool) -> str:
-    if not temp:
-        return dst
-    # temp redirect: keep src unless dst is same-host and strictly shorter
+    """Exact port of URLUtil.chooseRepr (URLUtil.java:343-449):
+    cross-DOMAIN redirects keep dst; permanent keeps src only when src is
+    the root page; temp prefers the root side, else (same host) the side
+    with fewer path segments / shorter file, else the shorter hostname.
+    `file` is path+query (java.net.URL.getFile); the segment counts use
+    Java split semantics (trailing empty strings dropped)."""
     try:
         s, d = urlsplit(src), urlsplit(dst)
+        if not s.scheme or not d.scheme:
+            return dst
     except ValueError:
-        return src
-    if s.netloc == d.netloc and len(dst) < len(src):
-        return dst
-    return src
+        return dst  # malformed -> dst (:352-354)
+
+    def jsplit_len(text: str, sep: str) -> int:
+        parts = text.split(sep)
+        while parts and parts[-1] == "":
+            parts.pop()
+        return len(parts)
+
+    src_host, dst_host = s.netloc, d.netloc
+    src_file = s.path + (f"?{s.query}" if s.query else "")
+    dst_file = d.path + (f"?{d.query}" if d.query else "")
+    src_root = src_file in ("/", "")
+    dst_root = dst_file in ("/", "")
+    if registered_domain(s.hostname or "") != registered_domain(d.hostname or ""):
+        return dst  # 1) different domain -> dst (:396-398)
+    if not temp:
+        return src if src_root else dst  # 2)/3)/4) (:401-410)
+    if src_root and not dst_root:
+        return src  # 5)
+    if not src_root and dst_root:
+        return dst  # 6)
+    if not src_root and not dst_root and src_host == dst_host:
+        # 7) same host: fewer path segments wins, then shorter file (:425-436)
+        n_src, n_dst = jsplit_len(src_file, "/"), jsplit_len(dst_file, "/")
+        if n_src != n_dst:
+            return dst if n_dst < n_src else src
+        return dst if len(dst_file) < len(src_file) else src
+    # 8) different hosts (or both root): fewer host labels wins (:439-443)
+    return dst if jsplit_len(dst_host, ".") < jsplit_len(src_host, ".") else src
 
 
 # ---------------------------------------------------------------------------

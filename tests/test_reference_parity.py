@@ -1,0 +1,107 @@
+"""Reference unit-test fixtures ported verbatim (public test sources, cited):
+URLUtil domain/suffix/chooseRepr/resolve cases from
+src/test/org/apache/nutch/util/TestURLUtil.java, run against this repo's
+ports. Test DATA is the reference's; the implementations under test are
+the from-scratch PySpark-side kernels."""
+
+from urllib.parse import urljoin
+
+import pytest
+
+from nutch_spark.functions.urls import (
+    choose_repr_url, domain_suffix, registered_domain,
+)
+
+# TestURLUtil.testGetDomainName (TestURLUtil.java:30-85)
+DOMAIN_CASES = [
+    ("lucene.apache.org", "apache.org"),
+    ("en.wikipedia.org", "wikipedia.org"),
+    ("140.211.11.130", "140.211.11.130"),
+    ("www.example.co.uk", "example.co.uk"),
+    ("com", "com"),
+    ("www.example.co.uk.com", "uk.com"),
+    ("example.com.nn", "nn"),          # "nn" is not a tld
+    ("", ""),
+    ("www.edu.tr.xyz", "xyz"),
+    ("www.example.c.se", "example.c.se"),
+    ("www.example.plc.co.im", "example.plc.co.im"),   # suffix-listed
+    ("www.example.2000.hu", "example.2000.hu"),       # suffix-listed
+    ("www.example.商業.tw", "example.商業.tw"),        # non-ascii
+]
+
+# TestURLUtil.testGetDomainSuffix (TestURLUtil.java:87-135)
+SUFFIX_CASES = [
+    ("lucene.apache.org", "org"),
+    ("140.211.11.130", None),
+    ("www.example.co.uk", "co.uk"),
+    ("com", "com"),
+    ("www.example.co.uk.com", "com"),
+    ("example.com.nn", None),
+    ("www.edu.tr.xyz", None),
+    ("www.example.plc.co.im", "plc.co.im"),
+    ("www.example.2000.hu", "2000.hu"),
+    ("www.example.商業.tw", "商業.tw"),
+]
+
+
+@pytest.mark.parametrize("host,expected", DOMAIN_CASES)
+def test_urlutil_domain_cases(host, expected):
+    assert registered_domain(host) == expected
+
+
+@pytest.mark.parametrize("host,expected", SUFFIX_CASES)
+def test_urlutil_suffix_cases(host, expected):
+    assert domain_suffix(host) == expected
+
+
+def test_urlutil_choose_repr_cases():
+    """TestURLUtil.testChooseRepr (TestURLUtil.java:168-213): all 9 rule
+    branches of URLUtil.chooseRepr."""
+    a, b = "http://www.a.com", "http://www.b.com"
+    asub = "http://www.news.a.com"
+    aq = "http://www.a.com?y=1"
+    ap = "http://www.a.com/xyz/index.html"
+    ap2 = "http://www.a.com/abc/page.html"
+    ap3 = "http://www.news.a.com/abc/page.html"
+    cases = [
+        ((a, b, True), b), ((a, b, False), b),      # 1 cross-domain
+        ((a, aq, False), a), ((a, ap, False), a),   # 2 perm+root
+        ((ap, a, False), a),                        # 3 perm, dest root
+        ((ap, ap2, False), ap2),                    # 4 perm, neither root
+        ((a, ap, True), a),                         # 5 temp, src root
+        ((ap, a, True), a),                         # 6 temp, dest root
+        ((ap, ap2, True), ap2), ((ap, ap3, True), ap),  # 7 path/host compare
+        ((a, asub, True), a),                       # 8 both root, short host
+    ]
+    for (s, d, t), exp in cases:
+        assert choose_repr_url(s, d, t) == exp, (s, d, t)
+
+
+# TestURLUtil RFC3986 section 5.4.1 resolve table (TestURLUtil.java:215-243)
+RFC3986_BASE = "http://a/b/c/d;p?q"
+RFC3986_CASES = [
+    ("g", "http://a/b/c/g"), ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"), ("/g", "http://a/g"), ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"), ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q#s"), ("g#s", "http://a/b/c/g#s"),
+    ("g?y#s", "http://a/b/c/g?y#s"), (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"), ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+    ("", "http://a/b/c/d;p?q"), (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"), ("..", "http://a/b/"), ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"), ("../..", "http://a/"),
+    ("../../", "http://a/"), ("../../g", "http://a/g"),
+]
+
+
+@pytest.mark.parametrize("rel,expected", RFC3986_CASES)
+def test_urlutil_resolve_rfc3986(rel, expected):
+    """URLUtil.resolveURL cases: the outlink/refresh resolution path uses
+    urljoin, which must match the reference's RFC3986 table (incl. the
+    NUTCH-436 query-only case below)."""
+    assert urljoin(RFC3986_BASE, rel) == expected
+
+
+def test_urlutil_resolve_nutch436_566():
+    assert urljoin("http://a/b/c/d;p?q#f", "?y") == "http://a/b/c/d;p?y"
+    assert (urljoin("http://www.fleurie.org/entreprise.asp", "?id_entrep=111")
+            == "http://www.fleurie.org/entreprise.asp?id_entrep=111")
