@@ -51,10 +51,13 @@ _SEG_RE = re.compile(
 _WS_RE = re.compile(r"\s+")
 
 # meta directives (X6/X7: parse-html/.../HTMLMetaProcessor.java:38-165);
-# scanned over the head only (the reference walk stops at <body>)
-_META_RE = re.compile(
-    r'<meta (?:name="(?P<name>[^"]*)"|http-equiv="(?P<equiv>[^"]*)") content="(?P<content>[^"]*)">'
-)
+# scanned over the head only (the reference walk stops at <body>,
+# HTMLMetaProcessor.java:55-57). Tag/attribute names are case-insensitive
+# and attribute order is free, matching the DOM walk (:60-76); values may
+# be double- or single-quoted.
+_META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.I)
+_META_ATTR_RE = re.compile(
+    r"""(name|http-equiv|content)\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I)
 
 
 # headings plugin (plugin/headings HeadingsParseFilter.java:47-106): first
@@ -230,10 +233,17 @@ def parse_meta_directives(content: str, base_url: str):
     refresh_to = None
     general: dict[str, str] = {}
     head = (content or "").split("<body", 1)[0]
-    for m in _META_RE.finditer(head):
-        text = m.group("content")
-        if m.group("name") is not None:
-            name = m.group("name").lower()
+    for tag in _META_TAG_RE.finditer(head):
+        attrs: dict[str, str] = {}
+        for am in _META_ATTR_RE.finditer(tag.group(0)):
+            v = am.group(2) if am.group(2) is not None else am.group(3)
+            attrs[am.group(1).lower()] = v
+        text = attrs.get("content")
+        if text is None:
+            continue  # name/equiv without content -> ignored (:78-79,119-120)
+        name = attrs.get("name")
+        if name is not None:
+            name = name.lower()
             general[name] = text
             if name == "robots":
                 d = text.lower()
@@ -243,7 +253,18 @@ def parse_meta_directives(content: str, base_url: str):
                     noindex = True
                 if "nofollow" in d:
                     nofollow = True
-        elif (m.group("equiv") or "").lower() == "refresh":
+                if "noarchive" in d:
+                    general["nocache."] = "1"  # setNoCache (:109-111)
+        equiv = attrs.get("http-equiv")
+        if equiv is None:
+            continue
+        equiv = equiv.lower()
+        # httpEquivTags live in their own map in the reference (:121-123);
+        # kept under a reserved prefix here so they can't shadow name-metas
+        general[f"http-equiv.{equiv}"] = text
+        if equiv == "pragma" and "no-cache" in text.lower():
+            general["nocache."] = "1"  # setNoCache (:124-129)
+        if equiv == "refresh":
             idx = text.find(";")
             time_part = text if idx == -1 else text[:idx]
             try:
@@ -816,14 +837,11 @@ def run_parse(
     # `meta` (general meta tags) rides into parse_data for the
     # parse-metatags -> index-metadata handoff (indexer._metatags_col)
     # caching.forbidden (HtmlParser.java:222-226 + HTMLMetaProcessor.java:
-    # 109-111): robots meta 'noarchive' -> parse meta gets the configured
-    # policy string; carried as a narrow column instead of widening `meta`
+    # 109-111,124-129): robots 'noarchive' OR http-equiv pragma 'no-cache'
+    # set the noCache flag (surfaced as the reserved `nocache.` meta key);
+    # carried as a narrow column instead of widening `meta`
     cache_col = F.when(
-        F.contains(
-            F.lower(F.coalesce(F.element_at(F.col("meta"), F.lit("robots")),
-                               F.lit(""))),
-            F.lit("noarchive"),
-        ),
+        F.element_at(F.col("meta"), F.lit("nocache.")) == "1",
         F.lit(cfg.parser_caching_forbidden_policy),
     )
     titles = docs_nested.select("doc_id", "title", "noindex", "nofollow",

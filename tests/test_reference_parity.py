@@ -105,3 +105,70 @@ def test_urlutil_resolve_nutch436_566():
     assert urljoin("http://a/b/c/d;p?q#f", "?y") == "http://a/b/c/d;p?y"
     assert (urljoin("http://www.fleurie.org/entreprise.asp", "?id_entrep=111")
             == "http://www.fleurie.org/entreprise.asp?id_entrep=111")
+
+
+# TestRobotsMetaProcessor (parse-html test, :41-117): 9 documents x
+# (noindex, nofollow, nocache) answers — exercises case-insensitive tag,
+# attribute and directive handling plus http-equiv pragma no-cache.
+ROBOTS_META_DOCS = [
+    ('<html><head><title>test page</title>'
+     '<META NAME="ROBOTS" CONTENT="NONE"> '
+     '<META HTTP-EQUIV="PRAGMA" CONTENT="NO-CACHE"> '
+     '</head><body> some text</body></html>', (True, True, True)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="all"> '
+     '<meta http-equiv="pragma" content="no-cache"> '
+     '</head><body> some text</body></html>', (False, False, True)),
+    ('<html><head><title>test page</title>'
+     '<MeTa NaMe="RoBoTs" CoNtEnT="nOnE"> '
+     '<MeTa HtTp-EqUiV="pRaGmA" cOnTeNt="No-CaChE"> '
+     '</head><body> some text</body></html>', (True, True, True)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="none"> '
+     '</head><body> some text</body></html>', (True, True, False)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="noindex,nofollow"> '
+     '</head><body> some text</body></html>', (True, True, False)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="noindex,follow"> '
+     '</head><body> some text</body></html>', (True, False, False)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="index,nofollow"> '
+     '</head><body> some text</body></html>', (False, True, False)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots" content="index,follow"> '
+     '<base href="http://www.nutch.org/">'
+     '</head><body> some text</body></html>', (False, False, False)),
+    ('<html><head><title>test page</title>'
+     '<meta name="robots"> '
+     '<base href="http://www.nutch.org/base/">'
+     '</head><body> some text</body></html>', (False, False, False)),
+]
+
+
+@pytest.mark.parametrize("doc,expected", ROBOTS_META_DOCS)
+def test_robots_meta_processor_cases(doc, expected):
+    from nutch_spark.operators.parse import parse_meta_directives
+
+    noindex, nofollow, _refresh, general = parse_meta_directives(
+        doc, "http://www.nutch.org")
+    nocache = general.get("nocache.") == "1"
+    assert (noindex, nofollow, nocache) == expected
+
+
+# TestOutlinkExtractor (:29-77): the C11 plain-text URL sweep
+def test_outlink_extractor_cases():
+    from nutch_spark.operators.pdfparse import extract_text_outlinks
+
+    assert extract_text_outlinks(None) == []
+    assert extract_text_outlinks("") == []
+    t = ("Test with http://www.nutch.org/index.html is it found? "
+         "What about www.google.com at http://www.google.de "
+         "A longer URL could be http://www.sybit.com/solutions/portals.html")
+    assert extract_text_outlinks(t) == [
+        "http://www.nutch.org/index.html", "http://www.google.de",
+        "http://www.sybit.com/solutions/portals.html"]
+    t2 = ("Test with ftp://www.nutch.org is it found? "
+          "What about www.google.com at ftp://www.google.de")
+    assert extract_text_outlinks(t2) == [
+        "ftp://www.nutch.org", "ftp://www.google.de"]
