@@ -172,3 +172,56 @@ def test_outlink_extractor_cases():
           "What about www.google.com at ftp://www.google.de")
     assert extract_text_outlinks(t2) == [
         "ftp://www.nutch.org", "ftp://www.google.de"]
+
+
+# TestGZIPUtils (:119-244) structure ported: roundtrip, best-effort,
+# every-prefix truncation sweep, and the output size limit — over three
+# sizes like the reference's SHORT/LONGER/WEBPAGE strings (synthetic
+# bodies; the properties are content-independent).
+GZIP_BODIES = [
+    b"this is a short compressible test string " * 3,
+    b"a longer body with repeated structure and words words words " * 12,
+    (b"<html><head><title>t</title></head><body>" +
+     b"<p>paragraph of text for compression</p>" * 80 + b"</body></html>"),
+]
+
+
+@pytest.mark.parametrize("body", GZIP_BODIES, ids=["short", "longer", "page"])
+def test_gzip_roundtrip_best_effort(body):
+    import gzip as _gzip
+
+    from nutch_spark.functions.content import unzip_best_effort
+
+    comp = _gzip.compress(body)
+    assert len(comp) < len(body)  # "compressed array is not smaller!"
+    assert unzip_best_effort(comp) == body
+
+
+@pytest.mark.parametrize("body", GZIP_BODIES, ids=["short", "longer", "page"])
+def test_gzip_truncation_sweep(body):
+    """testTruncation (:195-225): for EVERY truncation of the compressed
+    stream, unzipBestEffort returns either nothing or a prefix of the
+    original — never garbage."""
+    import gzip as _gzip
+
+    from nutch_spark.functions.content import unzip_best_effort
+
+    comp = _gzip.compress(body)
+    for i in range(len(comp), -1, -1):
+        trunc = unzip_best_effort(comp[:i])
+        if trunc is not None:
+            assert body.startswith(trunc), f"mismatch at truncation {i}"
+
+
+@pytest.mark.parametrize("body", GZIP_BODIES, ids=["short", "longer", "page"])
+def test_gzip_size_limit(body):
+    """testLimit (:228-244): the size-limited variant returns exactly
+    limit bytes (a prefix)."""
+    import gzip as _gzip
+
+    from nutch_spark.functions.content import unzip_best_effort
+
+    comp = _gzip.compress(body)
+    half = len(body) // 2
+    out = unzip_best_effort(comp, size_limit=half)
+    assert out == body[:half]
