@@ -7,6 +7,7 @@ the from-scratch PySpark-side kernels."""
 from urllib.parse import urljoin
 
 import pytest
+from pyspark.sql import functions as F
 
 from nutch_spark.functions.urls import (
     choose_repr_url, domain_suffix, registered_domain,
@@ -225,3 +226,48 @@ def test_gzip_size_limit(body):
     half = len(body) // 2
     out = unzip_best_effort(comp, size_limit=half)
     assert out == body[:half]
+
+
+def test_subcollection_filter_cases(spark):
+    """TestSubcollection.testFilter (:31-46): blacklist substring rejects,
+    whitelist substring admits, no match -> out."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index
+
+    urls = ["http://www.apache.org/index.html",
+            "http://www.apache.org/zecret/index.html",
+            "http://www.apache.org/img/image.jpg",
+            "http://www.google.com/"]
+    frontier = spark.createDataFrame(
+        [(u, 2, 1.0, 0, "s") for u in urls],
+        "url string, status int, score float, fetch_time long, signature string")
+    fo = frontier.select(
+        "url", F.lit(33).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = frontier.select("url", F.lit("body").alias("text"))
+    pdata = frontier.select("url", F.lit("t").alias("title"))
+    cfg = CrawlConfig(subcollections=(
+        ("sc", ("www.nutch.org", "www.apache.org"),
+         ("jpg", "www.apache.org/zecret/")),))
+    got = {r.url: list(r.subcollection) for r in build_index(
+        frontier, fo, ptext, pdata, None, cfg).collect()}
+    assert got[urls[0]] == ["sc"]      # whitelist match
+    assert got[urls[1]] == []          # blacklist path
+    assert got[urls[2]] == []          # blacklist extension
+    assert got[urls[3]] == []          # no match
+
+
+def test_metatag_parser_fixture():
+    """TestMetatagParser + its testMetatags.html fixture: capitalized
+    self-closing metas land in parse meta under lowercased names (the
+    metatag.* prefix is applied by the indexer composition)."""
+    from nutch_spark.operators.parse import parse_meta_directives
+
+    html = ('<html>\n<head>\n'
+            '<meta name="Keywords" content="This is a test of keywords" />\n'
+            '<meta name="Description" content="This is a test of description" />\n'
+            '</head>\n<body>\ntext of the document\n</body>\n')
+    _, _, _, general = parse_meta_directives(html, "http://t-sim.com/")
+    assert general["keywords"] == "This is a test of keywords"
+    assert general["description"] == "This is a test of description"
