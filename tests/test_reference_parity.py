@@ -271,3 +271,75 @@ def test_metatag_parser_fixture():
     _, _, _, general = parse_meta_directives(html, "http://t-sim.com/")
     assert general["keywords"] == "This is a test of keywords"
     assert general["description"] == "This is a test of description"
+
+
+def test_crawldb_merger_metadata_accumulation(spark):
+    """TestCrawlDbMerger (:25-100): url in both dbs -> newest datum wins but
+    metadata accumulates across versions, newer values overriding
+    (CrawlDbMerger.java:51,81-100). url10 carries cd1+cd2 merged meta with
+    cd2's 'name'; url11/url21 keep their single datum untouched."""
+    from nutch_spark.operators.mergers import merge_crawldbs
+
+    t = 1_700_000_000_000
+    schema = ("url string, status int, fetch_time long, fetch_interval int, "
+              "score float, metadata map<string,string>")
+    db1 = spark.createDataFrame(
+        [{"url": "http://example.com/foo", "status": 1, "fetch_time": t,
+          "fetch_interval": 1, "score": 1.0,
+          "metadata": {"name": "cd1", "cd1": "cd1"}},
+         {"url": "http://example.com/", "status": 1, "fetch_time": t,
+          "fetch_interval": 1, "score": 1.0,
+          "metadata": {"name": "cd1", "cd1": "cd1"}}], schema)
+    db2 = spark.createDataFrame(
+        [{"url": "http://example.com/foo", "status": 1,
+          "fetch_time": t + 10_000, "fetch_interval": 1, "score": 1.0,
+          "metadata": {"name": "cd2"}},
+         {"url": "http://example.com/bar", "status": 1,
+          "fetch_time": t + 10_000, "fetch_interval": 1, "score": 1.0,
+          "metadata": {"name": "cd2"}}], schema)
+    got = {r.url: r for r in merge_crawldbs([db1, db2]).collect()}
+    assert len(got) == 3
+    foo = got["http://example.com/foo"]
+    assert foo.fetch_time == t + 10_000          # newest datum won
+    assert foo.metadata == {"name": "cd2", "cd1": "cd1"}  # cd3 = cd1+cd2
+    assert got["http://example.com/"].metadata == {"name": "cd1", "cd1": "cd1"}
+    assert got["http://example.com/bar"].metadata == {"name": "cd2"}
+
+
+def test_linkdb_merger_inlink_union(spark):
+    """TestLinkDbMerger (:33-70): per target url, inlink lists from the
+    merged dbs union up (example.com/ collects both dbs' inlinks);
+    single-db targets pass through."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.linkdb import (
+        invert_links, linkdb_aggregate, merge_linkdbs,
+    )
+
+    def db(rows):
+        by_src: dict = {}
+        for frm, to, anchor in rows:
+            by_src.setdefault(frm, []).append({"to_url": to, "anchor": anchor})
+        pd_ = spark.createDataFrame(
+            [(u, ols) for u, ols in by_src.items()],
+            "url string, outlinks array<struct<to_url:string,anchor:string>>")
+        return invert_links(pd_, CrawlConfig(db_ignore_internal_links=False))
+
+    db1 = db([("http://example.com/100", "http://example.com/foo", "a"),
+              ("http://example.com/101", "http://example.com/foo", "a"),
+              ("http://example.com/110", "http://example.com/", "a"),
+              ("http://example.com/111", "http://example.com/", "a")])
+    db2 = db([("http://foo.com/200", "http://example.com/", "a"),
+              ("http://foo.com/201", "http://example.com/", "a"),
+              ("http://foo.com/210", "http://example.com/bar", "a"),
+              ("http://foo.com/211", "http://example.com/bar", "a")])
+    merged = linkdb_aggregate(merge_linkdbs([db1, db2], CrawlConfig()),
+                              CrawlConfig())
+    got = {r.to_url: sorted(i.from_url for i in r.inlinks)
+           for r in merged.collect()}
+    assert got["http://example.com/foo"] == [
+        "http://example.com/100", "http://example.com/101"]
+    assert got["http://example.com/"] == [
+        "http://example.com/110", "http://example.com/111",
+        "http://foo.com/200", "http://foo.com/201"]
+    assert got["http://example.com/bar"] == [
+        "http://foo.com/210", "http://foo.com/211"]
