@@ -9,7 +9,12 @@ Crawl-side analogue: the language-identifier / quality plugins
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+# Java String.split(",| |;|\\.|\\(|\\)|=", -1) — HTMLLanguageParser.java:291
+_LANG_SPLIT_RE = re.compile(r"[, ;.()=]")
 
 # tiny stopword profiles for the n-gram/stopword language heuristic
 _LANG_STOPWORDS = {
@@ -18,6 +23,48 @@ _LANG_STOPWORDS = {
     "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "que", "une"],
     "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
 }
+
+
+def parse_language(lang: str | None) -> str | None:
+    """Exact port of HTMLLanguageParser.LanguageParser.parseLanguage
+    (plugin/language-identifier HTMLLanguageParser.java:283-305): split the
+    declared value on `,| |;|\\.|\\(|\\)|=`, take each token's primary
+    subtag (before `-`/`_`), return the first ISO-639-1 code found in the
+    public alias table (langmap.py), else None. Used by the parse kernel
+    (html `lang` attribute) and the parity tests; the columnar twin is
+    parse_declared_language."""
+    if lang is None:
+        return None
+    from nutch_spark.functions.langmap import LANGUAGES_MAP
+
+    for token in _LANG_SPLIT_RE.split(lang):
+        code = token.split("-")[0].split("_")[0]
+        language = LANGUAGES_MAP.get(code.lower())
+        if language is not None:
+            return language
+    return None
+
+
+def parse_declared_language(lang: Column) -> Column:
+    """Columnar parse_language (HTMLLanguageParser.java:283-305): same
+    tokenization and first-alias-hit semantics as the Python port, as a
+    whole-stage-codegen expression over a literal map."""
+    from nutch_spark.functions.langmap import LANGUAGES_MAP
+
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(LANGUAGES_MAP.items()) for x in kv]
+    )
+    toks = F.split(lang, r"[, ;.()=]", -1)
+    hits = F.filter(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                m, F.lower(F.split(F.split(t, "-", 2)[0], "_", 2)[0])
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.when(F.size(hits) > 0, hits[0])
 
 
 def tokens_col(text: Column) -> Column:

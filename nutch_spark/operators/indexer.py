@@ -333,11 +333,20 @@ def _lang_col(cfg: CrawlConfig, need_meta: bool):
     identified = F.when(identified != "und", identified)
     declared = F.lit(None).cast("string")
     if need_meta:
-        # getLanguageFromMetadata (HTMLLanguageParser.java:240-258) key order
+        from nutch_spark.functions.text import parse_declared_language
+
+        # detectLanguage (HTMLLanguageParser.java:166-180) for the
+        # parse-html pipeline: the DOM-walk declarations go through
+        # parseLanguage with priority lang attribute > dc.language meta >
+        # http-equiv content-language (LanguageParser:245-258), then the
+        # raw Content-Language response header (:177-179) — our simulated
+        # fetch surfaces it as the content-language name-meta.
+        meta = F.col("meta")
         declared = F.coalesce(
-            F.col("meta").getItem("language"),
-            F.col("meta").getItem("dc.language"),
-            F.col("meta").getItem("content-language"),
+            meta.getItem("lang."),  # parsed kernel-side (extract_lang_attr)
+            parse_declared_language(meta.getItem("dc.language")),
+            parse_declared_language(meta.getItem("http-equiv.content-language")),
+            meta.getItem("content-language"),
         )
     policy = tuple(cfg.lang_extraction_policy)
     stages = [declared if s == "detect" else identified

@@ -110,6 +110,30 @@ def _rel_tags(content: str) -> list[str]:
     return sorted(tags)
 
 
+# language-identifier DOM walk (plugin/language-identifier
+# HTMLLanguageParser.java:245-280): the first element in document order
+# whose `lang` attribute parses to a known ISO-639-1 code sets the
+# html-attribute language (highest-priority declaration; xml:lang and
+# *-lang attributes are NOT the DOM `lang` attribute and don't match).
+_LANG_ATTR_RE = re.compile(
+    r"""<[a-zA-Z][^>]*?\slang\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I
+)
+
+
+def extract_lang_attr(content: str, general: dict) -> None:
+    """Mutates `general` with the reserved `lang.` key — the parsed html
+    `lang` attribute; substring pre-test keeps lang-less pages fast."""
+    if "lang" not in content:
+        return
+    from nutch_spark.functions.text import parse_language
+
+    for m in _LANG_ATTR_RE.finditer(content):
+        code = parse_language(m.group(1) if m.group(1) is not None else m.group(2))
+        if code is not None:
+            general["lang."] = code
+            return
+
+
 def extract_heading_reltag_meta(content: str, general: dict) -> None:
     """Mutates `general` with heading.<tag> and rel-tag entries. Substring
     pre-tests keep the common no-headings/no-reltag page on the fast path."""
@@ -352,6 +376,7 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                               "media_ref": mch.group("href"), "offset": off})
             off += 1
         noindex, nofollow, refresh_to, general = parse_meta_directives(content or "", url)
+        extract_lang_attr(content or "", general)
         extract_heading_reltag_meta(content or "", general)
         extract_cc_meta(content or "", url, general)
         ids.append(url)

@@ -343,3 +343,111 @@ def test_linkdb_merger_inlink_union(spark):
         "http://foo.com/200", "http://foo.com/201"]
     assert got["http://example.com/bar"] == [
         "http://foo.com/210", "http://foo.com/211"]
+
+
+# TestHTMLLanguageParser.testParseLanguage (plugin/language-identifier
+# src/test/.../TestHTMLLanguageParser.java:73-125) — 44 fixture pairs
+PARSE_LANGUAGE_CASES = [
+    ("(SCHEME=ISO.639-1) sv", "sv"),
+    ("(SCHEME=RFC1766) sv-FI", "sv"),
+    ("(SCHEME=Z39.53) SWE", "sv"),
+    ("EN_US, SV, EN, EN_UK", "en"),
+    ("English Swedish", "en"),
+    ("English, swedish", "en"),
+    ("English,Swedish", "en"),
+    ("Other (Svenska)", "sv"),
+    ("SE", "se"),
+    ("SV", "sv"),
+    ("SV charset=iso-8859-1", "sv"),
+    ("SV-FI", "sv"),
+    ("SV; charset=iso-8859-1", "sv"),
+    ("SVE", "sv"),
+    ("SW", "sw"),
+    ("SWE", "sv"),
+    ("SWEDISH", "sv"),
+    ("Sv", "sv"),
+    ("Sve", "sv"),
+    ("Svenska", "sv"),
+    ("Swedish", "sv"),
+    ("Swedish, svenska", "sv"),
+    ("en, sv", "en"),
+    ("sv", "sv"),
+    ("sv, be, dk, de, fr, no, pt, ch, fi, en", "sv"),
+    ("sv,en", "sv"),
+    ("sv-FI", "sv"),
+    ("sv-SE", "sv"),
+    ("sv-en", "sv"),
+    ("sv-fi", "sv"),
+    ("sv-se", "sv"),
+    ("sv; Content-Language: sv", "sv"),
+    ("sv_SE", "sv"),
+    ("sve", "sv"),
+    ("svenska, swedish, engelska, english", "sv"),
+    ("sw", "sw"),
+    ("swe", "sv"),
+    ("swe.SPR.", "sv"),
+    ("sweden", "sv"),
+    ("swedish", "sv"),
+    ("swedish,", "sv"),
+    ("text/html; charset=sv-SE", "sv"),
+    ("text/html; sv", "sv"),
+    ("torp, stuga, uthyres, bed & breakfast", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", PARSE_LANGUAGE_CASES)
+def test_parse_language_cases(raw, expected):
+    from nutch_spark.functions.text import parse_language
+
+    assert parse_language(raw) == expected
+
+
+def test_parse_declared_language_column(spark):
+    """The Catalyst twin agrees with the Python port on every fixture."""
+    from nutch_spark.functions.text import parse_declared_language
+
+    df = spark.createDataFrame(
+        [(raw,) for raw, _ in PARSE_LANGUAGE_CASES], "raw string")
+    got = [r.lang for r in
+           df.select(parse_declared_language(F.col("raw")).alias("lang"))
+           .collect()]
+    assert got == [e for _, e in PARSE_LANGUAGE_CASES]
+
+
+def test_html_language_parser_meta_docs(spark):
+    """TestHTMLLanguageParser.testMetaHTMLParsing (:55-70): lang attribute,
+    http-equiv content-language, and dc.language meta each yield the
+    document language through the real parse kernel + indexing filter."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index
+    from nutch_spark.operators.parse import extract_documents
+
+    docs = [
+        '<html lang="fi"><head>document 1 title</head>'
+        "<body>jotain suomeksi</body></html>",
+        '<html><head><meta http-equiv="content-language" content="en">'
+        "<title>document 2 title</head><body>this is english</body></html>",
+        '<html><head><meta name="dc.language" content="en">'
+        "<title>document 3 title</head><body>this is english</body></html>",
+    ]
+    urls = [f"http://foo.bar/{i}" for i in range(len(docs))]
+    cdf = spark.createDataFrame(
+        list(zip(urls, docs)), "url string, content string")
+    parsed = extract_documents(cdf)
+    frontier = spark.createDataFrame(
+        [(u, 2, 1.0, 0, "s") for u in urls],
+        "url string, status int, score float, fetch_time long, signature string")
+    fo = frontier.select(
+        "url", F.lit(33).alias("fetch_status"),
+        F.lit(5).cast("long").alias("fetch_ts"),
+        F.lit(10).cast("long").alias("content_length"))
+    ptext = parsed.select(
+        F.col("doc_id").alias("url"),
+        F.array_join(F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"]), " ").alias("text"))
+    pdata = parsed.select(F.col("doc_id").alias("url"), "title", "meta")
+    idx = build_index(frontier, fo, ptext, pdata, None,
+                      CrawlConfig(index_lang=True))
+    got = {r.url: r.lang for r in idx.select("url", "lang").collect()}
+    assert got == {urls[0]: "fi", urls[1]: "en", urls[2]: "en"}
