@@ -107,10 +107,14 @@ class CrawlConfig:
     db_max_inlinks: int = 10_000             # db.max.inlinks
     parse_skip_truncated: bool = True        # parser.skip.truncated
     # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142):
-    # link-bearing tags removed from outlink collection. The interleaved
-    # corpus's only outlink-bearing tag is <a> (media are span refs, not
-    # outlinks), so 'a' is the one effective member here.
+    # link-bearing tags removed from outlink collection — applied per-tag
+    # in the html scan kernel over the linkParams set (a/area/link/form/
+    # frame/iframe/script as link spans; img as media spans).
     parser_html_outlinks_ignore_tags: tuple = ()
+    # parser.html.form.use_action (DOMContentUtils.java:126-130, default
+    # true): include <form action=...> as an outlink; method=post forms
+    # are always skipped (:433-436)
+    parser_html_form_use_action: bool = True
     # parser.caching.forbidden.policy (HtmlParser.java:107,222-226): value
     # written to the caching.forbidden parse meta when robots meta carries
     # 'noarchive'; index-basic exposes it as the `cache` field unless 'none'

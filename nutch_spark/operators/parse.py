@@ -39,14 +39,35 @@ from nutch_spark.functions.urls import (
 
 _DEFAULT_NORMALIZERS = ScopedNormalizers()
 
-# one ordered scan = the document-order DOM walk of the mini-HTML
-_SEG_RE = re.compile(
-    r"<p>(?P<text>.*?)</p>"
-    r'|<img src="(?P<img>[^"]*)">'
-    r'|<a href="(?P<href>[^"]*)">(?P<anchor>.*?)</a>'
-    r"|<title>(?P<title>.*?)</title>",
-    re.S,
+# one ordered scan = the document-order DOM walk (DOMContentUtils.getText /
+# getOutlinks, parse-html/.../DOMContentUtils.java:160-221,369-452). The
+# link-bearing tag set and per-tag target attribute mirror the linkParams
+# registry (DOMContentUtils.java:124-135): a/area/link->href, form->action,
+# frame/iframe/script->src, img->src. Attribute order is free; values may
+# be double-/single-/un-quoted; rel=nofollow and method=post suppress the
+# link (:425-436); empty anchors fall back to inner img alt text
+# (:380-404); targets resolve against the page URL (URLUtil.resolveURL ==
+# urljoin, parity-tested vs the reference's RFC3986 table).
+_SCAN_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<title>(?P<title>.*?)</title\s*>"
+    r"|<p(?:\s[^>]*)?>(?P<text>.*?)</p\s*>"
+    r"|<(?P<ltag>area|a|form|frame|iframe|script|link|img)"
+    r"(?=[\s/>])(?P<attrs>(?:\s[^>]*?)?)\s*(?P<selfclose>/)?>",
+    re.S | re.I,
 )
+_LINK_TAG_ATTR = {
+    "a": "href", "area": "href", "link": "href", "form": "action",
+    "frame": "src", "iframe": "src", "script": "src", "img": "src",
+}
+_ATTR_KV_RE = re.compile(
+    r"""([a-zA-Z][-\w:.]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""")
+# anchor inner text ends at the close tag OR the next anchor open — the
+# reference's DOM builder splits nested anchors the same way (the fixup
+# behavior TestDOMContentUtils.java:60-66 relies on)
+_A_STOP_RE = re.compile(r"</a\s*>|<a(?=[\s/>])", re.I)
+_FORM_STOP_RE = re.compile(r"</form\s*>", re.I)
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 
 _WS_RE = re.compile(r"\s+")
 
@@ -343,7 +364,144 @@ DOCS_NESTED_SCHEMA = T.StructType(
 )
 
 
-def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _parse_attrs(raw: str) -> dict[str, str]:
+    """Lowercased attr-name -> value (first occurrence wins, DOM-style)."""
+    attrs: dict[str, str] = {}
+    for am in _ATTR_KV_RE.finditer(raw):
+        name = am.group(1).lower()
+        if name not in attrs:
+            v = am.group(2)
+            if v is None:
+                v = am.group(3)
+            if v is None:
+                v = am.group(4)
+            attrs[name] = v
+    return attrs
+
+
+def _resolve_target(base_url: str, target: str) -> str | None:
+    """URLUtil.resolveURL analogue (urljoin, parity-tested); None on a
+    malformed pair — the reference's MalformedURLException skip. Already-
+    absolute targets skip urljoin (urljoin returns an absolute reference
+    verbatim — no dot-segment or case normalization — so the fast path is
+    exact; the hot crawl path is ~all absolute)."""
+    from urllib.parse import urljoin
+
+    target = target.strip()
+    if target[:7] == "http://" or target[:8] == "https://" \
+            or target[:6] == "ftp://":
+        return target
+    try:
+        return urljoin(base_url, target)
+    except ValueError:
+        return None
+
+
+def _clean_inner_text(inner: str) -> str:
+    """getText over an element subtree: comments out, tags become
+    whitespace, runs collapsed (DOMContentUtils.java:160-221)."""
+    if "<" in inner:
+        inner = _ANY_TAG_RE.sub(" ", _HTML_COMMENT_RE.sub("", inner))
+    return _WS_RE.sub(" ", inner).strip()
+
+
+def _emit_link_tag(content: str, m, base_url: str, events: list,
+                   ignore_tags: tuple, form_use_action: bool) -> int:
+    """Handle one link-family open tag; returns the resume position.
+    Mirrors getOutlinks (DOMContentUtils.java:369-452): element first, then
+    its children — the inner subtree of <a>/<form> is scanned recursively
+    so nested imgs/anchors still emit their own spans."""
+    tag = m.group("ltag").lower()
+    attrs = _parse_attrs(m.group("attrs") or "")
+    end = m.end()
+    inner = None
+    resume = end
+    if tag in ("a", "form") and not m.group("selfclose"):
+        stop = (_A_STOP_RE if tag == "a" else _FORM_STOP_RE).search(content, end)
+        if stop:
+            inner = content[end:stop.start()]
+            resume = stop.end() if stop.group(0).startswith("</") else stop.start()
+        else:
+            inner = content[end:]
+            resume = len(content)
+
+    target = attrs.get(_LINK_TAG_ATTR[tag])
+    suppressed = (
+        tag in ignore_tags
+        or (tag == "form" and not form_use_action)
+        or attrs.get("rel", "").lower() == "nofollow"
+        or attrs.get("method", "").lower() == "post"
+    )
+    if target is not None and not suppressed:
+        resolved = _resolve_target(base_url, target)
+        if resolved is not None:
+            if tag == "img":
+                events.append({"kind": "media", "text": None,
+                               "media_ref": resolved})
+            else:
+                anchor = _clean_inner_text(inner) if inner is not None else ""
+                if not anchor and inner and "<" in inner:
+                    # empty anchor: inner img alt fallback (:380-404)
+                    alts = [
+                        _parse_attrs(im.group("attrs") or "").get("alt", "")
+                        for im in _SCAN_RE.finditer(inner)
+                        if im.group("ltag") and im.group("ltag").lower() == "img"
+                    ]
+                    anchor = _WS_RE.sub(
+                        " ", " ".join(a for a in alts if a.strip())).strip()
+                events.append({"kind": "link", "text": anchor,
+                               "media_ref": resolved})
+    if inner and "<" in inner:
+        _scan_links(inner, base_url, events, ignore_tags, form_use_action)
+    return resume
+
+
+def _scan_links(segment: str, base_url: str, events: list,
+                ignore_tags: tuple, form_use_action: bool) -> None:
+    """Link-family tags only (used inside <p>/<a>/<form> subtrees)."""
+    pos = 0
+    while True:
+        m = _SCAN_RE.search(segment, pos)
+        if not m:
+            return
+        if m.group("ltag"):
+            pos = _emit_link_tag(segment, m, base_url, events,
+                                 ignore_tags, form_use_action)
+        else:
+            pos = m.end()
+
+
+def _scan_html(content: str, base_url: str, ignore_tags: tuple = (),
+               form_use_action: bool = True) -> list:
+    """One document-order pass -> events: ('title', str) tuples interleaved
+    with span dicts (kind/text/media_ref, offsets assigned by callers)."""
+    events: list = []
+    pos = 0
+    while True:
+        m = _SCAN_RE.search(content, pos)
+        if not m:
+            return events
+        if m.group("title") is not None:
+            events.append(("title", _WS_RE.sub(" ", m.group("title")).strip()))
+            pos = m.end()
+        elif m.group("text") is not None:
+            inner = m.group("text")
+            events.append({"kind": "text", "text": _clean_inner_text(inner),
+                           "media_ref": None})
+            # link-family tags nested in the paragraph keep their doc order
+            if "<" in inner:
+                _scan_links(inner, base_url, events, ignore_tags,
+                            form_use_action)
+            pos = m.end()
+        elif m.group("ltag"):
+            pos = _emit_link_tag(content, m, base_url, events,
+                                 ignore_tags, form_use_action)
+        else:  # comment
+            pos = m.end()
+
+
+def extract_documents_pdf(pdf: pd.DataFrame, ignore_tags: tuple = (),
+                          form_use_action: bool = True) -> pd.DataFrame:
     """One document-order pass per page -> nested (doc_id, title, spans).
 
     Emitting the nested form directly avoids the groupBy+collect_list
@@ -361,19 +519,12 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         title = None
         spans: list[dict] = []
         off = 0
-        for mch in _SEG_RE.finditer(content or ""):
-            if mch.group("title") is not None:
-                title = _WS_RE.sub(" ", mch.group("title")).strip()
+        for ev in _scan_html(content or "", url, ignore_tags, form_use_action):
+            if isinstance(ev, tuple):
+                title = ev[1]
                 continue
-            if mch.group("text") is not None:
-                spans.append({"kind": "text", "text": _WS_RE.sub(" ", mch.group("text")).strip(),
-                              "media_ref": None, "offset": off})
-            elif mch.group("img") is not None:
-                spans.append({"kind": "media", "text": None,
-                              "media_ref": mch.group("img"), "offset": off})
-            else:
-                spans.append({"kind": "link", "text": _WS_RE.sub(" ", mch.group("anchor")).strip(),
-                              "media_ref": mch.group("href"), "offset": off})
+            ev["offset"] = off
+            spans.append(ev)
             off += 1
         noindex, nofollow, refresh_to, general = parse_meta_directives(content or "", url)
         extract_lang_attr(content or "", general)
@@ -393,16 +544,20 @@ def extract_documents_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def _docs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        res = extract_documents_pdf(pdf)
-        if len(res):
-            yield res
+def _make_docs_kernel(ignore_tags: tuple = (), form_use_action: bool = True):
+    def _docs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = extract_documents_pdf(pdf, ignore_tags, form_use_action)
+            if len(res):
+                yield res
+    return _docs_kernel
 
 
-def extract_documents(content_df: DataFrame) -> DataFrame:
+def extract_documents(content_df: DataFrame, ignore_tags: tuple = (),
+                      form_use_action: bool = True) -> DataFrame:
     """(url, content) -> nested documents (doc_id, title, spans) in doc order."""
-    return content_df.select("url", "content").mapInPandas(_docs_kernel, DOCS_NESTED_SCHEMA)
+    return content_df.select("url", "content").mapInPandas(
+        _make_docs_kernel(ignore_tags, form_use_action), DOCS_NESTED_SCHEMA)
 
 
 def _plain_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -508,13 +663,13 @@ def extract_zip_parse(data: bytes, url: str):
                 member_text = None
                 if mime in ("text/html", "application/xhtml+xml"):
                     texts = []
-                    for m in _SEG_RE.finditer(body):
-                        if m.group("text") is not None:
-                            texts.append(_WS_RE.sub(" ", m.group("text")).strip())
-                        elif m.group("anchor") is not None:
-                            outlinks.append(
-                                (m.group("href"),
-                                 _WS_RE.sub(" ", m.group("anchor")).strip()))
+                    for ev in _scan_html(body, url + "/" + fname):
+                        if isinstance(ev, tuple):
+                            continue  # member titles don't join the text
+                        if ev["kind"] == "text":
+                            texts.append(ev["text"])
+                        elif ev["kind"] == "link":
+                            outlinks.append((ev["media_ref"], ev["text"]))
                     member_text = " ".join(texts)
                 elif mime == "text/plain":
                     member_text = _WS_RE.sub(" ", body).strip()
@@ -615,11 +770,12 @@ _DOCS_NESTED_COLS = ["doc_id", "title", "noindex", "nofollow",
                      "refresh_to", "meta", "spans"]
 
 
-def _dispatch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_dispatch_kernel(ignore_tags: tuple = (), form_use_action: bool = True):
     """Group each Arrow batch by registered MIME family and run the family
     extractor vectorized over its group — one pass over the content stream
     with no per-row Python dispatch (family count is tiny; rows per batch
-    are large)."""
+    are large). The html families get the outlink knobs; other parsers
+    keep their plain (pdf) signature."""
     def family(ct):
         if ct:
             for m in MIME_PARSERS:
@@ -627,19 +783,27 @@ def _dispatch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     return m
         return ""
 
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        fams = pdf["content_type"].map(family)
-        for fam, grp in pdf.groupby(fams, sort=False):
-            if not fam:
-                continue  # unregistered type: ParserNotFound, no documents
-            res = MIME_PARSERS[fam](grp.reset_index(drop=True))
-            if len(res):
-                yield res[_DOCS_NESTED_COLS]
+    def _dispatch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fams = pdf["content_type"].map(family)
+            for fam, grp in pdf.groupby(fams, sort=False):
+                if not fam:
+                    continue  # unregistered type: ParserNotFound, no documents
+                fn = MIME_PARSERS[fam]
+                if fn is extract_documents_pdf:
+                    res = fn(grp.reset_index(drop=True), ignore_tags,
+                             form_use_action)
+                else:
+                    res = fn(grp.reset_index(drop=True))
+                if len(res):
+                    yield res[_DOCS_NESTED_COLS]
+    return _dispatch_kernel
 
 
-def extract_documents_by_mime(content_df: DataFrame) -> DataFrame:
+def extract_documents_by_mime(content_df: DataFrame, ignore_tags: tuple = (),
+                              form_use_action: bool = True) -> DataFrame:
     """Dispatch (url, content, content_type) to the registered extractor per
     MIME family; unregistered types produce no documents. A single
     mapInPandas pass with group-wise family dispatch inside the kernel:
@@ -648,7 +812,7 @@ def extract_documents_by_mime(content_df: DataFrame) -> DataFrame:
     family — 7 joins per cycle), while each family's extractor still runs
     vectorized over its group."""
     return content_df.select("url", "content", "content_type").mapInPandas(
-        _dispatch_kernel, DOCS_NESTED_SCHEMA)
+        _make_dispatch_kernel(ignore_tags, form_use_action), DOCS_NESTED_SCHEMA)
 
 
 def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -657,27 +821,13 @@ def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     for url, content in zip(pdf["url"], pdf["content"]):
         title = None
         off = 0
-        for m in _SEG_RE.finditer(content or ""):
-            if m.group("title") is not None:
-                title = _WS_RE.sub(" ", m.group("title")).strip()
+        for ev in _scan_html(content or "", url):
+            if isinstance(ev, tuple):
+                title = ev[1]
                 continue
-            if m.group("text") is not None:
-                out.append(
-                    {"doc_id": url, "offset": off, "kind": "text",
-                     "text": _WS_RE.sub(" ", m.group("text")).strip(),
-                     "media_ref": None, "title": title}
-                )
-            elif m.group("img") is not None:
-                out.append(
-                    {"doc_id": url, "offset": off, "kind": "media",
-                     "text": None, "media_ref": m.group("img"), "title": title}
-                )
-            else:
-                out.append(
-                    {"doc_id": url, "offset": off, "kind": "link",
-                     "text": _WS_RE.sub(" ", m.group("anchor")).strip(),
-                     "media_ref": m.group("href"), "title": title}
-                )
+            out.append({"doc_id": url, "offset": off, "kind": ev["kind"],
+                        "text": ev["text"], "media_ref": ev["media_ref"],
+                        "title": title})
             off += 1
     return pd.DataFrame(out, columns=["doc_id", "offset", "kind", "text", "media_ref", "title"])
 
@@ -762,10 +912,12 @@ def run_parse(
     # only url survives into the join: score/signature ride on `ok` for the
     # sig/linked paths, and carrying them here would widen the join shuffle
     content = ok.select("url").join(raw_content, "url", "inner")
+    html_opts = (tuple(cfg.parser_html_outlinks_ignore_tags),
+                 cfg.parser_html_form_use_action)
     if "content_type" in content.columns:
-        docs_nested = extract_documents_by_mime(content).cache()  # X2 dispatch
+        docs_nested = extract_documents_by_mime(content, *html_opts).cache()  # X2 dispatch
     else:
-        docs_nested = extract_documents(content).cache()
+        docs_nested = extract_documents(content, *html_opts).cache()
     # the committed documents table keeps only pages with >=1 span (matching
     # the pre-nested-extractor semantics: span-free pages contribute nothing)
     documents = docs_nested.filter(F.size("spans") > 0).select("doc_id", "spans")
@@ -800,12 +952,10 @@ def run_parse(
     # robots-nofollow pages contribute NO outlinks (X6,
     # HTMLMetaProcessor directives consumed by HtmlParser.getParse)
     nofollow_docs = docs_nested.filter(F.col("nofollow")).select("doc_id")
-    # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142): drop
-    # outlinks from ignored tags; <a> is the corpus's only outlink source
-    link_kind = (F.col("kind") == "link") & F.lit(
-        "a" not in cfg.parser_html_outlinks_ignore_tags)
+    # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142) is
+    # applied per-tag inside the extraction kernel (html_opts above)
     raw_links = (
-        span_rows.filter(link_kind)
+        span_rows.filter(F.col("kind") == "link")
         .join(F.broadcast(nofollow_docs), "doc_id", "left_anti")
         .select(
             F.col("doc_id").alias("url"),

@@ -451,3 +451,153 @@ def test_html_language_parser_meta_docs(spark):
                       CrawlConfig(index_lang=True))
     got = {r.url: r.lang for r in idx.select("url", "lang").collect()}
     assert got == {urls[0]: "fi", urls[1]: "en", urls[2]: "en"}
+
+
+# TestDOMContentUtils (plugin/parse-html test, :41-260): testPages HTML,
+# testBaseHrefs bases, answerTitle and answerOutlinks expected values —
+# ported for every case whose behavior doesn't hinge on NekoHTML's DOM
+# fixup of the TEXT walk (our text spans stay paragraph-scoped, declared).
+# Outlink answers are the reference's verbatim; in our span model the img
+# outlink (linkParams img->src, DOMContentUtils.java:135) is a media span.
+DOM_OUTLINK_CASES = [
+    # (base, html, expected [(url, anchor)...], expected media [...], title)
+    ("http://www.nutch.org",
+     '<html><head><title> title </title><script> script </script>'
+     '</head><body> body <a href="http://www.nutch.org">'
+     ' anchor </a><!--comment--></body></html>',
+     [("http://www.nutch.org", "anchor")], [], "title"),
+    ("http://www.nutch.org/docs/foo.html",
+     '<html><head><title> title </title><script> script </script>'
+     '</head><body> body <a href="/"> home </a><!--comment-->'
+     '<style> style </style> <a href="bot.html"> bots </a></body></html>',
+     [("http://www.nutch.org/", "home"),
+      ("http://www.nutch.org/docs/bot.html", "bots")], [], "title"),
+    ("http://www.nutch.org/docs/",
+     '<html><head><title> </title></head><body> '
+     '<a href="/"> separate this <a href="ok"> from this</a></a></body></html>',
+     [("http://www.nutch.org/", "separate this"),
+      ("http://www.nutch.org/docs/ok", "from this")], [], ""),
+    ("http://www.nutch.org/docs/",
+     '<html><head><title> my title </title></head><body> body <ul>'
+     '<li> <a href="/"> home<li> <a href="1"> 1<li> <a href="2"> 2</ul>'
+     '</body></html>',
+     [("http://www.nutch.org/", "home"),
+      ("http://www.nutch.org/docs/1", "1"),
+      ("http://www.nutch.org/docs/2", "2")], [], "my title"),
+    ("http://www.nutch.org/frames/",
+     '<html><head><title> my title </title></head><frameset rows="20,*"> '
+     '<frame src="top.html"></frame><frameset cols="20,*">'
+     '<frame src="left.html"><frame src="invalid.html"/></frame>'
+     '<frame src="right.html"></frame></frameset></frameset></body></html>',
+     [("http://www.nutch.org/frames/top.html", ""),
+      ("http://www.nutch.org/frames/left.html", ""),
+      ("http://www.nutch.org/frames/invalid.html", ""),
+      ("http://www.nutch.org/frames/right.html", "")], [], "my title"),
+    ("http://www.nutch.org/maps/",
+     '<html><head><title> my title </title></head><body>'
+     '<img src="logo.gif" usemap="#green" border="0"><map name="green">'
+     '<area shape="polygon" coords="19,44,45,11,87" href="../index.html">'
+     '<area shape="rect" coords="128,132,241,179" href="#bottom">'
+     '<area shape="circle" coords="68,211,35" href="../bot.html"></map>'
+     '<a name="bottom"/><h1> the bottom </h1> '
+     '<iframe src="../docs/index.html"/></body></html>',
+     [("http://www.nutch.org/index.html", ""),
+      ("http://www.nutch.org/maps/#bottom", ""),
+      ("http://www.nutch.org/bot.html", ""),
+      ("http://www.nutch.org/docs/index.html", "")],
+     ["http://www.nutch.org/maps/logo.gif"], "my title"),
+    ("http://www.nutch.org/whitespace/",
+     '<html><head>\n <title> my\t\n  title\r\n </title>\n </head>\n <body>\n'
+     '    <h1> Whitespace\ttest  </h1> \n'
+     '\t<a href="../index.html">\n  \twhitespace  test\r\n\t</a>  \t\n'
+     '</body></html>',
+     [("http://www.nutch.org/index.html", "whitespace test")], [], "my title"),
+    ("http://www.nutch.org/",
+     '<html><head></head><body>'
+     '<a href="http://www.nutch.org" rel="nofollow"> ignore </a>'
+     '<a rel="nofollow" href="http://www.nutch.org"> ignore </a>'
+     '</body></html>',
+     [], [], None),
+    ("http://www.nutch.org/",
+     "<html><head></head><body>"
+     "<form method='POST' action='/search.jsp'><input type=text>"
+     "<input type=submit><p>test1</p></form>"
+     "<form method='GET' action='/dummy.jsp'><input type=text>"
+     "<input type=submit><p>test2</p></form></body></html>",
+     [("http://www.nutch.org/dummy.jsp", "test2")], [], None),
+    ("http://www.nutch.org/",
+     '<html><head><title> title </title></head><body>'
+     '<a href=";x">anchor1</a><a href="g;x">anchor2</a>'
+     '<a href="g;x?y#s">anchor3</a></body></html>',
+     [("http://www.nutch.org/;x", "anchor1"),
+      ("http://www.nutch.org/g;x", "anchor2"),
+      ("http://www.nutch.org/g;x?y#s", "anchor3")], [], "title"),
+    # RFC3986 section 5.4.1 example 7 (the reference's "tricky" case)
+    ("http://www.nutch.org/;something",
+     '<html><head><title> title </title></head><body>'
+     '<a href="g">anchor1</a><a href="g?y#s">anchor2</a>'
+     '<a href="?y=1">anchor3</a><a href="?y=1#s">anchor4</a>'
+     '<a href="?y=1;somethingelse">anchor5</a></body></html>',
+     [("http://www.nutch.org/g", "anchor1"),
+      ("http://www.nutch.org/g?y#s", "anchor2"),
+      ("http://www.nutch.org/;something?y=1", "anchor3"),
+      ("http://www.nutch.org/;something?y=1#s", "anchor4"),
+      ("http://www.nutch.org/;something?y=1;somethingelse", "anchor5")],
+     [], "title"),
+    ("http://www.nutch.org/",
+     '<html><head><title> title </title></head><body>'
+     '<a href="g"><!--no anchor--></a>'
+     '<a href="g1"> <!--whitespace-->  </a>'
+     "<a href=\"g2\">  <img src=test.gif alt='bla bla'> </a></body></html>",
+     [("http://www.nutch.org/g", ""),
+      ("http://www.nutch.org/g1", ""),
+      ("http://www.nutch.org/g2", "bla bla")],
+     ["http://www.nutch.org/test.gif"], "title"),
+]
+
+
+@pytest.mark.parametrize("base,html,links,media,title",
+                         DOM_OUTLINK_CASES)
+def test_dom_content_utils_outlinks(base, html, links, media, title):
+    import pandas as pd
+
+    from nutch_spark.operators.parse import extract_documents_pdf
+
+    row = extract_documents_pdf(
+        pd.DataFrame({"url": [base], "content": [html]})).iloc[0]
+    got_links = [(s["media_ref"], s["text"])
+                 for s in row["spans"] if s["kind"] == "link"]
+    got_media = [s["media_ref"]
+                 for s in row["spans"] if s["kind"] == "media"]
+    assert got_links == links
+    assert got_media == media
+    assert row["title"] == title
+
+
+def test_dom_form_use_action_off():
+    """parser.html.form.use_action=false drops form-action outlinks."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse import extract_documents_pdf
+
+    base, html = DOM_OUTLINK_CASES[8][:2]
+    row = extract_documents_pdf(
+        pd.DataFrame({"url": [base], "content": [html]}),
+        form_use_action=False).iloc[0]
+    assert [s for s in row["spans"] if s["kind"] == "link"] == []
+
+
+def test_dom_outlinks_ignore_tags():
+    """parser.html.outlinks.ignore_tags removes that tag's links but the
+    walk still descends into its subtree (DOMContentUtils.java:138-142)."""
+    import pandas as pd
+
+    from nutch_spark.operators.parse import extract_documents_pdf
+
+    base, html = DOM_OUTLINK_CASES[11][:2]  # anchors with a nested img
+    row = extract_documents_pdf(
+        pd.DataFrame({"url": [base], "content": [html]}),
+        ignore_tags=("a",)).iloc[0]
+    assert [s for s in row["spans"] if s["kind"] == "link"] == []
+    assert [s["media_ref"] for s in row["spans"] if s["kind"] == "media"] == \
+        ["http://www.nutch.org/test.gif"]

@@ -243,8 +243,9 @@ def test_repr_url_carried_in_metadata(spark):
     assert perm.metadata["_repr_"] == "http://a.com/new"  # perm -> target
     temp = out["http://a.com/session/long/path"]
     assert temp.status == S.STATUS_DB_REDIR_TEMP
-    # temp redirect to a DIFFERENT host keeps the source as repr
-    assert temp.metadata["_repr_"] == "http://a.com/session/long/path"
+    # cross-DOMAIN redirect keeps the destination as repr, temp or perm
+    # (URLUtil.chooseRepr rule 1, URLUtil.java:368-370)
+    assert temp.metadata["_repr_"] == "http://b.com/x"
 
 
 def test_fetch_kernel_emits_repr_url(spark):
