@@ -601,3 +601,33 @@ def test_dom_outlinks_ignore_tags():
     assert [s for s in row["spans"] if s["kind"] == "link"] == []
     assert [s["media_ref"] for s in row["spans"] if s["kind"] == "media"] == \
         ["http://www.nutch.org/test.gif"]
+
+
+# TestCCParseFilter.testPages (plugin/creativecommons test, :37-48) over
+# the plugin's real data files (data/{anchor,rel,rdf}.html): expected
+# (License-Url, License-Location, Work-Type) triples verbatim.
+CC_PAGE_CASES = [
+    ("anchor.html",
+     ("http://creativecommons.org/licenses/by-nc-sa/1.0", "a", None)),
+    ("rel.html",
+     ("http://creativecommons.org/licenses/by-nc/2.0", "rel", None)),
+    ("rdf.html",
+     ("http://creativecommons.org/licenses/by-nc/1.0", "rdf", "text")),
+]
+
+
+@pytest.mark.parametrize("name,expected", CC_PAGE_CASES)
+def test_cc_parse_filter_pages(name, expected):
+    import os
+
+    path = f"/root/reference/src/plugin/creativecommons/data/{name}"
+    if not os.path.exists(path):
+        pytest.skip("reference cc data unavailable")
+    from nutch_spark.operators.parse import extract_cc_meta
+
+    with open(path, encoding="utf-8", errors="replace") as f:
+        content = f.read()
+    general: dict = {}
+    extract_cc_meta(content, "http://foo.com/", general)
+    assert (general.get("license-url"), general.get("license-location"),
+            general.get("work-type")) == expected

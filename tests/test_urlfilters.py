@@ -121,3 +121,58 @@ def test_url_validator(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["ok"] for r in df.select("url", v.col(F.col("url")).alias("ok")).collect()}
     assert got == cases
+
+
+# TestRegexURLFilter (plugin/urlfilter-regex test, :43-72): each reference
+# sample pair <name>.rules / <name>.urls — every url line is '+'/'-'
+# prefixed with the expected filter verdict. Run against BOTH engines:
+# the Python accepts() and the native rlike when-cascade (.col()).
+import os
+
+import pytest
+
+_REGEX_SAMPLES = "/root/reference/src/plugin/urlfilter-regex/sample"
+_SAMPLE_NAMES = ("WholeWebCrawling", "IntranetCrawling", "Benchmarks")
+
+
+def _load_sample(name):
+    rules_p = os.path.join(_REGEX_SAMPLES, name + ".rules")
+    urls_p = os.path.join(_REGEX_SAMPLES, name + ".urls")
+    if not (os.path.exists(rules_p) and os.path.exists(urls_p)):
+        pytest.skip(f"reference sample {name} unavailable")
+    from nutch_spark.functions.filter_rules import parse_filter_rules
+
+    with open(rules_p) as f:
+        rules = parse_filter_rules(f.read())
+    cases = []
+    with open(urls_p) as f:
+        for line in f:
+            line = line.strip()
+            if line and line[0] in "+-":
+                cases.append((line[1:], line[0] == "+"))
+    return rules, cases
+
+
+@pytest.mark.parametrize("name", _SAMPLE_NAMES)
+def test_regex_urlfilter_samples_python(name):
+    from nutch_spark.functions.urls import RegexUrlFilter
+
+    rules, cases = _load_sample(name)
+    f = RegexUrlFilter(rules)
+    for url, expected in cases:
+        assert f.accepts(url) == expected, url
+
+
+@pytest.mark.parametrize("name", _SAMPLE_NAMES)
+def test_regex_urlfilter_samples_native(name, spark):
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urls import RegexUrlFilter
+
+    rules, cases = _load_sample(name)
+    f = RegexUrlFilter(rules)
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.ok for r in
+           df.select("url", f.col(F.col("url")).alias("ok")).collect()}
+    for url, expected in cases:
+        assert got[url] == expected, url
