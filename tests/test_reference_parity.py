@@ -631,3 +631,25 @@ def test_cc_parse_filter_pages(name, expected):
     extract_cc_meta(content, "http://foo.com/", general)
     assert (general.get("license-url"), general.get("license-location"),
             general.get("work-type")) == expected
+
+
+def test_feed_parser_rsstest_sample():
+    """TestFeedParser.testParseFetchChannel (plugin/feed test, :91-135)
+    over the plugin's real sample (sample/rsstest.rss): exactly 3 parse
+    entries — the two item links plus the feed URL itself."""
+    import os
+
+    path = "/root/reference/src/plugin/feed/sample/rsstest.rss"
+    if not os.path.exists(path):
+        pytest.skip("reference feed sample unavailable")
+    import pandas as pd
+
+    from nutch_spark.operators.feedparse import _feed_pdf
+
+    with open(path) as f:
+        content = f.read()
+    url = "file:/sample/rsstest.rss"
+    res = _feed_pdf(pd.DataFrame({"url": [url], "content": [content]}))
+    assert set(res["doc_id"]) == {
+        "http://www-scf.usc.edu/~mattmann/", "http://www.nutch.org/", url}
+    assert len(res) == 3
