@@ -342,10 +342,19 @@ def _lang_col(cfg: CrawlConfig, need_meta: bool):
         # raw Content-Language response header (:177-179) — our simulated
         # fetch surfaces it as the content-language name-meta.
         meta = F.col("meta")
+        # one transform = one shared 533-entry map literal in the plan
+        # (two separate parse_declared_language calls would inline it twice)
+        parsed_decl = F.filter(
+            F.transform(
+                F.array(meta.getItem("dc.language"),
+                        meta.getItem("http-equiv.content-language")),
+                lambda c: parse_declared_language(c),
+            ),
+            lambda x: x.isNotNull(),
+        )
         declared = F.coalesce(
             meta.getItem("lang."),  # parsed kernel-side (extract_lang_attr)
-            parse_declared_language(meta.getItem("dc.language")),
-            parse_declared_language(meta.getItem("http-equiv.content-language")),
+            F.get(parsed_decl, 0),
             meta.getItem("content-language"),
         )
     policy = tuple(cfg.lang_extraction_policy)
