@@ -176,3 +176,51 @@ def test_regex_urlfilter_samples_native(name, spark):
            df.select("url", f.col(F.col("url")).alias("ok")).collect()}
     for url, expected in cases:
         assert got[url] == expected, url
+
+
+# TestSuffixURLFilter (plugin/urlfilter-suffix test, :34-184): the
+# reference's 8-url fixture against all six mode combinations. Reference
+# modeAccept=true == our default_accept=True (suffix hit -> reject).
+_SUFFIX_CONF = "# this is a comment\n\n.gif\n.jpg\n.js\n"
+_SUFFIX_URLS = [
+    "http://www.example.com/test.gif",
+    "http://www.example.com/TEST.GIF",
+    "http://www.example.com/test.jpg",
+    "http://www.example.com/test.JPG",
+    "http://www.example.com/test.html",
+    "http://www.example.com/test.HTML",
+    "http://www.example.com/test.html?q=abc.js",
+    "http://www.example.com/test.js?foo=bar&baz=bar#12333",
+]
+# (mode kwargs, accepted? per url — True where the reference returns the url)
+_SUFFIX_MODES = [
+    (dict(default_accept=True),
+     [False, True, False, True, True, True, False, True]),
+    (dict(default_accept=False),
+     [True, False, True, False, False, False, True, False]),
+    (dict(default_accept=True, ignore_case=True),
+     [False, False, False, False, True, True, False, True]),
+    (dict(default_accept=False, ignore_case=True),
+     [True, True, True, True, False, False, True, False]),
+    (dict(default_accept=True, from_path=True),
+     [False, True, False, True, True, True, True, False]),
+    (dict(default_accept=True, from_path=False),
+     [False, True, False, True, True, True, False, True]),
+]
+
+
+@pytest.mark.parametrize("kwargs,expected", _SUFFIX_MODES)
+def test_suffix_urlfilter_reference_modes(spark, kwargs, expected):
+    f = SuffixUrlFilter([".gif", ".jpg", ".js"], **kwargs)
+    assert [f.accepts(u) for u in _SUFFIX_URLS] == expected
+    df = spark.createDataFrame([(u,) for u in _SUFFIX_URLS], "url string")
+    got = {r.url: r.ok for r in
+           df.select("url", f.col(F.col("url")).alias("ok")).collect()}
+    assert [got[u] for u in _SUFFIX_URLS] == expected
+
+
+def test_suffix_urlfilter_conf_comment_lines():
+    from nutch_spark.functions.urlfilters import SuffixUrlFilter as S
+
+    f = S.from_text(_SUFFIX_CONF)
+    assert f.suffixes == (".gif", ".jpg", ".js")
