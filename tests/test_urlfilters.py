@@ -224,3 +224,47 @@ def test_suffix_urlfilter_conf_comment_lines():
 
     f = S.from_text(_SUFFIX_CONF)
     assert f.suffixes == (".gif", ".jpg", ".js")
+
+
+# TestAutomatonURLFilter (plugin/urlfilter-automaton test): same sample-
+# pair protocol over the automaton-syntax rule sets. The automaton plugin
+# is declared a DFA-compilation of the regex filter contract (full-match
+# patterns written `.*x.*`); all 316 reference verdicts agree under the
+# shared RegexUrlFilter — the declared-subset evidence on the
+# reference's own data.
+_AUTOMATON_SAMPLES = "/root/reference/src/plugin/urlfilter-automaton/sample"
+
+
+@pytest.mark.parametrize("name", _SAMPLE_NAMES)
+def test_automaton_urlfilter_samples(name):
+    from nutch_spark.functions.filter_rules import parse_filter_rules
+    from nutch_spark.functions.urls import RegexUrlFilter
+
+    rules_p = os.path.join(_AUTOMATON_SAMPLES, name + ".rules")
+    urls_p = os.path.join(_AUTOMATON_SAMPLES, name + ".urls")
+    if not (os.path.exists(rules_p) and os.path.exists(urls_p)):
+        pytest.skip(f"reference sample {name} unavailable")
+    with open(rules_p) as fh:
+        f = RegexUrlFilter(parse_filter_rules(fh.read()))
+    with open(urls_p) as fh:
+        for line in fh:
+            line = line.strip()
+            if line and line[0] in "+-":
+                assert f.accepts(line[1:]) == (line[0] == "+"), line
+
+
+def test_domain_urlfilter_reference_cases():
+    """TestDomainURLFilter.testFilter (:40-56) over data/hosts.txt
+    (net / apache.org / be / www.yahoo.com), accept mode."""
+    f = DomainUrlFilter.from_text(
+        "# comments start with the pound sign\nnet\napache.org\nbe\nwww.yahoo.com\n")
+    assert f.accepts("http://lucene.apache.org")
+    assert f.accepts("http://hadoop.apache.org")
+    assert f.accepts("http://www.apache.org")
+    assert not f.accepts("http://www.google.com")
+    assert not f.accepts("http://mail.yahoo.com")
+    assert f.accepts("http://www.foobar.net")
+    assert f.accepts("http://www.foobas.net")
+    assert f.accepts("http://www.yahoo.com")
+    assert f.accepts("http://www.foobar.be")
+    assert not f.accepts("http://www.adobe.com")
