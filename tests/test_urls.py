@@ -169,3 +169,44 @@ def test_normalize_split_matches_udf(spark):
         ref = normalize_url(u)
         got = out.get(u)
         assert got == ref or (got is None and ref is None), (u, got, ref)
+
+
+# TestBasicURLNormalizer.testNormalizer (TestBasicURLNormalizer.java:37-106)
+# — the reference's full case table, verbatim.
+REFERENCE_NORMALIZER_CASES = [
+    (" http://foo.com/ ", "http://foo.com/"),
+    ("HTTP://foo.com/", "http://foo.com/"),
+    ("http://Foo.Com/index.html", "http://foo.com/index.html"),
+    ("http://foo.com:80/index.html", "http://foo.com/index.html"),
+    ("http://foo.com:81/", "http://foo.com:81/"),
+    ("http://foo.com", "http://foo.com/"),
+    ("http://foo.com/foo.html#ref", "http://foo.com/foo.html"),
+    ("http://foo.com/aa/./foo.html", "http://foo.com/aa/foo.html"),
+    ("http://foo.com/aa/../", "http://foo.com/"),
+    ("http://foo.com/aa/bb/../", "http://foo.com/aa/"),
+    ("http://foo.com/aa/..", "http://foo.com/aa/.."),
+    ("http://foo.com/aa/bb/cc/../../foo.html", "http://foo.com/aa/foo.html"),
+    ("http://foo.com/aa/bb/../cc/dd/../ee/foo.html",
+     "http://foo.com/aa/cc/ee/foo.html"),
+    ("http://foo.com/../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/../../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/../aa/../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/aa/../../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/aa/../bb/../foo.html/../../", "http://foo.com/"),
+    ("http://foo.com/../aa/foo.html", "http://foo.com/aa/foo.html"),
+    ("http://foo.com/../aa/../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/a..a/foo.html", "http://foo.com/a..a/foo.html"),
+    ("http://foo.com/a..a/../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com/foo.foo/../foo.html", "http://foo.com/foo.html"),
+    ("http://foo.com//aa/bb/foo.html", "http://foo.com/aa/bb/foo.html"),
+    ("http://foo.com/aa//bb/foo.html", "http://foo.com/aa/bb/foo.html"),
+    ("http://foo.com/aa/bb//foo.html", "http://foo.com/aa/bb/foo.html"),
+    ("http://foo.com//aa//bb//foo.html", "http://foo.com/aa/bb/foo.html"),
+    ("http://foo.com////aa////bb////foo.html",
+     "http://foo.com/aa/bb/foo.html"),
+]
+
+
+@pytest.mark.parametrize("weird,normal", REFERENCE_NORMALIZER_CASES)
+def test_basic_normalizer_reference_table(weird, normal):
+    assert normalize_url(weird) == normal
