@@ -51,7 +51,12 @@ FETCH_OUT_SCHEMA = T.StructType(
 
 
 def _robots_allowed(path: str, disallow: list[str] | None, allow: list[str] | None) -> bool:
-    """Longest-prefix-match rules (lib-http RobotRulesParser.java:152-190)."""
+    """Longest-prefix verdict over the pre-parsed robots TABLE's two
+    prefix arrays. The reference's RobotRuleSet.isAllowed
+    (RobotRulesParser.java:165-190) is first-match in DECLARATION order —
+    unrepresentable in the fixture schema's split arrays; the two agree
+    for disallow-only files (the common case) and the exact text-level
+    semantics live in functions/robots.py (TestRobotRulesParser-ported)."""
     best_len, best_allow = -1, True
     for p in allow or []:
         if p and path.startswith(p) and len(p) > best_len:
