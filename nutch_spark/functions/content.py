@@ -324,3 +324,55 @@ def resolve_mime_udf(declared: pd.Series, url: pd.Series, content: pd.Series) ->
         [resolve_content_type(d, u, c) for d, u, c in zip(declared, url, content)],
         index=content.index,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spell-checked HTTP header names (metadata/SpellCheckedMetadata.java:40-127)
+# — protocol responses in the wild misspell well-known header names; the
+# reference normalizes them (letters-only lowercase index over the
+# HttpHeaders constants, Levenshtein fallback under length/3) when building
+# Content metadata. Ingest layers (e.g. warc/arc header maps) apply this
+# before keying metadata.
+# ---------------------------------------------------------------------------
+
+_HTTP_HEADER_NAMES = (
+    # HttpHeaders.java:32-50 String constants, verbatim
+    "Content-Encoding", "Content-Language", "Content-Length",
+    "Content-Location", "Content-Disposition", "Content-MD5",
+    "Content-Type", "Last-Modified", "Location",
+)
+
+
+def _letters_lower(s: str) -> str:
+    return "".join(c.lower() for c in s if c.isalpha())
+
+
+_HEADER_NAMES_IDX = {_letters_lower(n): n for n in _HTTP_HEADER_NAMES}
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def normalize_header_name(name: str) -> str:
+    """SpellCheckedMetadata.getNormalizedName (:100-127): exact
+    letters-only match wins, else the first well-known name within
+    Levenshtein distance < len/3; unknown names pass through."""
+    searched = _letters_lower(name)
+    value = _HEADER_NAMES_IDX.get(searched)
+    if value is None:
+        threshold = len(searched) // 3  # TRESHOLD_DIVIDER (:39)
+        for norm, orig in _HEADER_NAMES_IDX.items():
+            if _levenshtein(searched, norm) < threshold:
+                value = orig
+                break
+    return value if value is not None else name

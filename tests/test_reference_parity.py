@@ -653,3 +653,24 @@ def test_feed_parser_rsstest_sample():
     assert set(res["doc_id"]) == {
         "http://www-scf.usc.edu/~mattmann/", "http://www.nutch.org/", url}
     assert len(res) == 3
+
+
+# TestSpellCheckedMetadata.testGetNormalizedNames (:53-70)
+@pytest.mark.parametrize("raw,expected", [
+    ("Content-Type", "Content-Type"),
+    ("ContentType", "Content-Type"),
+    ("Content-type", "Content-Type"),
+    ("contenttype", "Content-Type"),
+    ("contentype", "Content-Type"),
+    ("contntype", "Content-Type"),
+])
+def test_spellchecked_header_names(raw, expected):
+    from nutch_spark.functions.content import normalize_header_name
+
+    assert normalize_header_name(raw) == expected
+
+
+def test_spellchecked_header_unknown_passthrough():
+    from nutch_spark.functions.content import normalize_header_name
+
+    assert normalize_header_name("X-Custom-Header") == "X-Custom-Header"
