@@ -50,12 +50,20 @@ _DEFAULT_NORMALIZERS = ScopedNormalizers()
 # urljoin, parity-tested vs the reference's RFC3986 table).
 _SCAN_RE = re.compile(
     r"<!--.*?-->"
-    r"|<title>(?P<title>.*?)</title\s*>"
-    r"|<p(?:\s[^>]*)?>(?P<text>.*?)</p\s*>"
+    r"|<(?P<btag>title|p)(?:\s[^>]*)?>"
     r"|<(?P<ltag>area|a|form|frame|iframe|script|link|img)"
     r"(?=[\s/>])(?P<attrs>(?:\s[^>]*?)?)\s*(?P<selfclose>/)?>",
     re.S | re.I,
 )
+# block closes are searched positionally from each open tag (never with a
+# backtracking `.*?` inner): one failed search memoizes "no close ahead",
+# keeping the scan LINEAR on pathological pages (e.g. thousands of
+# unclosed <p> tags — real crawls hit those; the naive inner-group regex
+# rescans the tail per occurrence, 4 orders of magnitude slower)
+_BLOCK_STOP_RES = {
+    "title": re.compile(r"</title\s*>", re.I),
+    "p": re.compile(r"</p\s*>", re.I),
+}
 _LINK_TAG_ATTR = {
     "a": "href", "area": "href", "link": "href", "form": "action",
     "frame": "src", "iframe": "src", "script": "src", "img": "src",
@@ -405,8 +413,12 @@ def _clean_inner_text(inner: str) -> str:
     return _WS_RE.sub(" ", inner).strip()
 
 
+_MAX_SCAN_DEPTH = 16  # unclosed-<form> chains recurse per level; cap them
+
+
 def _emit_link_tag(content: str, m, base_url: str, events: list,
-                   ignore_tags: tuple, form_use_action: bool) -> int:
+                   ignore_tags: tuple, form_use_action: bool,
+                   depth: int = 0) -> int:
     """Handle one link-family open tag; returns the resume position.
     Mirrors getOutlinks (DOMContentUtils.java:369-452): element first, then
     its children — the inner subtree of <a>/<form> is scanned recursively
@@ -451,14 +463,17 @@ def _emit_link_tag(content: str, m, base_url: str, events: list,
                         " ", " ".join(a for a in alts if a.strip())).strip()
                 events.append({"kind": "link", "text": anchor,
                                "media_ref": resolved})
-    if inner and "<" in inner:
-        _scan_links(inner, base_url, events, ignore_tags, form_use_action)
+    if inner and "<" in inner and depth < _MAX_SCAN_DEPTH:
+        _scan_links(inner, base_url, events, ignore_tags, form_use_action,
+                    depth + 1)
     return resume
 
 
 def _scan_links(segment: str, base_url: str, events: list,
-                ignore_tags: tuple, form_use_action: bool) -> None:
-    """Link-family tags only (used inside <p>/<a>/<form> subtrees)."""
+                ignore_tags: tuple, form_use_action: bool,
+                depth: int = 0) -> None:
+    """Link-family tags only (used inside <p>/<a>/<form> subtrees);
+    block opens (btag) and comments are skipped without inner capture."""
     pos = 0
     while True:
         m = _SCAN_RE.search(segment, pos)
@@ -466,7 +481,7 @@ def _scan_links(segment: str, base_url: str, events: list,
             return
         if m.group("ltag"):
             pos = _emit_link_tag(segment, m, base_url, events,
-                                 ignore_tags, form_use_action)
+                                 ignore_tags, form_use_action, depth)
         else:
             pos = m.end()
 
@@ -477,22 +492,34 @@ def _scan_html(content: str, base_url: str, ignore_tags: tuple = (),
     with span dicts (kind/text/media_ref, offsets assigned by callers)."""
     events: list = []
     pos = 0
+    dead_closes: set[str] = set()  # block tags with no close ahead of pos
     while True:
         m = _SCAN_RE.search(content, pos)
         if not m:
             return events
-        if m.group("title") is not None:
-            events.append(("title", _WS_RE.sub(" ", m.group("title")).strip()))
-            pos = m.end()
-        elif m.group("text") is not None:
-            inner = m.group("text")
-            events.append({"kind": "text", "text": _clean_inner_text(inner),
-                           "media_ref": None})
-            # link-family tags nested in the paragraph keep their doc order
-            if "<" in inner:
-                _scan_links(inner, base_url, events, ignore_tags,
-                            form_use_action)
-            pos = m.end()
+        btag = m.group("btag")
+        if btag is not None:
+            btag = btag.lower()
+            stop = None if btag in dead_closes else \
+                _BLOCK_STOP_RES[btag].search(content, m.end())
+            if stop is None:
+                # unclosed block: no span (the old inner-group regex simply
+                # failed to match); pos only advances, so the miss holds
+                dead_closes.add(btag)
+                pos = m.end()
+                continue
+            inner = content[m.end():stop.start()]
+            pos = stop.end()
+            if btag == "title":
+                events.append(("title", _WS_RE.sub(" ", inner).strip()))
+            else:
+                events.append({"kind": "text",
+                               "text": _clean_inner_text(inner),
+                               "media_ref": None})
+                # nested link-family tags keep their doc order
+                if "<" in inner:
+                    _scan_links(inner, base_url, events, ignore_tags,
+                                form_use_action)
         elif m.group("ltag"):
             pos = _emit_link_tag(content, m, base_url, events,
                                  ignore_tags, form_use_action)
