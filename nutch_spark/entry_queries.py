@@ -1511,8 +1511,9 @@ FROM orders
 
 def q_charset_sniff(spark, sf_dir):
     """C8 charset detection (HtmlParser.java:95-121 meta sniff +
-    EncodingDetector clue order): BOM > meta (alias-resolved) > header >
-    UTF-8 validity > default."""
+    EncodingDetector clue walk): detect clues (BOM / strict multibyte
+    UTF-8, the ICU slot) > header > meta sniff (alias-resolved) > default
+    — the reference's clue insertion order with autodetection enabled."""
     from nutch_spark.functions.content import charset_udf
 
     o = load(spark, sf_dir, "orders")

@@ -60,6 +60,8 @@ CHARSET_ALIASES = {
     "us-ascii": "windows-1252",
     "latin1": "windows-1252",
     "gb2312": "gb18030",
+    "gbk": "gb18030",   # EncodingDetector.java:145
+    "euc-kr": "cp949",  # :143 (x-windows-949; cp949 is Python's name for it)
     "big-5": "big5",
 }
 
@@ -105,23 +107,172 @@ def _utf8_valid(data: bytes) -> bool:
         return False
 
 
+# --- EncodingDetector exact clue walk (util/EncodingDetector.java:60-266) ---
+
+NO_THRESHOLD = -1          # EncodingDetector.java:108
+_ED_MIN_LENGTH = 4         # :119 (autodetect needs > MIN_LENGTH bytes)
+# :122-130 — content types ICU autodetection is attempted on
+ED_DETECTABLES = frozenset({
+    "text/html", "text/plain", "text/richtext", "text/rtf", "text/sgml",
+    "text/tab-separated-values", "text/xml", "application/rss+xml",
+    "application/xhtml+xml",
+})
+
+
+def parse_character_encoding(content_type: str | None) -> str | None:
+    """charset= parameter from a Content-Type header value
+    (EncodingDetector.parseCharacterEncoding:290-307, the RequestUtil copy):
+    substring after 'charset=', cut at ';', trim, strip surrounding quotes."""
+    if content_type is None:
+        return None
+    start = content_type.find("charset=")
+    if start < 0:
+        return None
+    encoding = content_type[start + 8:]
+    end = encoding.find(";")
+    if end >= 0:
+        encoding = encoding[:end]
+    encoding = encoding.strip()
+    if len(encoding) > 2 and encoding.startswith('"') and encoding.endswith('"'):
+        encoding = encoding[1:-1]
+    return encoding.strip()
+
+
+def resolve_encoding_alias(encoding: str | None) -> str | None:
+    """EncodingDetector.resolveEncodingAlias(:270-282): None for names no
+    codec supports; otherwise the (lowercased) name with the mislabel map
+    applied (ISO-8859-1 -> windows-1252 etc.). Divergence: Java returns the
+    JVM canonical charset name; Python codec canonical names differ
+    (windows-1254 -> cp1254), so the cleaned input name is kept instead —
+    every comparison downstream is case-insensitive on the label."""
+    if not encoding:
+        return None
+    import codecs
+    name = encoding.strip().strip("\"'").lower()
+    if not name:
+        return None
+    try:
+        codecs.lookup(name)
+    except (LookupError, ValueError):
+        return None
+    return CHARSET_ALIASES.get(name, name)
+
+
+def _detect_statistical(data: bytes) -> list[tuple[str, int]]:
+    """The ICU4J CharsetDetector slot (EncodingDetector.java:164-188),
+    filled with the signals computable without the library, highest
+    confidence first like detectAll(): a BOM is certain (100); strict
+    UTF-8 validity with at least one multibyte sequence is unambiguous
+    (100); BOM-less UTF-16 shows as NUL-dominated odd/even byte lanes
+    (80). Pure ASCII yields no clue (any single-byte codec fits)."""
+    head = data[:CHUNK_SIZE]
+    bom = detect_bom(head)
+    if bom:
+        return [(bom, 100)]
+    if _utf8_valid(head):
+        if any(b >= 0x80 for b in head):
+            return [("utf-8", 100)]
+        return []
+    if len(head) >= 8:
+        even = sum(1 for b in head[0::2] if b == 0)
+        odd = sum(1 for b in head[1::2] if b == 0)
+        half = len(head) // 2
+        if half and even > half * 0.6 >= 1 and odd == 0:
+            return [("utf-16be", 80)]
+        if half and odd > half * 0.6 >= 1 and even == 0:
+            return [("utf-16le", 80)]
+    return []
+
+
+class EncodingClue:
+    """EncodingDetector.EncodingClue (:66-104)."""
+
+    __slots__ = ("value", "source", "confidence")
+
+    def __init__(self, value: str, source: str,
+                 confidence: int = NO_THRESHOLD):
+        self.value = value
+        self.source = source
+        self.confidence = confidence
+
+    def __repr__(self) -> str:  # :91-94
+        conf = f", {self.confidence}% confidence" if self.confidence >= 0 else ""
+        return f"EncodingClue({self.value} ({self.source}{conf}))"
+
+
+class EncodingDetector:
+    """Exact port of the clue-list walk (util/EncodingDetector.java:106-266).
+
+    min_confidence mirrors encodingdetector.charset.min.confidence
+    (nutch-default.xml default -1 = autodetection disabled). Clue order is
+    the caller's insertion order: auto_detect_clues appends the statistical
+    clues then the header clue (:164-192); HtmlParser appends the meta
+    sniff afterwards (HtmlParser.java:155-157), so with autodetection off
+    the DECLARED HEADER outranks the in-document meta tag — the quirk
+    TestEncodingDetector pins down."""
+
+    def __init__(self, min_confidence: int = NO_THRESHOLD):
+        self.min_confidence = min_confidence
+        self.clues: list[EncodingClue] = []
+
+    def auto_detect_clues(self, data: bytes | None, content_type: str | None,
+                          header_content_type: str | None = None) -> None:
+        """:164-192 — statistical clues (gated on min_confidence >= 0, a
+        detectable content type, and > MIN_LENGTH bytes), then the HTTP
+        header charset as a no-threshold clue."""
+        data = data or b""
+        if (self.min_confidence >= 0 and content_type in ED_DETECTABLES
+                and len(data) > _ED_MIN_LENGTH):
+            for value, conf in _detect_statistical(data):
+                self.add_clue(value, "detect", conf)
+        self.add_clue(parse_character_encoding(header_content_type), "header")
+
+    def add_clue(self, value: str | None, source: str,
+                 confidence: int = NO_THRESHOLD) -> None:
+        """:195-207 — empty values dropped; alias-resolved or dropped."""
+        if not value:
+            return
+        resolved = resolve_encoding_alias(value)
+        if resolved is not None:
+            self.clues.append(EncodingClue(resolved, source, confidence))
+
+    def guess_encoding(self, default: str) -> str:
+        """:219-266 — first clue meeting the threshold wins outright;
+        otherwise the FIRST no-threshold clue beats the default."""
+        default_clue = EncodingClue(default, "default")
+        best_clue = default_clue
+        for clue in self.clues:
+            if self.min_confidence >= 0 and clue.confidence >= self.min_confidence:
+                return (resolve_encoding_alias(clue.value) or clue.value).lower()
+            if clue.confidence == NO_THRESHOLD and best_clue is default_clue:
+                best_clue = clue
+        return best_clue.value.lower()
+
+    def clear_clues(self) -> None:
+        self.clues.clear()
+
+
 def guess_encoding(data: bytes | None, header_charset: str | None = None,
                    default: str = "windows-1252") -> str:
-    """Clue resolution (EncodingDetector.guessEncoding:150+): highest-
-    confidence signal wins. Here: BOM (certain) > meta sniff > declared
-    header > UTF-8 validity of the sampled bytes > default. The ICU4J
-    statistical detector slot is filled by the UTF-8 validity check."""
-    bom = detect_bom(data)
-    if bom:
-        return bom
-    sniffed = _clean_charset(sniff_charset_meta(data))
-    if sniffed:
-        return sniffed
+    """Production (vectorized-path) clue resolution — the EncodingDetector
+    walk specialized to the engine's shipped profile: autodetection ON
+    (detect clues from _detect_statistical count as certain), then the
+    reference's no-threshold clue order header > meta sniff
+    (EncodingDetector.guessEncoding:219-266 over the HtmlParser clue
+    order :155-157), then default. The reference's shipped conf disables
+    autodetection (min.confidence=-1); this engine enables it because a
+    BOM / strict-UTF-8 signal never mislabels — divergence declared, the
+    exact any-config walk lives in EncodingDetector above."""
+    if data:
+        detected = _detect_statistical(data)
+        if detected:
+            return detected[0][0]
     header = _clean_charset(header_charset)
     if header:
         return header
-    if data and _utf8_valid(data[:CHUNK_SIZE]):
-        return "utf-8"
+    sniffed = _clean_charset(sniff_charset_meta(data))
+    if sniffed:
+        return sniffed
     return default
 
 

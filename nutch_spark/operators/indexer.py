@@ -83,9 +83,11 @@ def build_index(
     )
     have_cache = "cache" in parse_data.columns
     have_ct = "content_type" in parse_data.columns
+    have_dispo = "content_disposition" in parse_data.columns
     pd_sel = (["url", "title"] + (["meta"] if need_meta else [])
               + (["cache"] if have_cache else [])
-              + (["content_type"] if have_ct else []))
+              + (["content_type"] if have_ct else [])
+              + (["content_disposition"] if have_dispo else []))
     doc = (
         db.join(fetched, "url", "inner")
         .join(parse_text.select("url", "text"), "url", "inner")
@@ -182,7 +184,27 @@ def build_index(
         # index.db.md (MetadataIndexer.java:56-63): datum metadata keys
         # copied verbatim (no prefixing, unlike the parse-metatags combo)
         _db_md_col(cfg, "metadata" in db.columns).alias("db_md"),
+        # index-more resetTitle (MoreIndexingFilter.java:269-303): filename
+        # from a non-standard Content-Disposition header. The reference
+        # doc.add()s it as a SECOND title value and first-value readers
+        # still see the basic title, so the single-valued column model
+        # keeps `title` intact and lands the filename in its own column.
+        # Only sources that carry response headers (e.g. ARC imports)
+        # produce the input column.
+        *([disposition_title_col(F.col("content_disposition"))
+           .alias("disposition_title")] if have_dispo else []),
     )
+
+
+def disposition_title_col(dispo):
+    """Filename extraction from Content-Disposition
+    (MoreIndexingFilter.resetTitle:269-303). Pattern order matters
+    (:283-287): the quoted form first — with the reference's GREEDY `.+`
+    inside the quotes — then the bare-token form. regexp_extract runs the
+    same Java regex the reference compiles."""
+    quoted = F.regexp_extract(dispo, r"\bfilename=['\"](.+)['\"]", 1)
+    bare = F.regexp_extract(dispo, r"\bfilename=(\S+)\b", 1)
+    return F.when(quoted != "", quoted).when(bare != "", bare)
 
 
 def _db_md_col(cfg: CrawlConfig, have_meta: bool):

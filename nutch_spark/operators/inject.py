@@ -5,8 +5,15 @@ Reference semantics (crawl/Injector.java):
   nutch.score / nutch.fetchInterval / nutch.fetchInterval.fixed override the
   datum's score/interval; everything else lands in metadata.
 - reduce (:175-242): merge with existing frontier rows by URL — an existing
-  entry wins over an injected one unless overwrite; update mode overlays
-  metadata and takes injected score/interval.
+  entry always wins structurally (the closing if/else :233-238 leaves
+  res=injected only when no old row exists, making db.injector.overwrite
+  dead code in this fork); db.injector.update mutates the surviving old
+  datum in place (:226-231): metadata overlaid with the injected keys, and
+  score / fetch interval taken from the injected datum only when they
+  differ from the configured db.score.injected / db.fetch.interval.default
+  (i.e. only when a nutch.score / nutch.fetchInterval seed override was
+  present). TestInjector.java:65-131 pins this down; ported verbatim in
+  tests/test_inject_reference.py.
 
 Spark-first realization: one full-outer join on url + coalesce/when column
 logic — no state machine needed. The frontier side is the 10^10-row table;
@@ -83,31 +90,57 @@ def inject(frontier: DataFrame | None, seeds: DataFrame, cfg: CrawlConfig, cur_t
     new = injected.alias("n")
     joined = old.join(new, on="url", how="full_outer")
 
-    def pick(col: str):
-        o, n = F.col(f"o.{col}"), F.col(f"n.{col}")
-        if cfg.inject_overwrite:
-            return F.coalesce(n, o)
-        if cfg.inject_update and col in ("score", "fetch_interval"):
-            return F.coalesce(n, o)
-        return F.coalesce(o, n)  # existing entry wins (default)
+    # InjectReducer exact walk (:190-241). The closing if/else (:233-238)
+    # assigns res unconditionally: injected ONLY when no old row exists,
+    # old otherwise — which makes the db.injector.overwrite branch (:217-222)
+    # DEAD CODE in this fork (its res=injected is clobbered at :238 when
+    # both rows exist). Update mode works because it MUTATES the old datum
+    # in place (:226-231) before res=old. Both quirks mirrored here.
+    has_old = F.col("o.status").isNotNull()
+    has_new = F.col("n.status").isNotNull()
+    updating = bool(cfg.inject_update and not cfg.inject_overwrite)
 
-    merged_meta = (
-        F.when(F.col("o.metadata").isNull(), F.col("n.metadata"))
-        .when(F.col("n.metadata").isNull(), F.col("o.metadata"))
-        .otherwise(F.map_zip_with(
-            F.col("o.metadata"), F.col("n.metadata"),
-            lambda k, v1, v2: (F.coalesce(v2, v1) if (cfg.inject_update or cfg.inject_overwrite) else F.coalesce(v1, v2)),
-        ))
-    )
+    def pick(col: str):
+        return F.when(has_old, F.col(f"o.{col}")).otherwise(F.col(f"n.{col}"))
+
+    if updating:
+        # :229 — injected score taken only when it differs from the
+        # configured db.score.injected default (i.e. a nutch.score seed
+        # override); likewise :230 for nutch.fetchInterval vs the default
+        score = F.when(
+            has_old & has_new & (F.col("n.score") != F.lit(float(cfg.db_score_injected))),
+            F.col("n.score"),
+        ).otherwise(pick("score"))
+        interval = F.when(
+            has_old & has_new
+            & (F.col("n.fetch_interval") != F.lit(cfg.db_fetch_interval_default)),
+            F.col("n.fetch_interval"),
+        ).otherwise(pick("fetch_interval"))
+        # :228 old.putAllMetaData(injected) — injected keys overlay old's
+        meta = F.when(
+            has_old & has_new,
+            F.when(F.col("o.metadata").isNull(), F.col("n.metadata"))
+            .when(F.col("n.metadata").isNull(), F.col("o.metadata"))
+            .otherwise(F.map_concat(
+                F.map_filter(F.col("o.metadata"),
+                             lambda k, _: ~F.map_contains_key(F.col("n.metadata"), k)),
+                F.col("n.metadata"),
+            )),
+        ).otherwise(pick("metadata"))
+    else:
+        score = pick("score")
+        interval = pick("fetch_interval")
+        meta = pick("metadata")  # res=old untouched: no metadata union
+
     return joined.select(
         F.col("url"),
         pick("host").alias("host"),
         pick("status").alias("status"),
         pick("fetch_time").alias("fetch_time"),
         pick("retries").alias("retries"),
-        pick("fetch_interval").alias("fetch_interval"),
-        pick("score").alias("score"),
+        interval.alias("fetch_interval"),
+        score.alias("score"),
         pick("signature").alias("signature"),
         pick("modified_time").alias("modified_time"),
-        merged_meta.alias("metadata"),
+        meta.alias("metadata"),
     )

@@ -37,15 +37,20 @@ def test_sniff_meta_charset():
 
 
 def test_guess_encoding_priority():
-    # BOM wins over meta
+    # BOM (a certain detect clue) wins over meta
     bom = b"\xef\xbb\xbf" + b'<meta http-equiv="content-type" content="charset=gbk">'
     assert guess_encoding(bom) == "utf-8"
-    # meta wins over header
+    # header outranks the in-document meta tag — the reference's clue order
+    # (EncodingDetector header clue :191, HtmlParser sniff appended after,
+    # HtmlParser.java:155-157); alias resolution applies to the header
     meta = b'<meta http-equiv="content-type" content="text/html; charset=gbk">'
-    assert guess_encoding(meta, header_charset="iso-8859-1") == "gbk"
+    assert guess_encoding(meta, header_charset="iso-8859-1") == "windows-1252"
+    # meta sniff used when no header (GBK -> GB18030 mislabel map, :145)
+    assert guess_encoding(meta) == "gb18030"
     # header when no meta (alias resolution applies)
     assert guess_encoding(b"plain ascii", header_charset="ISO-8859-1") == "windows-1252"
-    # utf-8 validity fallback
+    # strict multibyte UTF-8 is a certain detect clue (beats the header)
+    assert guess_encoding("héllo".encode("utf-8"), header_charset="gbk") == "utf-8"
     assert guess_encoding("héllo".encode("utf-8")) == "utf-8"
     # default
     assert guess_encoding(b"\xfd\xff binary-ish \x81") == "windows-1252"
