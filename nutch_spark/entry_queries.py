@@ -2660,7 +2660,8 @@ def q_index_plugins(spark, sf_dir):
         f.repartition(spark.sparkContext.defaultParallelism).select(
             "url", content.alias("content"), F.lit("text/html").alias("content_type")
         )
-    )
+    ).cache()  # parse_data AND parse_text branch from here: one kernel pass,
+    #            not two (a real pipeline materializes the parse once)
     parse_data = docs.select(
         F.col("doc_id").alias("url"), "title", "meta", "noindex"
     )
