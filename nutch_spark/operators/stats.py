@@ -113,6 +113,15 @@ def segment_get(dump: DataFrame, url: str) -> DataFrame:
     return dump.filter(F.col("url") == url)
 
 
+def crawldb_get(frontier: DataFrame, url: str) -> DataFrame:
+    """CrawlDbReader get / readUrl (crawl/CrawlDbReader.java:378-395,
+    `readdb -url`): the single datum for one URL. The reference probes the
+    MapFile partition by the key's hash; with the url-bucketed frontier the
+    equality predicate prunes to one bucket the same way instead of
+    scanning the 10^10-row table."""
+    return frontier.filter(F.col("url") == url)
+
+
 def crawldb_scan(
     frontier: DataFrame, regex: str, status: str | None = None
 ) -> DataFrame:

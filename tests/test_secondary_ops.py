@@ -272,3 +272,16 @@ def test_crawldb_scan_full_match_and_status(spark):
     # only the literal string "http" under String.matches, never a prefix
     assert crawldb_scan(f, r"^http").count() == 0
     assert crawldb_scan(f, r"^http://a\.example\.com/x$").count() == 1
+
+
+def test_crawldb_get(spark):
+    """CrawlDbReader.get/readUrl (CrawlDbReader.java:378-395): the single
+    datum for one URL; 'not found' is an empty result."""
+    from nutch_spark.operators.stats import crawldb_get
+
+    f = spark.createDataFrame(
+        [("http://a.example.com/x", 1, 2.5), ("http://b.example.com/x", 2, 0.5)],
+        "url string, status int, score float")
+    got = crawldb_get(f, "http://a.example.com/x").collect()
+    assert len(got) == 1 and got[0].status == 1 and got[0].score == 2.5
+    assert crawldb_get(f, "http://missing.example.com/") .count() == 0
