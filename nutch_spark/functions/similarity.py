@@ -65,10 +65,12 @@ def hyperplanes(dim: int, n_planes: int, n_tables: int = 1, seed: int = 42) -> n
 
 def _bucket_col(vec_col, table_planes: np.ndarray):
     """Sign-pattern bucket id for one table's planes (first plane = MSB)."""
+    from nutch_spark.functions.litfast import lit_double_array
+
     bucket = F.lit(0)
     for p in table_planes:
         bit = F.when(
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+            _dot(vec_col, lit_double_array(p)) >= 0, F.lit(1)
         ).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
@@ -183,16 +185,26 @@ def ivf_assign_col(vec_col, centroids: np.ndarray, n_probe: int) -> "F.Column":
     For very large n_centroids switch to a broadcast-join variant; at the
     IVF sweet spot (n_centroids ~ sqrt(N), probed lists ~ n_probe/n_centroids
     of the data) literals stay small."""
-    scored = F.array(*[
-        F.struct(
-            (-cosine_col(vec_col, F.array(*[F.lit(float(x)) for x in c])))
-            .alias("negcos"),
-            F.lit(i).cast("int").alias("list_id"),
-        )
-        for i, c in enumerate(centroids)
-    ])
+    from nutch_spark.functions.litfast import lit_double_array
+
+    # ONE array<array<double>> literal + ONE transform lambda (evaluated per
+    # centroid at runtime, identical arithmetic to an unrolled per-centroid
+    # cosine chain) — the unrolled form cost O(n_centroids) py4j calls and an
+    # O(n_centroids * dim) expression tree (PLANS.md §6.15)
+    cents = F.array(*[lit_double_array(c) for c in centroids])
+    # field names deliberately avoid the callers' select aliases: a lambda
+    # struct field named like a sibling select alias trips Spark's
+    # lateral-column-alias resolution (INTERNAL_ERROR: resolved plan should
+    # not contain any LateralColumnAliasReference)
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-cosine_col(vec_col, c)).alias("_ivf_negcos"),
+            i.cast("int").alias("_ivf_lid"),
+        ),
+    )
     return F.transform(
-        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["list_id"]
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["_ivf_lid"]
     )
 
 
@@ -211,14 +223,22 @@ def ivf_cosine_topk(
     exchange is the list-id equi-join — bucket-join-only, like LSH."""
     cents = ivf_centroid_vectors(embeddings, n_centroids, id_col, vec_col,
                                  kmeans_iters)
+    # two-step selects: referencing the pre-alias column name in the same
+    # select list as its alias, with the lambda-HOF assign column, trips
+    # Spark's lateral-column-alias rewrite (INTERNAL_ERROR:
+    # LateralColumnAliasReference in resolved plan)
     e = embeddings.select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"),
-        ivf_assign_col(F.col(vec_col), cents, n_probe=1)[0].alias("list_id"),
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    ).select(
+        "nn_id", "nn_vec",
+        ivf_assign_col(F.col("nn_vec"), cents, n_probe=1)[0].alias("list_id"),
     )
     q = queries.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    ).select(
+        "q_id", "q_vec",
         F.explode(
-            ivf_assign_col(F.col(q_vec_col), cents, n_probe)
+            ivf_assign_col(F.col("q_vec"), cents, n_probe)
         ).alias("list_id"),
     )
     pairs = q.join(e, "list_id")

@@ -50,10 +50,11 @@ def parse_declared_language(lang: Column) -> Column:
     tokenization and first-alias-hit semantics as the Python port, as a
     whole-stage-codegen expression over a literal map."""
     from nutch_spark.functions.langmap import LANGUAGES_MAP
+    from nutch_spark.functions.litfast import lit_str_map
 
-    m = F.create_map(
-        *[F.lit(x) for kv in sorted(LANGUAGES_MAP.items()) for x in kv]
-    )
+    # one gateway call for the 533-entry literal (litfast.py; was ~2.5 s of
+    # py4j round-trips per cold plan build)
+    m = lit_str_map(dict(sorted(LANGUAGES_MAP.items())))
     toks = F.split(lang, r"[, ;.()=]", -1)
     hits = F.filter(
         F.transform(
@@ -97,10 +98,12 @@ def detect_language(text: Column, only_certain: bool = False,
     analyzed (-1 = all)."""
     if max_length >= 0:
         text = F.substring(text, 1, max_length)
+    from nutch_spark.functions.litfast import lit_str_array
+
     toks = tokens_col(text)
     scores = []
     for lang, words in _LANG_STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
+        arr = lit_str_array(words)
         score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     ranked = F.reverse(F.array_sort(F.array(*scores)))
@@ -119,7 +122,9 @@ def quality_score(text: Column) -> Column:
     n_toks = F.size(toks)
     n_punct = F.length(F.regexp_replace(text, r"[^!?.,;:]", ""))
     mean_word = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
-    en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    from nutch_spark.functions.litfast import lit_str_array
+
+    en = lit_str_array(_LANG_STOPWORDS["en"])
     stop_ratio = F.when(
         n_toks > 0, F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / n_toks
     ).otherwise(F.lit(0.0))
