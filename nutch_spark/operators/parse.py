@@ -1007,9 +1007,16 @@ def run_parse(
     )
     if cfg.db_ignore_external_links:
         links = links.filter(host_col(F.col("to_url")) == host_col(F.col("url")))
-    # dedupe (first occurrence): hash-aggregate with map-side partial agg —
-    # cheaper than a row_number window (no per-partition sort)
-    links = links.groupBy("url", "to_url").agg(
+    # dedupe (first occurrence) + per-page cap share ONE exchange: hash
+    # placement on url alone satisfies the (url, to_url) aggregation's
+    # clustered distribution (subset rule) AND the cap window's, so the
+    # explicit repartition is the only shuffle in the whole outlink tail —
+    # the previous shape exchanged twice (pair-keyed dedupe, then url-keyed
+    # window). Trade-off: the single exchange ships pre-dedupe rows without
+    # map-side combining, which only loses if a page repeats the same
+    # target >2x on average (the two-exchange shape ships the deduped set
+    # twice); crawl corpora sit well under that.
+    links = links.repartition("url").groupBy("url", "to_url").agg(
         F.min("offset").alias("offset"),
         F.min_by("anchor", "offset").alias("anchor"),
     )
