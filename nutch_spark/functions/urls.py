@@ -135,11 +135,18 @@ def normalize_inline(df, in_col: str, out_col: str):
     rows: its input is NULLed out for already-normal rows, so the Arrow
     exchange ships ~only the weird rows' bytes and the pandas kernel
     passes nulls through. NULL in_col rows yield NULL out_col (callers
-    filter nulls next — same end state as normalize_split's drop)."""
+    filter nulls next — same end state as normalize_split's drop).
+
+    The is-normal rlike pair rides a named column so it is evaluated ONCE
+    per row: inlining `fast` into both branch tests made the pair run
+    twice (pre-Arrow for the UDF input projection, post-Arrow for the
+    branch pick) — measured 8.7 -> 5.3 s on the 3.8M-outlink bench leg."""
     c = F.col(in_col)
-    fast = is_normal_form_col(c)
+    tmp = f"__isnorm_{out_col}"
+    d = df.withColumn(tmp, is_normal_form_col(c))
+    fast = F.col(tmp)
     slow_out = normalize_url_udf(F.when(~fast, c))
-    return df.withColumn(out_col, F.when(fast, c).otherwise(slow_out))
+    return d.withColumn(out_col, F.when(fast, c).otherwise(slow_out)).drop(tmp)
 
 
 @F.pandas_udf(StringType())
