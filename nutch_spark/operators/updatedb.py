@@ -25,7 +25,7 @@ frontier-side shuffle. Summation order of inlink scores is pinned
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
@@ -162,23 +162,27 @@ def update_frontier(
         if "metadata" in parse_updates.columns else None
     )
 
+    # one fetch row per url (redirect re-fetches keep the last by seq):
+    # max_by hash-aggregate, not a row_number window — partial aggregation
+    # runs map-side (the shuffle ships <=1 row per url per input partition)
+    # and no per-partition sort; seq ties are unspecified either way, same
+    # as the reference's reducer iteration order
+    _f = F.max_by(
+        F.struct("fetch_status", "fetch_ts", "signature", "repr_url",
+                 "fetch_interval", "retries", "score"),
+        "seq",
+    )
     fetch = (
-        fetch_out
-        # one fetch row per url (redirect re-fetches keep the last by seq)
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("url").orderBy(F.desc("seq"))),
-        )
-        .filter(F.col("rk") == 1)
+        fetch_out.groupBy("url").agg(_f.alias("_f"))
         .select(
-            F.col("url"),
-            F.col("fetch_status"),
-            F.col("fetch_ts"),
-            F.col("signature").alias("fetch_signature"),
-            F.col("repr_url"),
-            F.col("fetch_interval").alias("f_interval"),
-            F.col("retries").alias("f_retries"),
-            F.col("score").alias("f_score"),
+            "url",
+            F.col("_f.fetch_status").alias("fetch_status"),
+            F.col("_f.fetch_ts").alias("fetch_ts"),
+            F.col("_f.signature").alias("fetch_signature"),
+            F.col("_f.repr_url").alias("repr_url"),
+            F.col("_f.fetch_interval").alias("f_interval"),
+            F.col("_f.retries").alias("f_retries"),
+            F.col("_f.score").alias("f_score"),
         )
     )
 
