@@ -74,6 +74,14 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.sql.parquet.output.committer.class",
                 "org.apache.parquet.hadoop.ParquetOutputCommitter")
+        # PySpark 4 wraps every DataFrame/Column API call with a call-site
+        # capture for error contexts: a Python stack walk plus THREE py4j
+        # round-trips (conf.get + PySparkCurrentOrigin.set/clear) PER CALL
+        # (pyspark/errors/utils.py:_with_origin). Plan-construction-heavy
+        # code (the updatedb when-chain, the index plugin columns) pays
+        # seconds per query for it. Off: errors lose the user-code line
+        # pointer, nothing else changes.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # ad-hoc overrides for experiments/cluster tuning:
     # SPARK_GRAFT_CONF="spark.io.compression.codec=zstd;spark.foo=bar"
