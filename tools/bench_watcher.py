@@ -1,0 +1,43 @@
+"""Fire one full `bench.py` run when the host is near quiet capacity.
+
+The full-suite walls are only comparable across rounds on a near-quiet
+host (BASELINE.md quotes the quiet-host probe references cpu1~1.36).
+This waits for cpu1 >= THRESH (and no tools/.busy), runs the bench once,
+and appends the JSON line + window probes to tools/bench_quiet_runs.jsonl.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+BUSY = os.path.join(REPO, "tools", ".busy")
+OUT = os.path.join(REPO, "tools", "bench_quiet_runs.jsonl")
+THRESH = float(os.environ.get("BENCH_WATCH_CPU1", "1.0"))
+SLEEP = int(os.environ.get("BENCH_WATCH_SLEEP", "480"))
+
+if __name__ == "__main__":
+    import bench
+
+    while True:
+        cpu = bench.cpu_capacity((1, 4))
+        bw = bench.mem_bandwidth_capacity((1,))
+        line = f"[{time.strftime('%H:%M:%S')}] probe cpu1={cpu.get(1)} membw1={bw.get(1)}"
+        print(line, flush=True)
+        if cpu.get(1, 0) >= THRESH and not os.path.exists(BUSY):
+            print("quiet window -> full bench", flush=True)
+            p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                               capture_output=True, text=True, cwd=REPO)
+            js = [l for l in p.stdout.replace("\r", "\n").splitlines()
+                  if l.startswith("{")]
+            rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                   "cpu_probe": cpu, "membw_probe": bw,
+                   "result": json.loads(js[-1]) if js else None,
+                   "rc": p.returncode}
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print("bench recorded — watcher done", flush=True)
+            break
+        time.sleep(SLEEP)
