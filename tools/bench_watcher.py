@@ -2,8 +2,10 @@
 
 The full-suite walls are only comparable across rounds on a near-quiet
 host (BASELINE.md quotes the quiet-host probe references cpu1~1.36).
-This waits for cpu1 >= THRESH (and no tools/.busy), runs the bench once,
-and appends the JSON line + window probes to tools/bench_quiet_runs.jsonl.
+This waits for cpu1 >= THRESH (and no tools/.busy), runs the bench once
+— holding tools/.busy itself so the scaling watcher cannot launch on top
+of the bench load — and appends the JSON line + window probes to
+tools/bench_quiet_runs.jsonl.
 """
 import json
 import os
@@ -22,20 +24,35 @@ if __name__ == "__main__":
     import bench
 
     while True:
-        cpu = bench.cpu_capacity((1, 4))
-        bw = bench.mem_bandwidth_capacity((1,))
-        line = f"[{time.strftime('%H:%M:%S')}] probe cpu1={cpu.get(1)} membw1={bw.get(1)}"
-        print(line, flush=True)
-        if cpu.get(1, 0) >= THRESH and not os.path.exists(BUSY):
+        # poll gate needs only the 1-proc CPU number; the 4-proc burn and
+        # the STREAM probe run once, when the window actually opens
+        cpu1 = bench.cpu_capacity((1,)).get(1, 0.0)
+        print(f"[{time.strftime('%H:%M:%S')}] probe cpu1={cpu1}", flush=True)
+        if cpu1 >= THRESH and not os.path.exists(BUSY):
+            cpu = bench.cpu_capacity((1, 4))
+            bw = bench.mem_bandwidth_capacity((1,))
             print("quiet window -> full bench", flush=True)
-            p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                               capture_output=True, text=True, cwd=REPO)
-            js = [l for l in p.stdout.replace("\r", "\n").splitlines()
-                  if l.startswith("{")]
+            open(BUSY, "w").close()  # keep the scaling watcher out
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    capture_output=True, text=True, cwd=REPO, timeout=3600)
+            finally:
+                try:
+                    os.remove(BUSY)
+                except OSError:
+                    pass
+            result = None
+            for line in reversed(p.stdout.replace("\r", "\n").splitlines()):
+                if line.startswith("{"):
+                    try:
+                        result = json.loads(line)
+                        break
+                    except ValueError:
+                        continue
             rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                    "cpu_probe": cpu, "membw_probe": bw,
-                   "result": json.loads(js[-1]) if js else None,
-                   "rc": p.returncode}
+                   "result": result, "rc": p.returncode}
             with open(OUT, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print("bench recorded — watcher done", flush=True)
