@@ -93,11 +93,15 @@ class CrawlConfig:
     # agent names in precedence order; '*' is always the implicit last
     # fallback. The stanza whose agent matches at the LOWEST index wins.
     robots_agent: str = "nutch-spark"
-    # http.robots.403.allow=false is the fork default (RobotRulesParser.java:
-    # 222,470-471): a 403 on robots.txt means FORBID_ALL_RULES. Takes effect
-    # when the robots table carries a `status` column; rows with status 403
-    # forbid the whole host (or are ignored when this is False = allow).
-    robots_403_forbid_all: bool = True
+    # http.robots.403.allow (RobotRulesParser.java:222,470-471): a 403 on
+    # robots.txt means FORBID_ALL_RULES only when allow=false. The CODE
+    # fallback is false, but the fork's shipped conf/nutch-default.xml sets
+    # true (and nutch-site.xml does not override), so the effective
+    # reference default is ALLOW -> forbid_all defaults False here. Takes
+    # effect when the robots table carries a `status` column; rows with
+    # status 403 forbid the whole host when True, else are dropped
+    # (EMPTY_RULES = allow).
+    robots_403_forbid_all: bool = False
 
     # --- parse (reference: parse/ParseOutputFormat.java, nutch-default.xml:449-474) ---
     db_max_outlinks_per_page: int = 100      # db.max.outlinks.per.page

@@ -173,6 +173,16 @@ def extract_host_series(urls: pd.Series) -> pd.Series:
     return urls.str.extract(_HOST_RE, expand=False).str.lower()
 
 
+def extract_host(url: str | None) -> str | None:
+    """Scalar host extraction (lowercased) — same regex as the vectorized
+    form, for sequential kernels where building a 1-element pd.Series per
+    row would dominate (e.g. the OutlinkDb greedy walk)."""
+    if url is None:
+        return None
+    m = _HOST_RE.match(url)
+    return m.group(1).lower() if m else None
+
+
 @lru_cache(maxsize=1 << 16)
 def registered_domain(host: str | None) -> str | None:
     """host -> registered domain: exact port of the left-shrinking walk in
@@ -396,7 +406,11 @@ def choose_repr_url(src: str, dst: str, temp: bool) -> str:
             parts.pop()
         return len(parts)
 
-    src_host, dst_host = s.netloc, d.netloc
+    # java.net.URL.getHost(): no port, no userinfo — netloc keeps both, so
+    # comparing netloc skipped the same-host rule whenever one side carried
+    # an explicit :80 or user@ (e.g. src 'http://h/a/b/c' vs dst
+    # 'http://h:80/d' must take the same-host fewer-segments branch)
+    src_host, dst_host = s.hostname or "", d.hostname or ""
     src_file = s.path + (f"?{s.query}" if s.query else "")
     dst_file = d.path + (f"?{d.query}" if d.query else "")
     src_root = src_file in ("/", "")

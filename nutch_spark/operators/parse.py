@@ -472,14 +472,45 @@ def _emit_link_tag(content: str, m, base_url: str, events: list,
 def _scan_links(segment: str, base_url: str, events: list,
                 ignore_tags: tuple, form_use_action: bool,
                 depth: int = 0) -> None:
-    """Link-family tags only (used inside <p>/<a>/<form> subtrees);
-    block opens (btag) and comments are skipped without inner capture."""
+    """Full scan of an element subtree (inside <p>/<a>/<form> inners).
+
+    Handles BOTH link-family tags and nested block text: the reference's
+    DOM walk collects text regardless of the enclosing element
+    (DOMContentUtils.getText), so a <p> inside a <form> — or after an
+    unclosed <a>, whose captured inner runs to end-of-document — must
+    still yield its text span (and a <title> there still registers). A
+    link-only subtree scan silently dropped that text from parse_text,
+    signatures and the index. Nested same-tag duplication is structurally
+    impossible: the enclosing block's capture stops at the FIRST close
+    tag, so a nested open inside the captured inner never has a close in
+    segment and memoizes as dead."""
     pos = 0
+    dead_closes: set[str] = set()
     while True:
         m = _SCAN_RE.search(segment, pos)
         if not m:
             return
-        if m.group("ltag"):
+        btag = m.group("btag")
+        if btag is not None:
+            btag = btag.lower()
+            stop = None if btag in dead_closes else \
+                _BLOCK_STOP_RES[btag].search(segment, m.end())
+            if stop is None:
+                dead_closes.add(btag)
+                pos = m.end()
+                continue
+            inner = segment[m.end():stop.start()]
+            pos = stop.end()
+            if btag == "title":
+                events.append(("title", _WS_RE.sub(" ", inner).strip()))
+            else:
+                events.append({"kind": "text",
+                               "text": _clean_inner_text(inner),
+                               "media_ref": None})
+                if "<" in inner and depth < _MAX_SCAN_DEPTH:
+                    _scan_links(inner, base_url, events, ignore_tags,
+                                form_use_action, depth + 1)
+        elif m.group("ltag"):
             pos = _emit_link_tag(segment, m, base_url, events,
                                  ignore_tags, form_use_action, depth)
         else:

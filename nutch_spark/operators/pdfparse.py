@@ -198,11 +198,24 @@ def _iter_streams(data: bytes):
         end = data.find(b"endstream", start)
         if end < 0:
             return
-        window = data[max(0, k - 600):k]
+        # window = the ENCLOSING object's dictionary only: bound at the
+        # previous endobj/endstream so a neighboring object's /Length or
+        # /FlateDecode (or compressed bytes that happen to contain them)
+        # can't be misattributed when objects sit closer than 600 bytes
+        wstart = max(0, k - 600)
+        eo = data.rfind(b"endobj", wstart, k)
+        es = data.rfind(b"endstream", wstart, k)
+        wstart = max(wstart,
+                     eo + len(b"endobj") if eo >= 0 else 0,
+                     es + len(b"endstream") if es >= 0 else 0)
+        window = data[wstart:k]
         # binary stream bytes may legitimately end in 0x0A/0x0D, so the
         # EOL before 'endstream' cannot be stripped greedily: honor the
-        # dict's /Length when present, else drop at most ONE EOL (§7.3.8)
-        lm = _LENGTH_RE.search(window)
+        # dict's /Length when present (the LAST one in the window — the
+        # nearest dict), else drop at most ONE EOL (§7.3.8)
+        lm = None
+        for lm in _LENGTH_RE.finditer(window):
+            pass
         if lm and start + int(lm.group(1)) <= end:
             raw = data[start:start + int(lm.group(1))]
         else:

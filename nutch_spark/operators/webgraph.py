@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from nutch_spark.functions.urls import (
-    extract_host_series, host_col, registered_domain,
+    extract_host, extract_host_series, host_col, registered_domain,
 )
 
 
@@ -117,7 +117,7 @@ def build_webgraph(parse_data: DataFrame, ts: int = 0,
             if links is None or len(links) == 0:
                 res.append([])
                 continue
-            host = extract_host_series(pd.Series([url])).iloc[0]
+            host = extract_host(url)
             dom = registered_domain(host)
             pages: set = set()
             doms: set = set()
@@ -126,7 +126,7 @@ def build_webgraph(parse_data: DataFrame, ts: int = 0,
                 to_url = ln["to_url"]
                 if to_url is None:
                     continue
-                to_host = extract_host_series(pd.Series([to_url])).iloc[0]
+                to_host = extract_host(to_url)
                 to_dom = registered_domain(to_host)
                 lo = to_url.lower()
                 to_page = lo.split("?", 1)[0]

@@ -49,19 +49,21 @@ def test_robots_agent_precedence(spark):
 
 def test_robots_403_forbid_all(spark):
     """RobotRulesParser.java:222,470-471: 403 on robots.txt -> FORBID_ALL
-    when http.robots.403.allow=false (the fork default), EMPTY_RULES
-    (row dropped) when allow=true."""
+    when http.robots.403.allow=false, EMPTY_RULES (row dropped) when
+    allow=true. The shipped conf/nutch-default.xml sets allow=true (the
+    code fallback false never applies in a deployment), so the engine
+    default is allow -> forbid_all=False."""
     rows = [("f.com", "*", [], [], None, 403),
             ("ok.com", "*", ["/p/"], [], None, 200)]
     df = _robots_df(spark, rows, with_status=True)
 
-    forbid = {r["host"]: r for r in
-              select_robots_rules(df, CrawlConfig()).collect()}
+    forbid = {r["host"]: r for r in select_robots_rules(
+        df, CrawlConfig(robots_403_forbid_all=True)).collect()}
     assert forbid["f.com"]["rb_disallow"] == ["/"]          # forbid-all stanza
     assert forbid["ok.com"]["rb_disallow"] == ["/p/"]       # untouched
 
     allow = {r["host"]: r for r in select_robots_rules(
-        df, CrawlConfig(robots_403_forbid_all=False)).collect()}
+        df, CrawlConfig()).collect()}  # default = shipped-conf allow
     assert "f.com" not in allow                              # EMPTY_RULES
     assert allow["ok.com"]["rb_disallow"] == ["/p/"]
 

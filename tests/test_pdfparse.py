@@ -114,3 +114,22 @@ def test_mime_dispatch_pdf(spark):
     assert got[0].doc_id == "http://x.example.com/a.pdf"
     assert got[0].title == "TA"
     assert got[0].text == "doc a"
+
+
+def test_iter_streams_window_bounded_at_previous_object():
+    """A neighboring object's /Length (or /FlateDecode) within 600 bytes
+    must not be attributed to the next stream: the dict window is bounded
+    at the previous endobj/endstream and takes the LAST /Length."""
+    from nutch_spark.operators.pdfparse import _iter_streams
+
+    s1, s2 = b"hello", b"0123456789abcdef"
+    pdf = (b"1 0 obj<</Length 5>>stream\n" + s1 + b"\nendstream endobj "
+           b"2 0 obj<<>>stream\n" + s2 + b"\nendstream endobj")
+    assert list(_iter_streams(pdf)) == [s1, s2]
+
+    import zlib
+    z = zlib.compress(b"BT (x) Tj ET")
+    pdf2 = (b"1 0 obj<</Filter /FlateDecode /Length %d>>stream\n" % len(z)
+            + z + b"\nendstream endobj "
+            b"2 0 obj<</Length 3>>stream\nraw\nendstream endobj")
+    assert list(_iter_streams(pdf2)) == [b"BT (x) Tj ET", b"raw"]

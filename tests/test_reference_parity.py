@@ -674,3 +674,47 @@ def test_spellchecked_header_unknown_passthrough():
     from nutch_spark.functions.content import normalize_header_name
 
     assert normalize_header_name("X-Custom-Header") == "X-Custom-Header"
+
+
+# DOMContentUtils.getText collects text regardless of the enclosing
+# element: block text inside a <form> subtree, and block text following an
+# UNCLOSED <a> (whose captured inner runs to end-of-document), must still
+# yield text spans — a link-only subtree scan silently dropped both.
+def test_scan_block_text_inside_form_subtree():
+    from nutch_spark.operators.parse import _scan_html
+
+    evs = _scan_html(
+        '<form action="http://x/s"><p>inside form</p></form><p>after</p>',
+        "http://x/")
+    texts = [e["text"] for e in evs
+             if isinstance(e, dict) and e["kind"] == "text"]
+    assert texts == ["inside form", "after"]
+
+
+def test_scan_block_text_after_unclosed_anchor():
+    from nutch_spark.operators.parse import _scan_html
+
+    evs = _scan_html(
+        '<a href="http://x/l">link<p>hello world</p><title>T</title>',
+        "http://x/")
+    texts = [e["text"] for e in evs
+             if isinstance(e, dict) and e["kind"] == "text"]
+    assert texts == ["hello world"]
+    assert ("title", "T") in evs
+    links = [e for e in evs if isinstance(e, dict) and e["kind"] == "link"]
+    assert len(links) == 1 and links[0]["media_ref"] == "http://x/l"
+
+
+# URLUtil.chooseRepr compares getHost() — no port, no userinfo. A netloc
+# comparison skipped the same-host fewer-segments rule whenever one side
+# carried an explicit :80 or user@.
+@pytest.mark.parametrize("src,dst,temp,expected", [
+    ("http://example.com/a/b/c", "http://example.com:80/d", True,
+     "http://example.com:80/d"),
+    ("http://u@example.com/a/b/c", "http://example.com/d", True,
+     "http://example.com/d"),
+])
+def test_choose_repr_host_ignores_port_and_userinfo(src, dst, temp, expected):
+    from nutch_spark.functions.urls import choose_repr_url
+
+    assert choose_repr_url(src, dst, temp) == expected
