@@ -2216,6 +2216,68 @@ WHERE status = 2
 """
 
 
+def q_linkdb_read(spark, sf_dir):
+    """LinkDbReader (`readlinkdb -dump`, crawl/LinkDbReader.java:95-120):
+    dump the linkdb as <url, Inlinks.toString()> text rows. Inlink rows
+    derive from edges, deduped per (to,from) with the invert's min-anchor
+    convention, aggregated, then rendered by linkdb_dump — the repr string
+    is a native array fold, no extra shuffle above the linkdb aggregate."""
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.linkdb import (
+        _dedupe_and_cap, linkdb_aggregate, linkdb_dump,
+    )
+
+    cfg = CrawlConfig()
+    e = derived_edges(spark, sf_dir).select("to_url", "from_url", "anchor")
+    db = linkdb_aggregate(_dedupe_and_cap(e, cfg), cfg)
+    return linkdb_dump(db)
+
+
+SQL_LINKDB_READ = f"""
+WITH {EDGES_CTE},
+ded AS (
+  SELECT to_url, from_url, MIN(anchor) AS anchor
+  FROM edges GROUP BY to_url, from_url
+)
+SELECT to_url AS url,
+       COUNT(*) AS n_inlinks,
+       'Inlinks:' || chr(10) ||
+       string_agg(' fromUrl: ' || from_url || ' anchor: ' || anchor,
+                  chr(10) ORDER BY from_url, anchor) AS inlinks_repr
+FROM ded GROUP BY to_url
+"""
+
+
+def q_index_clean(spark, sf_dir):
+    """SolrClean (`solrclean`, indexer/solr/SolrClean.java:42-120): delete
+    index documents whose crawldb entry went STATUS_DB_GONE. Fixture: the
+    index holds every frontier url (digest/boost from the derived columns);
+    the gone slice is retries==3 mapped to status 3 — clean_index anti-joins
+    it out by id (= url)."""
+    from nutch_spark.operators.indexer import clean_index
+
+    f = derived_frontier(spark, sf_dir)
+    idx = f.select(
+        "url",
+        F.col("signature").alias("digest"),
+        F.round(F.sqrt("score"), 4).alias("boost"),
+    )
+    crawldb = f.select(
+        "url",
+        F.when(F.col("retries") == 3, F.lit(3)).otherwise(F.col("status"))
+        .alias("status"),
+    )
+    return clean_index(idx, crawldb)
+
+
+SQL_INDEX_CLEAN = f"""
+WITH {FRONTIER_CTE}
+SELECT url, signature AS digest, ROUND(SQRT(score), 4) AS boost
+FROM frontier
+WHERE NOT (retries = 3)
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2818,6 +2880,8 @@ FROM ks
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
+    "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
+    "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf),
     "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
     "urlmeta": (q_urlmeta, SQL_URLMETA),

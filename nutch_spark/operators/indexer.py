@@ -411,6 +411,23 @@ def _cc_col(cfg: CrawlConfig, need_meta: bool):
     return F.when(F.size(cc) > 0, cc)
 
 
+def clean_index(index: DataFrame, frontier: DataFrame) -> DataFrame:
+    """SolrClean (indexer/solr/SolrClean.java:42-120, `bin/nutch
+    solrclean`): scan the crawldb for STATUS_DB_GONE entries and delete
+    those documents from the index by id (= url).
+
+    The reference streams deleteById batches at a Solr server; against the
+    index-table stand-in the same operation is a left-anti join on url.
+    The gone set is tiny relative to the index (it's the 404 slice of the
+    frontier), so the filtered side is marked broadcastable — at 10^10
+    frontier rows AQE demotes it to a shuffle join automatically if the
+    slice outgrows the threshold, and both tables hash-place on url."""
+    gone = frontier.filter(
+        F.col("status") == schemas.STATUS_DB_GONE
+    ).select("url")
+    return index.join(F.broadcast(gone), "url", "left_anti")
+
+
 def dedup_index(index: DataFrame) -> DataFrame:
     """Keep one doc per digest: highest boost, then shortest/lexical URL
     (SolrDeleteDuplicates semantics)."""

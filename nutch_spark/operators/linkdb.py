@@ -69,3 +69,48 @@ def merge_linkdbs(dbs: list[DataFrame], cfg: CrawlConfig) -> DataFrame:
     for d in dbs[1:]:
         un = un.unionByName(d)
     return _dedupe_and_cap(un, cfg)
+
+
+def linkdb_dump(linkdb: DataFrame) -> DataFrame:
+    """LinkDbReader dump (crawl/LinkDbReader.java:95-120, `bin/nutch
+    readlinkdb <db> -dump <out>`): the TextOutputFormat <url, Inlinks>
+    view. `inlinks_repr` is the Inlinks.toString() analogue — one line per
+    inlink, 'fromUrl: X anchor: Y', in the aggregate's sorted order — built
+    with a native array fold (no shuffle on top of the linkdb aggregate)."""
+    return linkdb.select(
+        F.col("to_url").alias("url"),
+        "n_inlinks",
+        F.concat(
+            F.lit("Inlinks:\n"),
+            F.array_join(
+                F.transform(
+                    F.col("inlinks"),
+                    lambda l: F.concat(
+                        F.lit(" fromUrl: "), l["from_url"],
+                        F.lit(" anchor: "), l["anchor"],
+                    ),
+                ),
+                "\n",
+            ),
+        ).alias("inlinks_repr"),
+    )
+
+
+def linkdb_get(linkdb: DataFrame, url: str) -> DataFrame:
+    """LinkDbReader.getInlinks (crawl/LinkDbReader.java:74-85, `readlinkdb
+    -url <u>`): point lookup of one target's inlink list. The equality
+    predicate pushes to the scan; over a linkdb written bucketed by to_url
+    this touches one bucket's files only."""
+    return linkdb.filter(F.col("to_url") == url).select(
+        F.explode("inlinks").alias("l")
+    ).select(
+        F.col("l.from_url").alias("from_url"),
+        F.col("l.anchor").alias("anchor"),
+    )
+
+
+def get_anchors(linkdb: DataFrame, url: str) -> list[str]:
+    """LinkDbReader.getAnchors (crawl/LinkDbReader.java:66-71): the anchor
+    texts pointing at `url`. Driver-side list by design — the reference API
+    returns String[] for one key."""
+    return [r.anchor for r in linkdb_get(linkdb, url).select("anchor").collect()]

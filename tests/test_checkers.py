@@ -1,0 +1,130 @@
+"""parsechecker / indexchecker / readlinkdb / solrclean tool tests
+(ParserChecker.java, IndexingFiltersChecker.java, LinkDbReader.java,
+SolrClean.java)."""
+
+from pyspark.sql import functions as F
+
+from nutch_spark import schemas
+from nutch_spark.config import CrawlConfig
+from nutch_spark.operators.checkers import check_index, check_parse
+from nutch_spark.operators.linkdb import (
+    get_anchors, linkdb_aggregate, linkdb_dump, linkdb_get,
+)
+
+PAGE = (
+    "<html><head><title>Demo Page</title></head><body>"
+    "<p>hello world</p>"
+    '<a href="http://other.example.com/a">first</a> '
+    '<a href="http://other.example.com/b">second</a>'
+    "</body></html>"
+)
+
+
+def mk_content(spark, rows):
+    return spark.createDataFrame(rows, "url string, content string, content_type string")
+
+
+def test_check_parse_fields(spark):
+    out = check_parse(
+        mk_content(spark, [("http://site.example.com/p", PAGE, "text/html")]),
+        CrawlConfig(),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.content_type == "text/html"
+    assert r.title == "Demo Page"
+    assert r.n_outlinks == 2
+    assert r.signature is not None and len(r.signature) == 32
+
+
+def test_check_parse_force_as_and_dump_text(spark):
+    # -forceAs text/plain: the HTML is NOT parsed as html — no title, no
+    # outlinks, text = raw content (ParserChecker.java:86-88)
+    out = check_parse(
+        mk_content(spark, [("http://site.example.com/p", PAGE, "text/html")]),
+        CrawlConfig(),
+        force_content_type="text/plain",
+        dump_text=True,
+    ).collect()[0]
+    assert out.content_type == "text/plain"
+    assert out.n_outlinks == 0
+    assert "hello world" in (out.text or "")
+    assert "<a href" in (out.text or "")  # plain-text parse keeps markup
+
+
+def test_check_parse_mime_resolution(spark):
+    # no -forceAs: content.getContentType() resolves declared-vs-sniffed
+    # (an html payload declared octet-stream resolves to text/html)
+    out = check_parse(
+        mk_content(
+            spark,
+            [("http://site.example.com/p", PAGE, "application/octet-stream")],
+        ),
+        CrawlConfig(),
+    ).collect()[0]
+    assert out.content_type == "text/html"
+    assert out.title == "Demo Page"
+
+
+def test_check_index_field_rows(spark):
+    rows = check_index(
+        mk_content(spark, [("http://site.example.com/p", PAGE, "text/html")]),
+        CrawlConfig(index_static="collection:demo"),
+    ).collect()
+    fields = {r.field: r.value for r in rows}
+    assert fields["title"] == "Demo Page"
+    assert fields["host"] == "site.example.com"
+    assert fields["collection"] == "demo"
+    assert all(len(r.value) <= 100 for r in rows)  # display truncation
+
+
+def _mk_linkdb(spark):
+    inlinks = spark.createDataFrame(
+        [
+            ("http://t.example.com/x", "http://a.example.com/", "one"),
+            ("http://t.example.com/x", "http://b.example.com/", "two"),
+            ("http://solo.example.com/", "http://c.example.com/", "z"),
+        ],
+        "to_url string, from_url string, anchor string",
+    )
+    return linkdb_aggregate(inlinks, CrawlConfig())
+
+
+def test_linkdb_dump_repr(spark):
+    dump = {r.url: r for r in linkdb_dump(_mk_linkdb(spark)).collect()}
+    assert dump["http://t.example.com/x"].n_inlinks == 2
+    assert dump["http://t.example.com/x"].inlinks_repr == (
+        "Inlinks:\n"
+        " fromUrl: http://a.example.com/ anchor: one\n"
+        " fromUrl: http://b.example.com/ anchor: two"
+    )
+    assert dump["http://solo.example.com/"].n_inlinks == 1
+
+
+def test_linkdb_get_and_anchors(spark):
+    db = _mk_linkdb(spark)
+    got = linkdb_get(db, "http://t.example.com/x").collect()
+    assert {(r.from_url, r.anchor) for r in got} == {
+        ("http://a.example.com/", "one"),
+        ("http://b.example.com/", "two"),
+    }
+    assert get_anchors(db, "http://solo.example.com/") == ["z"]
+    assert linkdb_get(db, "http://missing.example.com/").count() == 0
+
+
+def test_clean_index_removes_gone(spark):
+    from nutch_spark.operators.indexer import clean_index
+
+    idx = spark.createDataFrame(
+        [("http://a.example.com/", "d1"), ("http://b.example.com/", "d2"),
+         ("http://c.example.com/", "d3")],
+        "url string, digest string",
+    )
+    frontier = spark.createDataFrame(
+        [("http://a.example.com/", schemas.STATUS_DB_FETCHED),
+         ("http://b.example.com/", schemas.STATUS_DB_GONE),
+         ("http://d.example.com/", schemas.STATUS_DB_GONE)],
+        "url string, status int",
+    )
+    kept = {r.url for r in clean_index(idx, frontier).collect()}
+    assert kept == {"http://a.example.com/", "http://c.example.com/"}
