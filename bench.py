@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "segment_dump",
     "crawldb_scan",
     "partition_byip",
+    "linkdb_read",
+    "index_clean",
 ]
 
 
