@@ -193,6 +193,10 @@ def limit_inlinks(edges: DataFrame, limit_pages: bool = True,
         F.xxhash64(_page_col(F.col("src"))).alias("ph"),
         F.xxhash64(_domain_col(F.col("src"))).alias("dh"),
     )
+    # one exchange for the whole tail (PLANS §6.20 shape): dst-hash placement
+    # satisfies the (dst,ph,dh) pre-reduction window AND the fold's
+    # groupBy(dst) — the default plan shipped the annotated edges twice
+    ann = ann.repartition("dst")
     w = Window.partitionBy("dst", "ph", "dh").orderBy("src")
     ann = (ann.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") == 1).drop("rk"))
