@@ -79,6 +79,13 @@ def build_webgraph(parse_data: DataFrame, ts: int = 0,
     delete_gone (WebGraph.java:569,275-280): srcs whose fetch status is
     REDIR_TEMP/REDIR_PERM/GONE contribute no outlinks; pass the cycle's
     fetch_status (url, status) to enable.
+
+    SCALE NOTE: both returned frames are lazy, and `nodes` re-executes the
+    greedy kernel once per degree branch. The reference runs this as two
+    jobs — OutlinkDb is WRITTEN, then NodeDb derives from the written edges
+    (WebGraph.java:540-608). Mirror that at scale: persist/write `edges`
+    first and derive `nodes` (and LinkRank input) from the materialized
+    table, or the outlink walk runs three times.
     """
     from nutch_spark import schemas
 
