@@ -43,9 +43,18 @@ def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str
 
 
 def dedup_exact_keep_first(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id doc per identical text (window, no collect)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    return documents.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    """Keep the lowest-id doc per identical text.
+
+    min_by hash-aggregate, not a row_number window (PLANS §6.18 shape): the
+    partial aggregate collapses duplicate texts map-side BEFORE the wire —
+    at high dup rates most rows never shuffle — and the reduce side is a
+    hash agg instead of a whole-partition sort."""
+    cols = documents.columns
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_keep"))
+        .select(*[F.col(f"_keep.{c}").alias(c) for c in cols])
+    )
 
 
 # ---------------------------------------------------------------------------
