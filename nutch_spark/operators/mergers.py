@@ -5,13 +5,14 @@
 - SegmentMerger (segment/SegmentMerger.java:66-112): union N segments, keep
   the latest record per URL per part, segment id (timestamp) as recency.
 
-Both are union + window row_number — exact reference semantics (argmax by
-recency), no collect, scales linearly in input size.
+Both are union + max_by hash-aggregate (argmax by recency) — exact
+reference semantics, no collect, one exchange, map-side partials collapse
+per-url versions before the wire (PLANS §6.23).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def merge_crawldbs(dbs: list[DataFrame]) -> DataFrame:
@@ -24,43 +25,49 @@ def merge_crawldbs(dbs: list[DataFrame]) -> DataFrame:
     un = dbs[0]
     for d in dbs[1:]:
         un = un.unionByName(d)
-    w = Window.partitionBy("url").orderBy(
-        F.desc("fetch_time"), F.desc("status"), F.desc("score")
-    )
-    winner = (un.withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") == 1).drop("rk"))
-    if "metadata" not in un.columns:
-        return winner
-    empty = F.create_map().cast("map<string,string>")
-    # fold metadata maps in ascending recency (same total order as the
-    # winner window, reversed) so newer keys override older ones
-    cmp_asc = lambda a, b: F.when(a["o"] < b["o"], F.lit(-1)).when(  # noqa: E731
-        a["o"] > b["o"], F.lit(1)).otherwise(F.lit(0))
-    ordered = F.array_sort(
-        F.collect_list(F.struct(
-            F.struct("fetch_time", "status", "score").alias("o"),
-            F.coalesce(F.col("metadata"), empty).alias("m"),
-        )),
-        cmp_asc,
-    )
-    merged = un.groupBy("url").agg(
-        F.aggregate(
+    cols = un.columns
+    recency = F.struct("fetch_time", "status", "score")
+    # argmax via max_by hash-aggregate, not a row_number window (§6.18/6.22
+    # shape): map-side partials collapse per-url versions before the wire
+    # and the reduce side skips the whole-partition sort
+    aggs = [F.max_by(F.struct(*cols), recency).alias("_win")]
+    has_meta = "metadata" in cols
+    if has_meta:
+        empty = F.create_map().cast("map<string,string>")
+        # fold metadata maps in ascending recency (same total order as the
+        # winner, reversed) so newer keys override older ones — in the SAME
+        # aggregate, so the old winner⋈merged join (one more url exchange)
+        # is gone
+        cmp_asc = lambda a, b: F.when(a["o"] < b["o"], F.lit(-1)).when(  # noqa: E731
+            a["o"] > b["o"], F.lit(1)).otherwise(F.lit(0))
+        ordered = F.array_sort(
+            F.collect_list(F.struct(
+                recency.alias("o"),
+                F.coalesce(F.col("metadata"), empty).alias("m"),
+            )),
+            cmp_asc,
+        )
+        aggs.append(F.aggregate(
             ordered, empty,
             lambda acc, x: F.map_concat(
                 F.map_filter(acc, lambda k, _:
                              ~F.map_contains_key(x["m"], k)),
                 x["m"],
             ),
-        ).alias("_merged_meta")
-    )
-    return (
-        winner.join(merged, "url")
-        .withColumn(
-            "metadata",
-            F.when(F.size("_merged_meta") > 0, F.col("_merged_meta")),
-        )
-        .drop("_merged_meta")
-    )
+        ).alias("_merged_meta"))
+    g = un.groupBy("url").agg(*aggs)
+    out_cols = [
+        F.col("url") if c == "url" else F.col(f"_win.{c}").alias(c)
+        for c in cols
+    ]
+    if not has_meta:
+        return g.select(*out_cols)
+    out_cols = [
+        F.when(F.size("_merged_meta") > 0, F.col("_merged_meta")).alias(c)
+        if c == "metadata" else c_
+        for c, c_ in zip(cols, out_cols)
+    ]
+    return g.select(*out_cols)
 
 
 def merge_segments(segments: list[DataFrame], seg_ids: list[int] | None = None) -> DataFrame:
@@ -75,5 +82,15 @@ def merge_segments(segments: list[DataFrame], seg_ids: list[int] | None = None) 
     un = stamped[0]
     for d in stamped[1:]:
         un = un.unionByName(d, allowMissingColumns=True)
-    w = Window.partitionBy("url").orderBy(F.desc("segment"))
-    return un.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    cols = un.columns
+    # argmax-by-segment hash aggregate (url is unique within a segment and
+    # segment ids are distinct, so the max is unambiguous — same rows the
+    # previous row_number window kept, without its sort)
+    return (
+        un.groupBy("url")
+        .agg(F.max_by(F.struct(*cols), F.col("segment")).alias("_win"))
+        .select(*[
+            F.col("url") if c == "url" else F.col(f"_win.{c}").alias(c)
+            for c in cols
+        ])
+    )
