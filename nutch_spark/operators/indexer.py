@@ -430,13 +430,18 @@ def clean_index(index: DataFrame, frontier: DataFrame) -> DataFrame:
 
 def dedup_index(index: DataFrame) -> DataFrame:
     """Keep one doc per digest: highest boost, then shortest/lexical URL
-    (SolrDeleteDuplicates semantics)."""
-    w = Window.partitionBy("digest").orderBy(
-        F.desc("boost"), F.asc(F.length("url")), F.asc("url")
+    (SolrDeleteDuplicates semantics). min_by hash-aggregate over the
+    composite order (-boost, len(url), url) — duplicates collapse in the
+    map-side partial instead of sorting whole partitions (PLANS §6.22)."""
+    cols = index.columns
+    order = F.struct(
+        (-F.col("boost")).alias("o1"),
+        F.length("url").alias("o2"),
+        F.col("url").alias("o3"),
     )
     return (
         index.filter(F.col("digest").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("digest")
+        .agg(F.min_by(F.struct(*cols), order).alias("_keep"))
+        .select(*[F.col(f"_keep.{c}").alias(c) for c in cols])
     )

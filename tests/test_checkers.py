@@ -112,6 +112,29 @@ def test_linkdb_get_and_anchors(spark):
     assert linkdb_get(db, "http://missing.example.com/").count() == 0
 
 
+def test_dedup_index_keep_order(spark):
+    from nutch_spark.operators.indexer import dedup_index
+
+    idx = spark.createDataFrame(
+        [
+            ("http://a.example.com/longer", "d1", 2.0),   # boost loses to 3.0
+            ("http://b.example.com/x", "d1", 3.0),        # winner: max boost
+            ("http://c.example.com/pp", "d2", 1.0),       # longer url loses
+            ("http://d.example.com/p", "d2", 1.0),        # winner: shorter
+            ("http://e.example.com/s", "d3", 1.0),        # lexical winner
+            ("http://f.example.com/s", "d3", 1.0),
+            ("http://g.example.com/", None, 9.0),         # null digest dropped
+        ],
+        "url string, digest string, boost double",
+    )
+    kept = {r.digest: r.url for r in dedup_index(idx).collect()}
+    assert kept == {
+        "d1": "http://b.example.com/x",
+        "d2": "http://d.example.com/p",
+        "d3": "http://e.example.com/s",
+    }
+
+
 def test_clean_index_removes_gone(spark):
     from nutch_spark.operators.indexer import clean_index
 
