@@ -418,14 +418,15 @@ def clean_index(index: DataFrame, frontier: DataFrame) -> DataFrame:
 
     The reference streams deleteById batches at a Solr server; against the
     index-table stand-in the same operation is a left-anti join on url.
-    The gone set is tiny relative to the index (it's the 404 slice of the
-    frontier), so the filtered side is marked broadcastable — at 10^10
-    frontier rows AQE demotes it to a shuffle join automatically if the
-    slice outgrows the threshold, and both tables hash-place on url."""
+    No broadcast hint on purpose: an explicit hint is honored
+    unconditionally, and at 10^10 frontier rows the GONE slice can be
+    10^8+ urls — let AQE pick broadcast when the filtered slice measures
+    under the threshold and fall back to a url-hash shuffle join (which
+    co-locates with a url-bucketed index table) when it doesn't."""
     gone = frontier.filter(
         F.col("status") == schemas.STATUS_DB_GONE
     ).select("url")
-    return index.join(F.broadcast(gone), "url", "left_anti")
+    return index.join(gone, "url", "left_anti")
 
 
 def dedup_index(index: DataFrame) -> DataFrame:
