@@ -708,6 +708,10 @@ def run_fetch(
         "signature_seed",
     )
     rb = select_robots_rules(robots, cfg)
+    # rb broadcast is host-grained (one row per host in the robots table,
+    # agent-filtered) — at a frontier where the robots table itself is
+    # huge, feed this join a host-pruned robots slice; per-cycle hosts are
+    # topN-bounded, so the slice is too
     fl = (
         fetchlist.join(wg, "url", "left")
         .join(F.broadcast(rb), "host", "left")

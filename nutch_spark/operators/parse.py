@@ -1012,6 +1012,9 @@ def run_parse(
     nofollow_docs = docs_nested.filter(F.col("nofollow")).select("doc_id")
     # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142) is
     # applied per-tag inside the extraction kernel (html_opts above)
+    # broadcast is CYCLE-scoped and bounded: nofollow_docs ⊆ this cycle's
+    # fetched pages (topN-capped), and only the robots-nofollow fraction of
+    # them — unlike a frontier-scoped set this cannot grow with the crawl
     raw_links = (
         span_rows.filter(F.col("kind") == "link")
         .join(F.broadcast(nofollow_docs), "doc_id", "left_anti")
