@@ -204,6 +204,52 @@ def test_choose_repr_returns_an_input(src, dst, temp):
     assert choose_repr_url(src, dst, temp) in (src, dst)
 
 
+# --- vectorized kernels == scalar kernels, elementwise ------------------------
+# The pandas series kernels are the PRODUCTION hot path (Arrow UDF bodies);
+# the scalar forms are the reference-parity ports. Any divergence is a bug
+# in the vectorization, so pin elementwise equality over arbitrary batches.
+
+@given(st.lists(st.one_of(_messy_urls, st.none(),
+                          st.text(max_size=20)), max_size=25))
+@settings(max_examples=150, deadline=None)
+def test_normalize_series_matches_scalar(urls):
+    import pandas as pd
+
+    from nutch_spark.functions.urls import normalize_url_series
+
+    s = pd.Series(urls, dtype="object")
+    got = normalize_url_series(s)
+    want = s.map(lambda u: normalize_url(u) if isinstance(u, str) else None)
+    assert list(got.where(got.notna(), None)) == \
+        list(want.where(want.notna(), None))
+
+
+@given(st.lists(st.one_of(st.text(max_size=40), st.none()), max_size=25))
+@settings(max_examples=150, deadline=None)
+def test_fetch_order_hash_series_matches_scalar(urls):
+    import pandas as pd
+
+    from nutch_spark.functions.urls import fetch_order_hash_series
+
+    s = pd.Series(urls, dtype="object")
+    got = list(fetch_order_hash_series(s))
+    want = [fetch_order_hash(u) if isinstance(u, str) else None for u in urls]
+    assert got == want
+
+
+@given(st.lists(st.one_of(_messy_urls, st.none()), max_size=25))
+@settings(max_examples=150, deadline=None)
+def test_extract_host_series_matches_scalar(urls):
+    import pandas as pd
+
+    from nutch_spark.functions.urls import extract_host, extract_host_series
+
+    s = pd.Series(urls, dtype="object")
+    got = list(extract_host_series(s).where(lambda x: x.notna(), None))
+    want = [extract_host(u) if isinstance(u, str) else None for u in urls]
+    assert got == want
+
+
 # --- robots single-stanza semantics -------------------------------------------
 
 _plain_path = st.from_regex(r"/[a-z0-9/_-]{0,20}", fullmatch=True)
