@@ -110,6 +110,11 @@ class CrawlConfig:
     db_max_anchor_length: int = 100          # db.max.anchor.length
     db_max_inlinks: int = 10_000             # db.max.inlinks
     parse_skip_truncated: bool = True        # parser.skip.truncated
+    # parse.filter.urls / parse.normalize.urls (ParseOutputFormat.java:
+    # 95-99; ParseSegment.java:231-238 -noFilter/-noNormalize flags):
+    # when false the outlink pipeline emits targets unfiltered/unnormalized
+    parse_filter_urls: bool = True
+    parse_normalize_urls: bool = True
     # parser.html.outlinks.ignore_tags (DOMContentUtils.java:138-142):
     # link-bearing tags removed from outlink collection — applied per-tag
     # in the html scan kernel over the linkParams set (a/area/link/form/

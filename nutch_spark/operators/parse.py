@@ -1029,16 +1029,21 @@ def run_parse(
     # URLNormalizers SCOPE_OUTLINK) — native regexp_replace tail, pinned
     # behind a Generate barrier so the filter cascade below references the
     # materialized column instead of re-evaluating the regexp chain per rule
-    links = (
-        with_column_once(
+    if cfg.parse_normalize_urls:  # ParseOutputFormat.java:99 (-noNormalize)
+        links = with_column_once(
             normalize_inline(raw_links, "media_ref", "to_url").drop("media_ref"),
             "to_url",
             _DEFAULT_NORMALIZERS.post_basic_col(F.col("to_url"), "outlink"),
         )
+    else:
+        links = raw_links.withColumnRenamed("media_ref", "to_url")
+    links = (
+        links
         .filter(F.col("to_url").isNotNull())
         .filter(F.col("to_url") != F.col("url"))  # self-link drop
-        .filter(url_filter.col(F.col("to_url")))
     )
+    if cfg.parse_filter_urls:  # ParseOutputFormat.java:95 (-noFilter)
+        links = links.filter(url_filter.col(F.col("to_url")))
     if cfg.db_ignore_external_links:
         links = links.filter(host_col(F.col("to_url")) == host_col(F.col("url")))
     # dedupe (first occurrence) + per-page cap share ONE exchange: hash

@@ -518,3 +518,54 @@ def test_index_db_md(spark):
     off = build_index(frontier, fo, ptext, pdata, None,
                       CrawlConfig()).collect()[0]
     assert off.db_md is None
+
+
+def test_parse_filter_and_normalize_urls_gates(spark):
+    """parse.filter.urls / parse.normalize.urls (ParseOutputFormat.java:
+    95-99; ParseSegment.java:231-238 -noFilter/-noNormalize): when off, the
+    outlink tail emits targets unfiltered / unnormalized (and the filter
+    chain sees exactly what normalization left, like the reference)."""
+    from pyspark.sql import types as T
+
+    from nutch_spark.operators.parse import run_parse
+    from tests.test_meta_directives import _fetch_ok
+
+    page = "http://h000.example.com/p.html"
+    html = (
+        "<html><body>"
+        '<a href="http://h000.example.com//a//b.html">needs-normalize</a>'
+        '<a href="http://h000.example.com/x.jpeg">filtered-suffix</a>'
+        "</body></html>"
+    )
+    raw_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("base_url", T.StringType(), False),
+    ])
+    raw = spark.createDataFrame(
+        [{"url": page, "host": "h000.example.com", "content": html,
+          "content_type": "text/html", "base_url": page}], raw_schema)
+    fetch_out = _fetch_ok(spark, [page])
+
+    def targets(cfg):
+        parsed = run_parse(fetch_out, raw, cfg)
+        rows = sorted(r.to_url for r in parsed["links"].collect())
+        parsed["docs_nested"].unpersist()
+        parsed["links"].unpersist()
+        return rows
+
+    # defaults: path slashes collapsed by the normalizer; .jpeg target
+    # rejected by the default suffix rule
+    assert targets(CrawlConfig()) == ["http://h000.example.com/a/b.html"]
+    # -noFilter: the .jpeg target survives (still normalized)
+    assert targets(CrawlConfig(parse_filter_urls=False)) == [
+        "http://h000.example.com/a/b.html",
+        "http://h000.example.com/x.jpeg",
+    ]
+    # -noNormalize: the doubled-slash target passes through un-normalized
+    # (the filter chain still accepts it — it sees the raw form)
+    got = targets(CrawlConfig(parse_normalize_urls=False))
+    assert "http://h000.example.com//a//b.html" in got
+    assert "http://h000.example.com/a/b.html" not in got
