@@ -171,17 +171,9 @@ def main(argv: list[str] | None = None) -> int:
         # edges first, derive nodes from the MATERIALIZED edges (see the
         # build_webgraph scale note)
         g["edges"].write.mode("overwrite").parquet(f"{args.outdir}/edges")
-        edges = read(f"{args.outdir}/edges")
-        from pyspark.sql import functions as F
-        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-        in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-        nodes = (
-            out_deg.select(F.col("src").alias("url"), "out_deg")
-            .join(in_deg.select(F.col("dst").alias("url"), "in_deg"),
-                  "url", "full_outer")
-            .fillna(0, ["in_deg", "out_deg"])
-        )
-        nodes.write.mode("overwrite").parquet(f"{args.outdir}/nodes")
+        from nutch_spark.operators.webgraph import nodes_from_edges
+        nodes_from_edges(read(f"{args.outdir}/edges")) \
+            .write.mode("overwrite").parquet(f"{args.outdir}/nodes")
         print(f"webgraph written: {args.outdir}/edges, {args.outdir}/nodes")
     elif args.cmd == "linkrank":
         from nutch_spark.operators.webgraph import linkrank
@@ -211,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "indexchecker":
         from nutch_spark.operators.checkers import check_index
         _emit(check_index(
-            _content_df(spark, args.html, args.url, args.force_as), cfg), args)
+            _content_df(spark, args.html, args.url, None), cfg,
+            force_content_type=args.force_as), args)
     return 0
 
 

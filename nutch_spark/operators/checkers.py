@@ -47,6 +47,24 @@ def _fabricate_fetch(content: DataFrame) -> DataFrame:
     )
 
 
+def _resolved_content(content: DataFrame,
+                      force_content_type: str | None) -> DataFrame:
+    """-forceAs override, else the protocol layer's MIME resolution
+    (declared header + url extension + magic — the same path fetch uses);
+    shared by both checkers so they dispatch identically."""
+    if force_content_type is not None:  # -forceAs (ParserChecker.java:58-60,86-88)
+        return content.withColumn("content_type", F.lit(force_content_type))
+    if "content_type" in content.columns:
+        return content.withColumn(
+            "content_type",
+            resolve_mime_udf(
+                F.col("content_type"), F.col("url"),
+                F.col("content").cast("binary"),
+            ),
+        )
+    return content
+
+
 def check_parse(
     content: DataFrame,
     cfg: CrawlConfig | None = None,
@@ -57,18 +75,7 @@ def check_parse(
     URL: url, content_type, signature, title, n_outlinks (+ text when
     dump_text, the `-dumpText` flag)."""
     cfg = cfg or CrawlConfig()
-    if force_content_type is not None:  # -forceAs (ParserChecker.java:58-60,86-88)
-        content = content.withColumn("content_type", F.lit(force_content_type))
-    elif "content_type" in content.columns:
-        # content.getContentType(): the protocol layer's MIME resolution
-        # (declared header + url extension + magic), same path fetch uses
-        content = content.withColumn(
-            "content_type",
-            resolve_mime_udf(
-                F.col("content_type"), F.col("url"),
-                F.col("content").cast("binary"),
-            ),
-        )
+    content = _resolved_content(content, force_content_type)
     fetch_out = _fabricate_fetch(content)
     res = run_parse(fetch_out, content, cfg, cache_links=False)
     sig = res["parse_updates"].filter(
@@ -95,14 +102,18 @@ def check_parse(
 def check_index(
     content: DataFrame,
     cfg: CrawlConfig | None = None,
+    force_content_type: str | None = None,
 ) -> DataFrame:
     """IndexingFiltersChecker (indexer/IndexingFiltersChecker.java:57-130):
     fetch + parse + indexing-filter chain over a fresh CrawlDatum with no
     inlinks, melted to (url, field, value) rows with values truncated to
-    the reference's 100-char display window (:119-123)."""
+    the reference's 100-char display window (:119-123). Content type goes
+    through the same resolution as check_parse (the reference stores
+    content.getContentType() into the datum, :84-86)."""
     from nutch_spark.operators.indexer import build_index
 
     cfg = cfg or CrawlConfig()
+    content = _resolved_content(content, force_content_type)
     fetch_out = _fabricate_fetch(content)
     res = run_parse(fetch_out, content, cfg, cache_links=False)
     # blank datum (IndexingFiltersChecker.java:77): unfetched-equivalent

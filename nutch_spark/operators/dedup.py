@@ -50,9 +50,13 @@ def dedup_exact_keep_first(documents: DataFrame, id_col: str = "doc_id", text_co
     at high dup rates most rows never shuffle — and the reduce side is a
     hash agg instead of a whole-partition sort."""
     cols = documents.columns
+    # order key wrapped in a struct: min_by SKIPS rows whose ordering expr
+    # is NULL, but a struct is never null even when its field is — and
+    # struct comparison puts a null field first (asc), matching the old
+    # window's asc-nulls-first exactly (null-id docs win their group)
     return (
         documents.groupBy(F.md5(F.col(text_col)).alias("_digest"))
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_keep"))
+        .agg(F.min_by(F.struct(*cols), F.struct(F.col(id_col))).alias("_keep"))
         .select(*[F.col(f"_keep.{c}").alias(c) for c in cols])
     )
 

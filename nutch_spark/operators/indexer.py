@@ -435,8 +435,16 @@ def dedup_index(index: DataFrame) -> DataFrame:
     composite order (-boost, len(url), url) — duplicates collapse in the
     map-side partial instead of sorting whole partitions (PLANS §6.22)."""
     cols = index.columns
+    # emulate the old window's desc(boost) NULL/NaN placement inside a MIN:
+    # desc put NaN first (it compares greater than any double), numbers
+    # next (descending), NULLs last — so the min key ranks NaN=0,
+    # number=1 (by -boost), NULL=2
+    b = F.col("boost")
     order = F.struct(
-        (-F.col("boost")).alias("o1"),
+        F.when(b.isNull(), F.lit(2))
+        .when(F.isnan(b), F.lit(0)).otherwise(F.lit(1)).alias("o0"),
+        F.when(b.isNull() | F.isnan(b), F.lit(0.0))
+        .otherwise(-b).alias("o1"),
         F.length("url").alias("o2"),
         F.col("url").alias("o3"),
     )

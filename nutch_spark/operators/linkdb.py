@@ -97,9 +97,14 @@ def linkdb_dump(linkdb: DataFrame) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.col("inlinks"),
+                    # coalesce: concat null-propagates and array_join drops
+                    # null elements, which would silently omit a NULL-anchor
+                    # inlink from the repr while n_inlinks still counts it
                     lambda l: F.concat(
-                        F.lit(" fromUrl: "), l["from_url"],
-                        F.lit(" anchor: "), l["anchor"],
+                        F.lit(" fromUrl: "),
+                        F.coalesce(l["from_url"], F.lit("")),
+                        F.lit(" anchor: "),
+                        F.coalesce(l["anchor"], F.lit("")),
                     ),
                 ),
                 "\n",

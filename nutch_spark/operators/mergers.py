@@ -86,9 +86,14 @@ def merge_segments(segments: list[DataFrame], seg_ids: list[int] | None = None) 
     # argmax-by-segment hash aggregate (url is unique within a segment and
     # segment ids are distinct, so the max is unambiguous — same rows the
     # previous row_number window kept, without its sort)
+    # segment key wrapped in a struct: max_by SKIPS rows whose ordering
+    # expr is NULL (a url whose segment values are all NULL would emit a
+    # fabricated all-null row); a struct is never null, and its null field
+    # sorts smallest — so non-null segments win and an all-null group
+    # keeps a real row, matching the old desc-nulls-last window
     return (
         un.groupBy("url")
-        .agg(F.max_by(F.struct(*cols), F.col("segment")).alias("_win"))
+        .agg(F.max_by(F.struct(*cols), F.struct(F.col("segment"))).alias("_win"))
         .select(*[
             F.col("url") if c == "url" else F.col(f"_win.{c}").alias(c)
             for c in cols

@@ -169,14 +169,20 @@ def build_webgraph(parse_data: DataFrame, ts: int = 0,
     w = Window.partitionBy("src", "dst").orderBy(F.desc("ts"), F.asc("anchor"))
     edges = edges.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
 
+    return {"edges": edges, "nodes": nodes_from_edges(edges)}
+
+
+def nodes_from_edges(edges: DataFrame) -> DataFrame:
+    """NodeDb derivation (WebGraph.java:540-608): per-url in/out degree
+    over the (deduped) edge set. Shared by build_webgraph and the tool
+    CLI's webgraph command, which runs it over MATERIALIZED edges."""
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-    nodes = (
+    return (
         out_deg.select(F.col("src").alias("url"), "out_deg")
         .join(in_deg.select(F.col("dst").alias("url"), "in_deg"), "url", "full_outer")
         .fillna(0, ["in_deg", "out_deg"])
     )
-    return {"edges": edges, "nodes": nodes}
 
 
 def limit_inlinks(edges: DataFrame, limit_pages: bool = True,

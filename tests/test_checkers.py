@@ -135,6 +135,89 @@ def test_dedup_index_keep_order(spark):
     }
 
 
+def test_dedup_index_null_and_nan_boost_ordering(spark):
+    """Window-parity for the min_by rewrite: desc(boost) put NaN first and
+    NULL last — a NULL-boost doc must LOSE to any boosted duplicate, a
+    NaN-boost doc must WIN (Spark sorts NaN above every double)."""
+    from nutch_spark.operators.indexer import dedup_index
+
+    idx = spark.createDataFrame(
+        [("http://a.example.com/", "d1", None),
+         ("http://b.example.com/", "d1", 5.0),
+         ("http://c.example.com/", "d2", float("nan")),
+         ("http://d.example.com/", "d2", 9.0),
+         ("http://e.example.com/", "d3", None)],  # all-null group keeps a row
+        "url string, digest string, boost double",
+    )
+    kept = {r.digest: r.url for r in dedup_index(idx).collect()}
+    assert kept == {
+        "d1": "http://b.example.com/",
+        "d2": "http://c.example.com/",
+        "d3": "http://e.example.com/",
+    }
+
+
+def test_dedup_keep_first_null_ids(spark):
+    """min_by must not skip NULL-id rows (the old asc window put NULLs
+    first): an all-NULL-id duplicate group keeps a REAL row, not a
+    fabricated all-null one."""
+    from nutch_spark.operators.dedup import dedup_exact_keep_first
+
+    df = spark.createDataFrame(
+        [(None, "same text"), (None, "same text"), (7, "other")],
+        "doc_id int, text string",
+    )
+    rows = sorted(dedup_exact_keep_first(df).collect(),
+                  key=lambda r: r.text)
+    assert [r.text for r in rows] == ["other", "same text"]
+    assert rows[1].text == "same text"  # body NOT nulled out
+
+
+def test_merge_segments_null_segment_keeps_row(spark):
+    """max_by must not skip NULL-segment rows: a url whose stored segment
+    values are all NULL keeps its real data (old desc-nulls-last window
+    behavior), and a non-null segment still beats a NULL one."""
+    from nutch_spark.operators.mergers import merge_segments
+
+    seg = spark.createDataFrame(
+        [("http://u.example.com/", "v1", None),
+         ("http://w.example.com/", "old", None),
+         ("http://w.example.com/", "new", 5)],
+        "url string, val string, segment long",
+    )
+    rows = {r.url: r.val for r in merge_segments([seg]).collect()}
+    assert rows == {"http://u.example.com/": "v1",
+                    "http://w.example.com/": "new"}
+
+
+def test_linkdb_dump_null_anchor_rendered(spark):
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.linkdb import linkdb_aggregate
+
+    inl = spark.createDataFrame(
+        [("http://t.example.com/", "http://a.example.com/", None),
+         ("http://t.example.com/", "http://b.example.com/", "x")],
+        "to_url string, from_url string, anchor string",
+    )
+    row = linkdb_dump(linkdb_aggregate(inl, CrawlConfig())).collect()[0]
+    assert row.n_inlinks == 2
+    assert row.inlinks_repr.count("fromUrl:") == 2  # null anchor still listed
+
+
+def test_check_index_resolves_mime(spark):
+    """indexchecker resolves declared-vs-sniffed content type exactly like
+    parsechecker (octet-stream-declared HTML indexes with its real title)."""
+    rows = check_index(
+        mk_content(
+            spark,
+            [("http://site.example.com/p", PAGE, "application/octet-stream")],
+        ),
+        CrawlConfig(),
+    ).collect()
+    fields = {r.field: r.value for r in rows}
+    assert fields["title"] == "Demo Page"
+
+
 def test_clean_index_removes_gone(spark):
     from nutch_spark.operators.indexer import clean_index
 
