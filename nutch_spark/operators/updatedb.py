@@ -167,10 +167,13 @@ def update_frontier(
     # runs map-side (the shuffle ships <=1 row per url per input partition)
     # and no per-partition sort; seq ties are unspecified either way, same
     # as the reference's reducer iteration order
+    # seq wrapped in a struct: max_by skips rows whose ordering key is
+    # NULL — the kernel always sets seq, but a null row must degrade to
+    # "loses the argmax", never to "url vanishes from updatedb"
     _f = F.max_by(
         F.struct("fetch_status", "fetch_ts", "signature", "repr_url",
                  "fetch_interval", "retries", "score"),
-        "seq",
+        F.struct(F.col("seq")),
     )
     fetch = (
         fetch_out.groupBy("url").agg(_f.alias("_f"))
