@@ -68,6 +68,10 @@ class CrawlConfig:
     # truncated (parser.skip.truncated then drops them from parse). -1 = no
     # cap. The simulated protocol applies it to the corpus content_length.
     http_content_limit: int = 65536
+    # file.content.limit (protocol-file FileResponse.java:186-197) and
+    # file.crawl.parent (getDirAsHttpResponse: whether listings link '../')
+    file_content_limit: int = 65536
+    file_crawl_parent: bool = True
     # (db.ignore.external.links — shared by the redirect gate and the parse
     # outlink chain — is declared once in the parse section below)
     # throughput kill-switch (Fetcher.java:1366-1386): sustained sub-threshold
