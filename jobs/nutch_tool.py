@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
         (["-rank"], {"help": "optional linkrank parquet for -by scores"}))
     add("loops", (["webgraph_dir"], {}),
         (["-depth"], {"type": int, "default": 2}))
+    add("fileproto", (["urls"], {"nargs": "+"}),
+        (["-maxContentLength"], {"dest": "max_len", "type": int}),
+        (["-dumpContent"], {"dest": "dump_content", "action": "store_true"}))
     add("parsechecker", (["html"], {}), (["url"], {}),
         (["-forceAs"], {"dest": "force_as"}),
         (["-dumpText"], {"dest": "dump_text", "action": "store_true"}))
@@ -194,6 +197,21 @@ def main(argv: list[str] | None = None) -> int:
         from nutch_spark.operators.webgraph import find_loops
         _emit(find_loops(read(f"{args.webgraph_dir}/edges"),
                          depth=args.depth), args)
+    elif args.cmd == "fileproto":
+        # protocol-file debug main (plugin File.java:107-170:
+        # `File [-maxContentLength L] [-dumpContent] url`)
+        from pyspark.sql import functions as F
+        from nutch_spark.sources.fileproto import fetch_file_protocol
+        if args.max_len is not None:
+            cfg = CrawlConfig(file_content_limit=args.max_len)
+        df = fetch_file_protocol(
+            spark.createDataFrame([(u,) for u in args.urls], "url string"),
+            cfg)
+        if args.dump_content:
+            df = df.withColumn("content", F.col("content").cast("string"))
+        else:
+            df = df.drop("content")
+        _emit(df, args)
     elif args.cmd == "parsechecker":
         from nutch_spark.operators.checkers import check_parse
         df = check_parse(_content_df(spark, args.html, args.url, None),

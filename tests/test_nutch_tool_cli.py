@@ -84,6 +84,15 @@ def test_domainstats(tool_data, capsys):
     assert "example.com" in out and "other.org" in out
 
 
+def test_fileproto_cli(tool_data, capsys, tmp_path):
+    f = tmp_path / "doc.html"
+    f.write_text("<html><head><title>FP</title></head><body>b</body></html>")
+    out = _run(["fileproto", f"file://{f}", "-dumpContent"], capsys)
+    assert "200" in out and "FP" in out
+    out = _run(["fileproto", f"file://{tmp_path}/missing.html"], capsys)
+    assert "404" in out
+
+
 def test_parsechecker_cli(tool_data, capsys, tmp_path):
     html = tmp_path / "p.html"
     html.write_text(
