@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "partition_byip",
     "linkdb_read",
     "index_clean",
+    "paragraph_dedup",
 ]
 
 

@@ -2278,6 +2278,56 @@ WHERE NOT (retries = 3)
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (keep first occurrence by (doc_id, pos),
+    reassemble docs). Fixture: three-paragraph docs where the first two
+    paragraphs repeat across docs (k%7, k%5) and only the third is unique —
+    within-doc repeats also occur when k%7 == k%5 (35-periodic)."""
+    from nutch_spark.operators.dedup import dedup_paragraphs
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("doc_id"))
+    k = F.col("doc_id")
+    docs = o.select(
+        "doc_id",
+        F.concat(
+            F.format_string("para-%d", k % 7), F.lit("\n\n"),
+            F.format_string("para-%d", k % 5), F.lit("\n\n"),
+            F.format_string("paraU-%d", k),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(docs)
+    return out.select("doc_id", "clean_text", "n_kept")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH docs AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+         'para-' || (o_orderkey % 7) || chr(10) || chr(10) ||
+         'para-' || (o_orderkey % 5) || chr(10) || chr(10) ||
+         'paraU-' || o_orderkey AS text
+  FROM orders
+),
+paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS para,
+         unnest(range(0, len(string_split(text, chr(10) || chr(10))))) AS pos
+  FROM docs
+),
+kept AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) AS rk
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+       COUNT(*) AS n_kept
+FROM kept WHERE rk = 1
+GROUP BY doc_id
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2882,6 +2932,7 @@ QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
     "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
     "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf),
     "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
     "urlmeta": (q_urlmeta, SQL_URLMETA),

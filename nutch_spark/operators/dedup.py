@@ -32,6 +32,47 @@ _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
 
+def dedup_paragraphs(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide paragraph dedup (the C4/RefinedWeb-style cleaning step):
+    a paragraph survives only at its FIRST corpus occurrence — lowest
+    (doc_id, position) — and each document is reassembled from its kept
+    paragraphs in original order. Docs whose every paragraph is a dup
+    elsewhere drop out (standard pipeline behavior).
+
+    Plan shape: narrow posexplode; ONE exchange on the paragraph hash for
+    the winner argmin (min of a struct — never null, so no rows are
+    skipped; see PLANS §6.24) reused by the winner join; one exchange on
+    doc_id for the reassembly. No all-pairs work anywhere — at 100 TB the
+    shuffled volume is one pass of the exploded paragraphs."""
+    import re as _re
+
+    paras = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "para"),
+    ).withColumn("_h", F.md5(F.col("para")))
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+    kept = paras.join(winners, "_h").filter(
+        (F.col(id_col) == F.col(f"_w.{id_col}"))
+        & (F.col("pos") == F.col("_w.pos"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (digest, n_docs, doc_ids)."""
     return (

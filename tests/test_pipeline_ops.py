@@ -427,3 +427,23 @@ def test_ivf_planted_recall_at_scale_params():
     hits = sum(1 for r in got if r.rk == 1 and r.nn_id == r.q_id)
     recall = hits / len(base)
     assert recall >= 0.9, f"planted-NN recall {recall:.2f} < 0.9"
+
+
+def test_paragraph_dedup_keep_first_and_drop_empty(spark):
+    """Corpus-wide paragraph dedup: a paragraph survives only at its first
+    (doc_id, pos); docs left with zero paragraphs drop out; within-doc
+    repeats keep the earlier position; order is preserved on reassembly."""
+    from nutch_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha"),   # within-doc repeat of alpha
+            (2, "beta\n\ngamma"),            # beta already seen in doc 1
+            (3, "alpha\n\nbeta"),            # fully duplicated -> dropped
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].clean_text == "alpha\n\nbeta" and out[1].n_kept == 2
+    assert out[2].clean_text == "gamma" and out[2].n_kept == 1
