@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "linkdb_read",
     "index_clean",
     "paragraph_dedup",
+    "repetition_signals",
+    "ngram_contamination",
 ]
 
 

@@ -2328,6 +2328,144 @@ GROUP BY doc_id
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (functions/text.py:
+    repetition_signals). The real documents corpus is single-line, so the
+    fixture derives multi-line docs from orders with planted repeats: every
+    k%3==0 doc repeats its first line, and 'alpha beta' recurs so the top
+    bigram is exercised (ties break deterministically to the larger gram in
+    both engines)."""
+    from nutch_spark.functions.text import repetition_signals
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("doc_id"))
+    k = F.col("doc_id")
+    line1 = F.format_string("alpha beta gamma-%d", k % 5)
+    line2 = F.when(k % 3 == 0, line1).otherwise(
+        F.format_string("delta-%d epsilon", k))
+    docs = o.select(
+        "doc_id",
+        F.concat_ws("\n", line1, line2, F.lit("alpha beta tail")).alias("text"),
+    )
+    return docs.select(
+        "doc_id", repetition_signals(F.col("text")).alias("r")
+    ).select("doc_id", "r.*")
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH docs AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+         ('alpha beta gamma-' || (o_orderkey % 5)) || chr(10) ||
+         (CASE WHEN o_orderkey % 3 = 0
+               THEN 'alpha beta gamma-' || (o_orderkey % 5)
+               ELSE 'delta-' || o_orderkey || ' epsilon' END) || chr(10) ||
+         'alpha beta tail' AS text
+  FROM orders
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM docs
+),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM (SELECT doc_id, unnest(ls) AS line FROM lines)
+  GROUP BY doc_id, line
+),
+line_chars AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS INT) AS n_lines,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(c * len) AS BIGINT) AS total_chars,
+         CAST(SUM((c - 1) * len) AS BIGINT) AS dup_chars
+  FROM per_line GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^\w\s]+', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM docs
+),
+tokchars AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0) AS BIGINT) AS token_chars
+  FROM toks
+),
+gcount AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2)
+  GROUP BY doc_id, g
+),
+gbest AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, c, g,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rk
+    FROM gcount) WHERE rk = 1
+)
+SELECT d.doc_id,
+       COALESCE(lc.n_lines, 0) AS n_lines,
+       CASE WHEN lc.n_lines > 0
+            THEN ROUND((lc.n_lines - lc.n_distinct) / lc.n_lines, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN lc.total_chars > 0
+            THEN ROUND(lc.dup_chars / lc.total_chars, 6)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN gb.c IS NOT NULL AND tc.token_chars > 0
+            THEN ROUND(gb.c * (length(gb.g) - 1) / tc.token_chars, 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM docs d
+LEFT JOIN line_chars lc USING (doc_id)
+LEFT JOIN tokchars tc USING (doc_id)
+LEFT JOIN gbest gb USING (doc_id)
+"""
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination detection over the real documents table:
+    benchmark = docs with doc_id % 10 == 0 (an eval-suite stand-in),
+    training side = the rest; a training doc is contaminated when it shares
+    any 8-token word n-gram with the benchmark (GPT-3 appendix C-style
+    decontamination). The benchmark gram-hash set is broadcast, so the
+    training side never shuffles."""
+    from nutch_spark.operators.dedup import ngram_contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(train, bench, n=8)
+
+
+SQL_NGRAM_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^\w\s]+', ' ', 'g')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+  WHERE len(t) >= 8
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_hits
+  FROM grams g JOIN bench USING (h)
+  WHERE g.doc_id % 10 <> 0
+  GROUP BY g.doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(c.n_grams AS BIGINT) AS n_grams,
+       ROUND(h.n_hits / c.n_grams, 6) AS contaminated_frac
+FROM hits h JOIN counts c USING (doc_id)
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -2930,6 +3068,8 @@ FROM ks
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
+    "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
     "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),

@@ -138,6 +138,89 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_signals(text: Column) -> Column:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    appendix A1.1 "repetition" filters — the standard pretraining-quality
+    gate a crawl corpus feeds). Returns a struct:
+
+      n_lines             non-empty trimmed lines
+      dup_line_frac       fraction of line occurrences repeating an earlier
+                          line: (n_lines - n_distinct) / n_lines
+      dup_line_char_frac  fraction of line characters on repeat occurrences:
+                          sum((c_i - 1) * len_i) / sum(c_i * len_i)
+      top_bigram_frac     character fraction covered by the most frequent
+                          word 2-gram: c_top * chars(top) / sum(token chars)
+
+    All-array Catalyst expressions — per-row work only, NO shuffle, so at
+    100 TB the filter composes with the scan (predicate on the struct
+    fields prunes before any exchange). Per-row cost is O(distinct × total)
+    over lines/bigrams of ONE document — bounded by document length, not by
+    corpus size. Ties for the top bigram break to the lexicographically
+    larger gram (max over (count, gram) structs), deterministic in both
+    engines; numerators/denominators stay integral until one final
+    division so the DuckDB oracle's doubles match bit-for-bit."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dl = F.array_distinct(lines)
+    line_counts = F.transform(
+        dl,
+        lambda d: F.struct(
+            F.size(F.filter(lines, lambda l: l == d)).alias("c"),
+            F.length(d).alias("len"),
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    total_line_chars = F.aggregate(
+        line_counts, zero, lambda acc, s: acc + s["c"].cast("long") * s["len"]
+    )
+    dup_line_chars = F.aggregate(
+        line_counts, zero,
+        lambda acc, s: acc + (s["c"] - 1).cast("long") * s["len"],
+    )
+    dup_line_frac = F.when(
+        n_lines > 0, F.round((n_lines - F.size(dl)) / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        total_line_chars > 0, F.round(dup_line_chars / total_line_chars, 6)
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    best = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                g.alias("gram"),
+            ),
+        )
+    )
+    token_chars = F.aggregate(toks, zero, lambda acc, t: acc + F.length(t))
+    top_bigram_frac = F.when(
+        best.isNotNull() & (token_chars > 0),
+        # the gram string carries one joining space: chars(top) = len - 1
+        F.round(best["c"] * (F.length(best["gram"]) - 1) / token_chars, 6),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Rolling-hash document fingerprint: xxhash64 over normalized text —
     cheap exact-dup key (the TextProfileSignature role for pipelines)."""

@@ -412,3 +412,57 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
             stacklevel=2,
         )
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap decontamination check)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(documents: DataFrame, benchmark: DataFrame,
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination detection: flag training documents sharing
+    any word n-gram with a held-out benchmark/eval set (the standard
+    decontamination pass — GPT-3 appendix C / PaLM-style 8-gram overlap —
+    run before a crawl corpus becomes training data).
+
+    Plan shape: each side explodes to its DISTINCT word n-grams keyed by
+    md5 (fixed-width 32-char join key instead of arbitrarily long gram
+    strings); candidates come from ONE equi-join on that hash — never
+    all-pairs. The benchmark side (eval suites: thousands of docs vs a
+    10^10-doc corpus) is broadcast, so the 100 TB training side joins
+    map-side with NO shuffle at all; hash keys are uniform by construction
+    so there is no skew to handle. Output: one row per contaminated
+    training doc with the distinct-hit count and contaminated fraction.
+    """
+    from nutch_spark.functions.text import tokens_col
+
+    def gram_hashes(df: DataFrame, with_total: bool) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        n_toks = F.size(toks)
+        grams = F.when(
+            n_toks >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_toks - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        dg = F.array_distinct(grams)
+        cols = [F.col(id_col)]
+        if with_total:
+            cols.append(F.size(dg).alias("n_grams"))
+        return df.select(*cols, F.explode(dg).alias("_gram")).select(
+            *([id_col, "n_grams"] if with_total else [id_col]),
+            F.md5("_gram").alias("_h"),
+        )
+
+    train = gram_hashes(documents, with_total=True)
+    bench = gram_hashes(benchmark, with_total=False).select("_h").distinct()
+    hits = train.join(F.broadcast(bench), "_h")
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_hits"),
+        F.first("n_grams").cast("long").alias("n_grams"),
+        F.round(F.count("*") / F.first("n_grams"), 6).alias("contaminated_frac"),
+    )

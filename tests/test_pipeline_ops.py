@@ -447,3 +447,73 @@ def test_paragraph_dedup_keep_first_and_drop_empty(spark):
     assert set(out) == {1, 2}
     assert out[1].clean_text == "alpha\n\nbeta" and out[1].n_kept == 2
     assert out[2].clean_text == "gamma" and out[2].n_kept == 1
+
+
+def test_repetition_signals_gopher_fractions(spark):
+    """Gopher repetition signals: dup-line fraction/char fraction over
+    trimmed non-empty lines, top word-bigram char coverage, zero-safe on
+    empty text, deterministic tie-break to the larger gram."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma\nalpha beta gamma\ndelta epsilon"),
+            (1, "solo line only"),
+            (2, ""),
+            (3, "x y\nx y\nx y\n  \nz"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", repetition_signals(F.col("text")).alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    r0 = out[0]
+    assert r0.n_lines == 3
+    assert abs(r0.dup_line_frac - 1 / 3) < 1e-6
+    # dup chars: one repeat of the 16-char line; total 2*16 + 13 = 45
+    assert abs(r0.dup_line_char_frac - 16 / 45) < 1e-6
+    # top bigram 'alpha beta' (ties beat 'beta gamma' on count=2 equally ->
+    # lexicographically larger wins: 'beta gamma'); both cover 9 chars,
+    # count 2, token chars 40 -> 18/40
+    assert abs(r0.top_bigram_frac - 18 / 40) < 1e-6
+    assert out[1].dup_line_frac == 0.0 and out[1].dup_line_char_frac == 0.0
+    assert out[2].n_lines == 0 and out[2].top_bigram_frac == 0.0
+    r3 = out[3]  # 'x y' x3 + 'z'; blank line dropped by trim-filter
+    assert r3.n_lines == 4
+    assert abs(r3.dup_line_frac - 2 / 4) < 1e-6
+    assert abs(r3.dup_line_char_frac - 6 / 10) < 1e-6
+
+
+def test_ngram_contamination_hits_and_broadcast_shape(spark):
+    """Contamination: only training docs sharing an n-gram with the
+    benchmark side are flagged; counts are over DISTINCT grams; the
+    benchmark side arrives via a broadcast join (no shuffle on the
+    training side)."""
+    from nutch_spark.operators.dedup import ngram_contamination
+
+    words = [f"w{i}" for i in range(12)]
+    clean = " ".join(f"c{i}" for i in range(12))
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(words)),            # shares all grams
+            (2, " ".join(words[:5]) + " zz " + " ".join(words[5:])),
+            (3, clean),                       # no overlap
+            (4, "too short"),                 # < n tokens -> no grams
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(100, " ".join(words))], "doc_id int, text string")
+    out = ngram_contamination(train, bench, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_hits == rows[1].n_grams == 8  # 12 tokens -> 8 5-grams
+    assert rows[1].contaminated_frac == 1.0
+    # doc 2: 13 tokens -> 9 5-grams; windows crossing the 'zz' insert miss;
+    # matches are 1 leading (w0..w4) + 3 fully inside w5..w11 = 4 of 9
+    assert rows[2].n_hits == 4 and rows[2].n_grams == 9
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
