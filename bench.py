@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "repetition_signals",
     "ngram_contamination",
+    "domain_quota_sample",
 ]
 
 

@@ -2334,11 +2334,16 @@ def q_repetition_signals(spark, sf_dir):
     fixture derives multi-line docs from orders with planted repeats: every
     k%3==0 doc repeats its first line, and 'alpha beta' recurs so the top
     bigram is exercised (ties break deterministically to the larger gram in
-    both engines)."""
-    from nutch_spark.functions.text import repetition_signals
+    both engines). Uses the staged DataFrame form (intermediates pinned
+    behind Generate barriers — PLANS §6.25)."""
+    from nutch_spark.functions.text import with_repetition_signals
 
+    # the sf0.1 orders parquet is ONE small file -> a single scan partition;
+    # a real corpus arrives in thousands of splits, so spread the map work
+    # the way the scan would at scale
     o = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long").alias("doc_id"))
+        F.col("o_orderkey").cast("long").alias("doc_id")
+    ).repartition(spark.sparkContext.defaultParallelism)
     k = F.col("doc_id")
     line1 = F.format_string("alpha beta gamma-%d", k % 5)
     line2 = F.when(k % 3 == 0, line1).otherwise(
@@ -2347,9 +2352,7 @@ def q_repetition_signals(spark, sf_dir):
         "doc_id",
         F.concat_ws("\n", line1, line2, F.lit("alpha beta tail")).alias("text"),
     )
-    return docs.select(
-        "doc_id", repetition_signals(F.col("text")).alias("r")
-    ).select("doc_id", "r.*")
+    return with_repetition_signals(docs).select("doc_id", "rep.*")
 
 
 SQL_REPETITION_SIGNALS = r"""
@@ -2432,7 +2435,9 @@ def q_ngram_contamination(spark, sf_dir):
     training side never shuffles."""
     from nutch_spark.operators.dedup import ngram_contamination
 
-    d = load(spark, sf_dir, "documents")
+    # single-file fixture -> spread like a many-split scan would at scale
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return ngram_contamination(train, bench, n=8)
@@ -2463,6 +2468,28 @@ SELECT h.doc_id,
        CAST(c.n_grams AS BIGINT) AS n_grams,
        ROUND(h.n_hits / c.n_grams, 6) AS contaminated_frac
 FROM hits h JOIN counts c USING (doc_id)
+"""
+
+
+def q_domain_quota_sample(spark, sf_dir):
+    """Deterministic per-source quota sampling (domain mixing): at most 7
+    docs per source survive, chosen by md5 priority. The oracle restates
+    the selection as one ROW_NUMBER window; the Spark side runs the
+    two-phase salted form and must pick the identical set (the salt phase
+    keeps a superset, so the final per-key top-K is exact)."""
+    from nutch_spark.operators.sampling import domain_quota_sample
+
+    d = load(spark, sf_dir, "documents")
+    return domain_quota_sample(d, quota=7).select("doc_id", "source")
+
+
+SQL_DOMAIN_QUOTA_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents) WHERE rk <= 7
 """
 
 
@@ -3070,6 +3097,7 @@ QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
     "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
     "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
     "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),

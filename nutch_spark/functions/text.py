@@ -153,35 +153,36 @@ def repetition_signals(text: Column) -> Column:
 
     All-array Catalyst expressions — per-row work only, NO shuffle, so at
     100 TB the filter composes with the scan (predicate on the struct
-    fields prunes before any exchange). Per-row cost is O(distinct × total)
-    over lines/bigrams of ONE document — bounded by document length, not by
-    corpus size. Ties for the top bigram break to the lexicographically
-    larger gram (max over (count, gram) structs), deterministic in both
-    engines; numerators/denominators stay integral until one final
-    division so the DuckDB oracle's doubles match bit-for-bit."""
+    fields prunes before any exchange). Per-row cost is O(n log n): counts
+    come from SORTED arrays (adjacent-equality for dup lines, a one-pass
+    run-length aggregate for the top bigram), never from a
+    distinct × occurrences rescan — the naive filter-per-distinct form
+    measured ~1 ms/row on 3-line docs and would go quadratic on line-heavy
+    ones. Ties for the top bigram break to the lexicographically larger
+    gram (max over (count, gram) structs), deterministic in both engines;
+    numerators/denominators stay integral until one final division so the
+    DuckDB oracle's doubles match bit-for-bit."""
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
     n_lines = F.size(lines)
-    dl = F.array_distinct(lines)
-    line_counts = F.transform(
-        dl,
-        lambda d: F.struct(
-            F.size(F.filter(lines, lambda l: l == d)).alias("c"),
-            F.length(d).alias("len"),
-        ),
-    )
     zero = F.lit(0).cast("long")
-    total_line_chars = F.aggregate(
-        line_counts, zero, lambda acc, s: acc + s["c"].cast("long") * s["len"]
-    )
-    dup_line_chars = F.aggregate(
-        line_counts, zero,
-        lambda acc, s: acc + (s["c"] - 1).cast("long") * s["len"],
-    )
+    ls = F.array_sort(lines)
+    # element i (1-based, i>=2) is a repeat occurrence iff ls[i] == ls[i-1]
+    rep_lens = F.when(
+        n_lines >= 2,
+        F.zip_with(
+            F.slice(ls, 1, n_lines - 1),
+            F.slice(ls, 2, n_lines - 1),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    dup_line_chars = F.aggregate(rep_lens, zero, lambda acc, x: acc + x)
+    n_dup_lines = F.size(F.filter(rep_lens, lambda x: x > 0))
+    total_line_chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x))
     dup_line_frac = F.when(
-        n_lines > 0, F.round((n_lines - F.size(dl)) / n_lines, 6)
+        n_lines > 0, F.round(n_dup_lines / n_lines, 6)
     ).otherwise(F.lit(0.0))
     dup_line_char_frac = F.when(
         total_line_chars > 0, F.round(dup_line_chars / total_line_chars, 6)
@@ -198,18 +199,34 @@ def repetition_signals(text: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    best = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                g.alias("gram"),
-            ),
-        )
+    # one-pass run-length max over the sorted grams: each step extends or
+    # restarts the current run and folds (run, gram) into the best struct;
+    # equal counts resolve to the larger gram because sorted order reaches
+    # it later and struct comparison breaks the tie on the second field
+    empty_best = F.struct(F.lit(0).alias("c"), F.lit("").alias("gram"))
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            empty_best.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.struct(
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1)).alias("c"),
+                    x.alias("gram"),
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     token_chars = F.aggregate(toks, zero, lambda acc, t: acc + F.length(t))
     top_bigram_frac = F.when(
-        best.isNotNull() & (token_chars > 0),
+        (best["c"] > 0) & (token_chars > 0),
         # the gram string carries one joining space: chars(top) = len - 1
         F.round(best["c"] * (F.length(best["gram"]) - 1) / token_chars, 6),
     ).otherwise(F.lit(0.0))
@@ -219,6 +236,104 @@ def repetition_signals(text: Column) -> Column:
         dup_line_char_frac.alias("dup_line_char_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
     )
+
+
+def with_repetition_signals(df, text_col: str = "text",
+                            out_col: str = "rep"):
+    """DataFrame-level repetition_signals — USE THIS ON HOT PATHS. Same
+    semantics and output struct as repetition_signals(Column), but the
+    intermediate arrays (lines, sorted lines, tokens, sorted bigrams,
+    repeat-length vector) and scalar folds are pinned behind Generate
+    barriers (normalizers.with_column_once) so each is computed ONCE per
+    row. Higher-order functions are CodegenFallback in Spark and the
+    interpreted projection does no common-subexpression elimination, so
+    the pure-Column form re-evaluates the split/sort/aggregate chains per
+    reference — measured 45.7 s vs 5.1 s over the 150k-row bench fixture
+    (PLANS §6.25)."""
+    from nutch_spark.functions.normalizers import with_column_once
+
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    df = with_column_once(df, "_lines", lines)
+    zero = F.lit(0).cast("long")
+    n_lines = F.size("_lines")
+    toks = tokens_col(text)
+    df = with_column_once(
+        df, "_arrs",
+        F.struct(
+            F.array_sort("_lines").alias("ls"), toks.alias("toks")
+        ),
+    )
+    ls = F.col("_arrs.ls")
+    tk = F.col("_arrs.toks")
+    n_toks = F.size(tk)
+    rep_lens = F.when(
+        n_lines >= 2,
+        F.zip_with(
+            F.slice(ls, 1, n_lines - 1),
+            F.slice(ls, 2, n_lines - 1),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    empty_best = F.struct(F.lit(0).alias("c"), F.lit("").alias("gram"))
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            empty_best.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.struct(
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1)).alias("c"),
+                    x.alias("gram"),
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    df = with_column_once(
+        df, "_folds",
+        F.struct(
+            F.aggregate(rep_lens, zero, lambda acc, x: acc + x).alias("dup_chars"),
+            F.size(F.filter(rep_lens, lambda x: x > 0)).alias("n_dup"),
+            F.aggregate(
+                F.col("_lines"), zero, lambda acc, x: acc + F.length(x)
+            ).alias("total_chars"),
+            F.aggregate(tk, zero, lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+            best.alias("best"),
+        ),
+    )
+    f = F.col("_folds")
+    out = F.struct(
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, F.round(f["n_dup"] / n_lines, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(f["total_chars"] > 0,
+               F.round(f["dup_chars"] / f["total_chars"], 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(
+            (f["best"]["c"] > 0) & (f["tok_chars"] > 0),
+            F.round(f["best"]["c"] * (F.length(f["best"]["gram"]) - 1) / f["tok_chars"], 6),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+    return df.withColumn(out_col, out).drop("_lines", "_arrs", "_folds")
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:

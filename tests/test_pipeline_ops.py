@@ -517,3 +517,37 @@ def test_ngram_contamination_hits_and_broadcast_shape(spark):
     # matches are 1 leading (w0..w4) + 3 fully inside w5..w11 = 4 of 9
     assert rows[2].n_hits == 4 and rows[2].n_grams == 9
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_domain_quota_sample_deterministic_and_skew_safe(spark):
+    """Per-domain quota sampling: each key keeps min(quota, n) rows, the
+    kept set is the exact md5-priority top-K (two-phase salted result ==
+    single-window reference), and re-running yields the identical set."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.sampling import domain_quota_sample
+
+    rows = [(i, "mega" if i < 200 else f"tail{i % 5}") for i in range(230)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = domain_quota_sample(df, quota=3, salt_buckets=4)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    per_key = {}
+    for did, src in got:
+        per_key[src] = per_key.get(src, 0) + 1
+    assert per_key["mega"] == 3
+    assert all(v <= 3 for v in per_key.values())
+
+    # reference selection: one global window, no salting
+    import hashlib
+
+    want = {}
+    for did, src in rows:
+        pri = hashlib.md5(f"{src}:{did}".encode()).hexdigest()
+        want.setdefault(src, []).append((pri, did))
+    ref = {
+        (did, src)
+        for src, lst in want.items()
+        for _, did in sorted(lst)[:3]
+    }
+    assert got == ref
+    assert {(r.doc_id, r.source) for r in out.collect()} == got
