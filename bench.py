@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "repetition_signals",
     "ngram_contamination",
     "domain_quota_sample",
+    "pii_scrub",
+    "sequence_pack",
+    "train_val_split",
 ]
 
 

@@ -2493,6 +2493,140 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val split
+    (operators/sampling.train_val_split): the 500 lowest of 10,000 md5
+    buckets are validation (val_frac 0.05). Map-only — zero Exchange;
+    membership is recomputable from the id alone. The oracle restates the
+    bucket arithmetic with DuckDB's hex cast."""
+    from nutch_spark.operators.sampling import train_val_split
+
+    d = load(spark, sf_dir, "documents")
+    return train_val_split(d, val_frac=0.05).select("doc_id", "split")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+       CASE WHEN (('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 10000) < 500
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub pass (functions/pii.py): per-category regex counts +
+    typed-placeholder redaction, pure Catalyst (zero Exchange). The
+    synthetic corpus carries no PII, so both engines build the identical
+    deterministic fixture — doc_id-derived email/phone/ip/ssn/cc snippets
+    appended on modular gates — and the hash compare then verifies the
+    PATTERNS behave identically under Java regex and RE2 (the dialect
+    parity the module promises)."""
+    from nutch_spark.functions.pii import pii_counts, scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pad = lambda m, w: F.lpad(s(did % m), w, "0")  # noqa: E731
+    fixture = F.concat(
+        F.substring("text", 1, 40),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail user"), s(did), F.lit("@example.com"))
+               ).otherwise(""),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" tel +1-555-"), pad(1000, 3), F.lit("-"),
+                        pad(10000, 4))).otherwise(""),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" ip "), s(did % 256), F.lit(".10.0."),
+                        s((did * 7) % 256))).otherwise(""),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" ssn "), pad(1000, 3), F.lit("-"),
+                        pad(100, 2), F.lit("-"), pad(10000, 4))
+               ).otherwise(""),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" card "), pad(10000, 4), F.lit("-"),
+                        pad(10000, 4), F.lit("-"), pad(10000, 4),
+                        F.lit("-"), pad(10000, 4))).otherwise(""),
+    )
+    return d.select(
+        "doc_id",
+        pii_counts(fixture).alias("p"),
+        scrub_pii(fixture).alias("scrubbed"),
+    ).select("doc_id", "p.*", "scrubbed")
+
+
+SQL_PII_SCRUB = r"""
+WITH fixture AS (
+  SELECT doc_id,
+         substring(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN ' tel +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' ip ' || CAST(doc_id % 256 AS VARCHAR) || '.10.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' card ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS INT) AS n_cc,
+       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+            + len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+            + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+            + len(regexp_extract_all(t, '\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b')) AS INT) AS n_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM fixture
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style concatenate-then-chunk sequence packing
+    (operators/packing.pack_sequences): per (source, md5-nibble shard),
+    docs laid end to end by doc_id and the token stream cut into 64-token
+    chunks; one row per (doc, chunk) with the doc's token slice. The
+    oracle restates the same plan as one window cumsum + generate_series;
+    the md5-nibble shard keeps the selection engine-neutral."""
+    from nutch_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, max_len=64, group_col="source", shards=4)
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 4 AS INT) AS shard,
+         CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^\w\s]+', ' ', 'g')), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM toks WHERE n_tokens > 0),
+spans AS (
+  SELECT doc_id, source, shard, n_tokens, c - n_tokens AS s,
+         unnest(generate_series((c - n_tokens) // 64, (c - 1) // 64)) AS chunk_id
+  FROM cum)
+SELECT doc_id, source, shard, chunk_id, n_tokens,
+       GREATEST(0, chunk_id * 64 - s) AS tok_start,
+       LEAST(n_tokens, (chunk_id + 1) * 64 - s) AS tok_end
+FROM spans
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one row per sampled timestamp
     (JVM-side sequence+explode; per-frame decode stays a downstream Arrow
@@ -3095,6 +3229,9 @@ FROM ks
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
     # --- 0. new this round (round 4) ---
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),

@@ -551,3 +551,129 @@ def test_domain_quota_sample_deterministic_and_skew_safe(spark):
     }
     assert got == ref
     assert {(r.doc_id, r.source) for r in out.collect()} == got
+
+
+def test_pii_counts_and_scrub(spark):
+    """PII pass: per-category counts on the original text, typed
+    placeholders in scrub order, null-safe, and map-only (the executed
+    plan has zero Exchange nodes — the scrub composes with the scan)."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "write to a.user+tag@mail.example.org or b@ex.co today"),
+            (1, "ssn 123-45-6789 card 1234-5678-9012-3456 end"),
+            (2, "server 10.0.255.3 and 192.168.1.1 tel +1-555-123-4567"),
+            (3, "no pii here at all"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", pii_counts(F.col("text")).alias("p"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).select("doc_id", "p.*", "s").collect()
+    }
+    assert (out[0].n_email, out[0].n_pii) == (2, 2)
+    assert "a.user+tag@mail.example.org" not in out[0].s
+    assert out[0].s.count("<EMAIL>") == 2
+    assert (out[1].n_ssn, out[1].n_cc) == (1, 1)
+    assert out[1].s == "ssn <SSN> card <CC> end"
+    assert (out[2].n_ipv4, out[2].n_phone) == (2, 1)
+    assert out[2].s == "server <IP> and <IP> tel <PHONE>"
+    assert out[3].n_pii == 0 and out[3].s == "no pii here at all"
+    assert out[4].n_pii == 0 and out[4].s is None
+
+    plan = df.select(scrub_pii(F.col("text")).alias("s"),
+                     pii_counts(F.col("text")).alias("p"))
+    assert "Exchange" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: chunks are exactly max_len except the last of
+    each (group, shard); per-doc slices partition the doc's tokens in
+    chunk order; the result is independent of input partitioning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = [
+        (i, "src%d" % (i % 3), " ".join("w%d" % rng.randrange(50)
+                                         for _ in range(rng.randrange(1, 40))))
+        for i in range(120)
+    ] + [(200, "src0", ""), (201, "src1", None)]  # dropped: no tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, max_len=16, group_col="source", shards=4)
+    got = out.collect()
+    assert {r.doc_id for r in got} == set(range(120))
+    assert all(0 <= r.shard < 4 for r in got)
+    assert all(0 <= r.tok_start < r.tok_end <= r.n_tokens for r in got)
+
+    # per (group, shard, chunk): full chunks everywhere but the tail
+    per_chunk, last = {}, {}
+    for r in got:
+        k = (r.source, r.shard)
+        per_chunk[(k, r.chunk_id)] = per_chunk.get((k, r.chunk_id), 0) \
+            + (r.tok_end - r.tok_start)
+        last[k] = max(last.get(k, -1), r.chunk_id)
+    for (k, cid), tot in per_chunk.items():
+        assert tot == 16 or cid == last[k], (k, cid, tot)
+
+    # per doc: slices cover [0, n_tokens) contiguously in chunk order
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for did, rs in per_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert rs[0].tok_start == 0 and rs[-1].tok_end == rs[0].n_tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a.tok_end == b.tok_start and b.chunk_id == a.chunk_id + 1
+
+    # partitioning-independence: same manifest from a reshuffled input
+    got2 = pack_sequences(df.repartition(7), max_len=16,
+                          group_col="source", shards=4).collect()
+    key = lambda r: (r.doc_id, r.chunk_id, r.tok_start, r.tok_end, r.shard)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, got2))
+
+
+def test_train_val_split_deterministic_and_uniform(spark):
+    """Hash-bucket split: deterministic across runs and partitionings,
+    val fraction lands near val_frac, salt changes the assignment,
+    growing the corpus never reassigns an existing id, and the plan is
+    map-only (zero Exchange)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.operators.sampling import train_val_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = train_val_split(df, val_frac=0.1)
+    got = {r.doc_id: r.split for r in out.collect()}
+
+    # reference recomputation (pure python md5, same arithmetic)
+    def ref(did):
+        h = int(hashlib.md5(f"split:{did}".encode()).hexdigest()[:12], 16)
+        return "val" if h % 10000 < 1000 else "train"
+
+    assert got == {d: ref(d) for d in range(4000)}
+    frac = sum(1 for v in got.values() if v == "val") / len(got)
+    assert 0.07 < frac < 0.13  # binomial around 0.1
+    # stability under growth: the first 4000 keep their split in a 8000-row corpus
+    df2 = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    got2 = {r.doc_id: r.split
+            for r in train_val_split(df2, val_frac=0.1).collect()}
+    assert all(got2[d] == got[d] for d in range(4000))
+    # a different salt reshuffles membership
+    alt = {r.doc_id: r.split
+           for r in train_val_split(df, val_frac=0.1, salt="fold2").collect()}
+    assert alt != got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
