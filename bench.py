@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "sequence_pack",
     "train_val_split",
+    "dataset_build",
 ]
 
 

@@ -27,6 +27,8 @@ Commands:
   loops       Loops: short-cycle detection
   parsechecker  single-document parse debug (local html file + url)
   indexchecker  single-document indexing-filter debug
+  dataset     end-to-end training-dataset build over a documents parquet
+              (lang gate -> quality -> dedup -> PII scrub -> quota -> split)
 """
 
 from __future__ import annotations
@@ -108,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     add("fileproto", (["urls"], {"nargs": "+"}),
         (["-maxContentLength"], {"dest": "max_len", "type": int}),
         (["-dumpContent"], {"dest": "dump_content", "action": "store_true"}))
+    add("dataset", (["documents"], {}),
+        (["-langs"], {"default": "en"}),
+        (["-minChars"], {"dest": "min_chars", "type": int, "default": 80}),
+        (["-punctPermille"], {"dest": "punct_permille", "type": int,
+                              "default": 200}),
+        (["-quota"], {"type": int, "default": 1000}),
+        (["-valFrac"], {"dest": "val_frac", "type": float, "default": 0.01}))
     add("parsechecker", (["html"], {}), (["url"], {}),
         (["-forceAs"], {"dest": "force_as"}),
         (["-dumpText"], {"dest": "dump_text", "action": "store_true"}))
@@ -212,6 +221,19 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df = df.drop("content")
         _emit(df, args)
+    elif args.cmd == "dataset":
+        # end-to-end training-dataset build over a documents parquet
+        # (lang gate -> quality -> exact dedup -> PII scrub -> domain
+        # quota -> train/val split) — the composed pipeline surface,
+        # drivable standalone like the other tools
+        from nutch_spark.plans.dataset import build_dataset
+        _emit(build_dataset(
+            read(args.documents),
+            langs=tuple(s for s in args.langs.split(",") if s),
+            min_chars=args.min_chars,
+            punct_permille_max=args.punct_permille,
+            quota=args.quota,
+            val_frac=args.val_frac), args)
     elif args.cmd == "parsechecker":
         from nutch_spark.operators.checkers import check_parse
         df = check_parse(_content_df(spark, args.html, args.url, None),

@@ -108,3 +108,23 @@ def test_indexchecker_cli(tool_data, capsys, tmp_path):
     html.write_text("<html><head><title>T2</title></head><body>b</body></html>")
     out = _run(["indexchecker", str(html), "http://site.example.com/q"], capsys)
     assert "title" in out and "T2" in out
+
+
+def test_dataset_build_cli(tool_data, capsys, spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i,
+          "the and of to in is that for with was " * 4 + f"doc {i}",
+          f"src{i % 3}")
+         for i in range(30)]
+        + [(100 + i, "le la les et des est pour dans que une " * 4, "srcX")
+           for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "docs"))
+    _run(["dataset", str(tmp_path / "docs"), "-quota", "5",
+          "-valFrac", "0.1", "--out", str(tmp_path / "manifest")], capsys)
+    rows = spark.read.parquet(str(tmp_path / "manifest")).collect()
+    # french docs gated out; quota 5 per source over 3 english sources
+    assert len(rows) == 15
+    assert all(r.lang_pred == "en" and r.split in ("train", "val")
+               for r in rows)

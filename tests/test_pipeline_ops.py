@@ -677,3 +677,51 @@ def test_train_val_split_deterministic_and_uniform(spark):
     assert alt != got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dataset_build_composition(spark):
+    """End-to-end build_dataset: every stage bites, dedup removes ALL
+    shifted duplicates (so the manifest is invariant to re-unioning them),
+    quota and split invariants hold, and the whole build runs in a bounded
+    number of shuffles (dedup agg + the two quota windows)."""
+    from nutch_spark.plans.dataset import build_dataset
+
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    dupes = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source"
+    )
+    kw = dict(langs=("en",), min_chars=80, punct_permille_max=200,
+              quota=20, val_frac=0.05)
+    out = build_dataset(d.unionByName(dupes), **kw)
+    rows = out.collect()
+
+    # dedup keep-first drops every shifted copy (original id always lower)
+    assert all(r.doc_id < 10_000_000 for r in rows)
+    # manifest invariant to the duplicate union
+    clean = build_dataset(d, **kw).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, clean))
+
+    # every stage constrained the output
+    assert 0 < len(rows) < d.count()
+    by_source = {}
+    for r in rows:
+        by_source[r.source] = by_source.get(r.source, 0) + 1
+        assert r.lang_pred == "en"
+        assert r.n_chars >= 80
+        assert r.split in ("train", "val")
+        assert r.n_tokens > 0
+    assert max(by_source.values()) <= 20  # quota bound
+
+    # bounded shuffle count: dedup agg + the two salted-quota windows
+    # (AQE's string includes the Initial Plan too — count the final only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("+- Exchange") <= 3
+    # the interpreted lang expression must appear ONCE (barrier held):
+    # no copy re-inlined into a Filter predicate
+    # (detect_language's CASE holds 2 array_sorts — WHEN + THEN branch;
+    # a re-inlined Filter copy would double that)
+    assert final.count("array_sort") <= 2
