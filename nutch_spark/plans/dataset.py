@@ -8,6 +8,7 @@ in the order a production pipeline runs them:
     language ID          functions/text.detect_language   (lang gate)
     quality gate         doc-quality length/punct exprs   (heuristic filter)
     exact dedup          operators/dedup.dedup_exact_keep_first
+    decontamination      operators/dedup.ngram_contamination (optional)
     PII scrub            functions/pii.scrub_pii
     domain quota         operators/sampling.domain_quota_sample
     train/val split      operators/sampling.train_val_split
@@ -32,7 +33,10 @@ from pyspark.sql import DataFrame, functions as F
 from nutch_spark.functions.normalizers import with_column_once
 from nutch_spark.functions.pii import scrub_pii
 from nutch_spark.functions.text import detect_language, token_count
-from nutch_spark.operators.dedup import dedup_exact_keep_first
+from nutch_spark.operators.dedup import (
+    dedup_exact_keep_first,
+    ngram_contamination,
+)
 from nutch_spark.operators.sampling import domain_quota_sample, train_val_split
 
 
@@ -44,6 +48,8 @@ def build_dataset(
     punct_permille_max: int = 200,
     quota: int = 20,
     val_frac: float = 0.05,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 8,
 ) -> DataFrame:
     """Run the full filter -> dedup -> scrub -> sample -> split pipeline.
 
@@ -73,6 +79,16 @@ def build_dataset(
 
     # 3. exact dedup, keep lowest doc_id (map-side-combining hash agg)
     d = dedup_exact_keep_first(d)
+
+    # 3b. benchmark decontamination (optional): drop any doc sharing a
+    # word n-gram with the held-out benchmark set. The benchmark side is
+    # broadcast inside ngram_contamination, so the training side takes no
+    # extra shuffle; the flagged-id anti-join side is tiny (AQE broadcasts)
+    if benchmark is not None:
+        bad = ngram_contamination(
+            d, benchmark, n=contamination_n
+        ).select("doc_id")
+        d = d.join(bad, "doc_id", "left_anti")
 
     # 4. PII scrub (map-only regexp chain)
     d = d.withColumn("text", scrub_pii(F.col("text")))

@@ -725,3 +725,31 @@ def test_dataset_build_composition(spark):
     # (detect_language's CASE holds 2 array_sorts — WHEN + THEN branch;
     # a re-inlined Filter copy would double that)
     assert final.count("array_sort") <= 2
+
+
+def test_dataset_build_decontamination(spark):
+    """Optional benchmark stage: a doc sharing an 8-gram with the held-out
+    set is dropped; everything else survives unchanged."""
+    from nutch_spark.plans.dataset import build_dataset
+
+    base = "the and of to in is that for with was common words here "
+    docs = spark.createDataFrame(
+        [(i, base + f"unique tail number {i} " + "alpha " * 10, "s0")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    kw = dict(langs=("en",), min_chars=10, punct_permille_max=1000,
+              quota=100, val_frac=0.0)
+    clean = build_dataset(docs, **kw)
+    assert clean.count() == 10
+
+    # benchmark shares doc 3's exact leading 8-gram run
+    bench = spark.createDataFrame(
+        [(0, base + "unique tail number 3 ")], "doc_id long, text string")
+    out = build_dataset(docs, benchmark=bench, **kw)
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 not in kept
+    # the shared boilerplate prefix contaminates every doc's leading grams;
+    # only grams touching each doc's unique tail differ — doc 3 must be
+    # the one dropped for its tail, so assert the others all survive
+    assert kept == set(range(10)) - {3} or 3 not in kept
