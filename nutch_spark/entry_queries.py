@@ -2488,7 +2488,7 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS rk
+           ORDER BY md5(coalesce(source, '') || ':' || CAST(doc_id AS VARCHAR))) AS rk
   FROM documents) WHERE rk <= 7
 """
 
@@ -2706,7 +2706,7 @@ quota AS (
   SELECT doc_id, source, lang_pred, n_chars, text FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY source
-      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR))) AS _qk
+      ORDER BY md5(coalesce(source, '') || ':' || CAST(doc_id AS VARCHAR))) AS _qk
     FROM scrubbed) WHERE _qk <= 20)
 SELECT doc_id, source, lang_pred, n_chars,
        CAST(len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')), '\\s+'),

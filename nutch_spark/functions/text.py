@@ -138,6 +138,93 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _lines_expr(text: Column) -> Column:
+    """Non-empty trimmed lines; null text yields an EMPTY array, so every
+    downstream signal reads 0 rather than NULL (under Spark 4's ANSI
+    defaults a NULL n_lines would make a numeric gate like
+    `rep.n_lines == 0` silently evaluate to NULL instead of catching the
+    doc the way it catches empty text)."""
+    return F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _rep_lens_expr(ls: Column, n_lines: Column) -> Column:
+    """Repeat-length vector over SORTED lines ls: element i (1-based,
+    i >= 2) carries len(ls[i]) iff ls[i] == ls[i-1] (a repeat occurrence),
+    else 0; fewer than two lines -> empty."""
+    return F.when(
+        n_lines >= 2,
+        F.zip_with(
+            F.slice(ls, 1, n_lines - 1),
+            F.slice(ls, 2, n_lines - 1),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _rep_fold_expr(rep_lens: Column) -> Column:
+    """ONE aggregate pass over the repeat-length vector ->
+    struct(dup_chars, n_dup). The single reference to rep_lens matters:
+    these are interpreted (CodegenFallback) HOFs with no CSE, so folding
+    both statistics in one pass halves the slice/zip_with work vs one
+    aggregate per statistic."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        rep_lens,
+        F.struct(zero.alias("dup_chars"), F.lit(0).alias("n_dup")),
+        lambda acc, x: F.struct(
+            (acc["dup_chars"] + x).alias("dup_chars"),
+            (acc["n_dup"] + F.when(x > 0, 1).otherwise(0)).alias("n_dup"),
+        ),
+    )
+
+
+def _bigrams_expr(toks: Column, n_toks: Column) -> Column:
+    """Adjacent word 2-grams joined by one space; < 2 tokens -> empty."""
+    return F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _best_bigram_expr(grams: Column) -> Column:
+    """One-pass run-length max over the sorted grams -> struct(c, gram):
+    each step extends or restarts the current run and folds (run, gram)
+    into the best struct; equal counts resolve to the lexicographically
+    larger gram because sorted order reaches it later and struct
+    comparison breaks the tie on the second field — deterministic in both
+    engines."""
+    empty_best = F.struct(F.lit(0).alias("c"), F.lit("").alias("gram"))
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            empty_best.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.struct(
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1)).alias("c"),
+                    x.alias("gram"),
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_signals(text: Column) -> Column:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     appendix A1.1 "repetition" filters — the standard pretraining-quality
@@ -162,68 +249,20 @@ def repetition_signals(text: Column) -> Column:
     gram (max over (count, gram) structs), deterministic in both engines;
     numerators/denominators stay integral until one final division so the
     DuckDB oracle's doubles match bit-for-bit."""
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
+    lines = _lines_expr(text)
     n_lines = F.size(lines)
     zero = F.lit(0).cast("long")
-    ls = F.array_sort(lines)
-    # element i (1-based, i>=2) is a repeat occurrence iff ls[i] == ls[i-1]
-    rep_lens = F.when(
-        n_lines >= 2,
-        F.zip_with(
-            F.slice(ls, 1, n_lines - 1),
-            F.slice(ls, 2, n_lines - 1),
-            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    dup_line_chars = F.aggregate(rep_lens, zero, lambda acc, x: acc + x)
-    n_dup_lines = F.size(F.filter(rep_lens, lambda x: x > 0))
+    rf = _rep_fold_expr(_rep_lens_expr(F.array_sort(lines), n_lines))
     total_line_chars = F.aggregate(lines, zero, lambda acc, x: acc + F.length(x))
     dup_line_frac = F.when(
-        n_lines > 0, F.round(n_dup_lines / n_lines, 6)
+        n_lines > 0, F.round(rf["n_dup"] / n_lines, 6)
     ).otherwise(F.lit(0.0))
     dup_line_char_frac = F.when(
-        total_line_chars > 0, F.round(dup_line_chars / total_line_chars, 6)
+        total_line_chars > 0, F.round(rf["dup_chars"] / total_line_chars, 6)
     ).otherwise(F.lit(0.0))
 
     toks = tokens_col(text)
-    n_toks = F.size(toks)
-    grams = F.when(
-        n_toks >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_toks - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # one-pass run-length max over the sorted grams: each step extends or
-    # restarts the current run and folds (run, gram) into the best struct;
-    # equal counts resolve to the larger gram because sorted order reaches
-    # it later and struct comparison breaks the tie on the second field
-    empty_best = F.struct(F.lit(0).alias("c"), F.lit("").alias("gram"))
-    best = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"),
-            empty_best.alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.struct(
-                    F.when(x == acc["prev"], acc["run"] + 1)
-                    .otherwise(F.lit(1)).alias("c"),
-                    x.alias("gram"),
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    best = _best_bigram_expr(_bigrams_expr(toks, F.size(toks)))
     token_chars = F.aggregate(toks, zero, lambda acc, t: acc + F.length(t))
     top_bigram_frac = F.when(
         (best["c"] > 0) & (token_chars > 0),
@@ -253,80 +292,38 @@ def with_repetition_signals(df, text_col: str = "text",
     from nutch_spark.functions.normalizers import with_column_once
 
     text = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    df = with_column_once(df, "_lines", lines)
+    df = with_column_once(df, "_lines", _lines_expr(text))
     zero = F.lit(0).cast("long")
     n_lines = F.size("_lines")
-    toks = tokens_col(text)
     df = with_column_once(
         df, "_arrs",
         F.struct(
-            F.array_sort("_lines").alias("ls"), toks.alias("toks")
+            F.array_sort("_lines").alias("ls"), tokens_col(text).alias("toks")
         ),
     )
     ls = F.col("_arrs.ls")
     tk = F.col("_arrs.toks")
-    n_toks = F.size(tk)
-    rep_lens = F.when(
-        n_lines >= 2,
-        F.zip_with(
-            F.slice(ls, 1, n_lines - 1),
-            F.slice(ls, 2, n_lines - 1),
-            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.when(
-        n_toks >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_toks - 1),
-            lambda i: F.concat(
-                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    empty_best = F.struct(F.lit(0).alias("c"), F.lit("").alias("gram"))
-    best = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"),
-            empty_best.alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.struct(
-                    F.when(x == acc["prev"], acc["run"] + 1)
-                    .otherwise(F.lit(1)).alias("c"),
-                    x.alias("gram"),
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    # _folds references rep_lens exactly once (the combined dup_chars +
+    # n_dup fold) — one aggregate per statistic would re-evaluate the
+    # slice/zip_with chain per reference in the interpreted projection
     df = with_column_once(
         df, "_folds",
         F.struct(
-            F.aggregate(rep_lens, zero, lambda acc, x: acc + x).alias("dup_chars"),
-            F.size(F.filter(rep_lens, lambda x: x > 0)).alias("n_dup"),
+            _rep_fold_expr(_rep_lens_expr(ls, n_lines)).alias("rep"),
             F.aggregate(
                 F.col("_lines"), zero, lambda acc, x: acc + F.length(x)
             ).alias("total_chars"),
             F.aggregate(tk, zero, lambda acc, t: acc + F.length(t)).alias("tok_chars"),
-            best.alias("best"),
+            _best_bigram_expr(_bigrams_expr(tk, F.size(tk))).alias("best"),
         ),
     )
     f = F.col("_folds")
     out = F.struct(
         n_lines.alias("n_lines"),
-        F.when(n_lines > 0, F.round(f["n_dup"] / n_lines, 6))
+        F.when(n_lines > 0, F.round(f["rep"]["n_dup"] / n_lines, 6))
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
         F.when(f["total_chars"] > 0,
-               F.round(f["dup_chars"] / f["total_chars"], 6))
+               F.round(f["rep"]["dup_chars"] / f["total_chars"], 6))
         .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
         F.when(
             (f["best"]["c"] > 0) & (f["tok_chars"] > 0),

@@ -32,15 +32,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from nutch_spark.functions.text import token_count
 
-_HEX = "0123456789abcdef"
-
-
 def _shard_expr(id_col: str, shards: int) -> "F.Column":
     """Deterministic shard in [0, shards) from the first two md5 nibbles
-    of the id (uniform for shards <= 256; engine-neutral: no xxhash)."""
-    md5 = f"md5(cast({id_col} as string))"
-    nib = lambda i: f"(instr('{_HEX}', substring({md5}, {i}, 1)) - 1)"  # noqa: E731
-    return F.expr(f"pmod({nib(1)} * 16 + {nib(2)}, {shards})").cast("int")
+    of the id (uniform for shards <= 256; engine-neutral: no xxhash —
+    conv(hex, 16, 10) here equals the strpos nibble arithmetic the DuckDB
+    oracle uses). Column-built, so any column name works (an F.expr
+    f-string would break on names needing quoting)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return F.pmod(h, F.lit(shards)).cast("int")
 
 
 def pack_sequences(documents: DataFrame, max_len: int,
@@ -62,7 +63,15 @@ def pack_sequences(documents: DataFrame, max_len: int,
     from nutch_spark.functions.normalizers import with_column_once
 
     part_cols = ([group_col] if group_col else []) + ["shard"]
-    w = Window.partitionBy(*part_cols).orderBy(id_col)
+    # ROWS framing, explicitly: the default frame for an ordered window is
+    # RANGE, which treats order-key ties as peers — two rows with the same
+    # id in one (group, shard) would BOTH get the combined running sum and
+    # map to the same overlapping token span (and the SQL oracle uses
+    # ROWS, so the engines would disagree). With ROWS each row gets its
+    # own prefix; duplicate-id rows then tie-break by input order, which
+    # is fine for the chunk arithmetic (spans stay disjoint and full).
+    w = (Window.partitionBy(*part_cols).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     L = F.lit(max_len).cast("long")
     start = F.col("_cum") - F.col("n_tokens")
     first_chunk = F.floor(start / L)

@@ -26,7 +26,13 @@ def domain_quota_sample(documents: DataFrame, quota: int,
     key. Priority ties are impossible (md5 over the unique doc id), so
     the kept set is exactly reproducible.
     """
-    pri = F.md5(F.concat_ws(":", F.col(key_col), F.col(id_col).cast("string")))
+    # coalesce, not concat_ws's silent null-skip: a NULL key must hash the
+    # same in both engines (DuckDB's || propagates NULL, concat_ws drops
+    # the field), and the priority string must always carry the ':'
+    # separator so the documented md5('key:id') shape holds for every row
+    pri = F.md5(F.concat(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        F.lit(":"), F.col(id_col).cast("string")))
     salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
     w_salt = Window.partitionBy(key_col, "_salt").orderBy("_pri")
     w_key = Window.partitionBy(key_col).orderBy("_pri")
