@@ -86,7 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     add("invertlinks", (["parse_data"], {}))
     add("mergedb", (["dbs"], {"nargs": "+"}))
     add("mergelinkdb", (["dbs"], {"nargs": "+"}))
-    add("mergesegs", (["segs"], {"nargs": "+"}))
+    add("mergesegs", (["segs"], {"nargs": "+"}),
+        (["-seg-ids"], {"dest": "seg_ids", "type": int, "nargs": "+",
+                        "help": "recency stamp per segment (same order as "
+                                "segs) for inputs lacking a 'segment' "
+                                "column; without it such inputs are "
+                                "stamped by ARGUMENT POSITION, so 'newest "
+                                "per url' means last-listed"}))
     add("readseg", (["fetch"], {}), (["docs"], {}), (["ptext"], {}),
         (["-get"], {}))
     add("solrdedup", (["index"], {}))
@@ -162,7 +168,10 @@ def main(argv: list[str] | None = None) -> int:
         _emit(merge_linkdbs([read(p) for p in args.dbs], cfg), args)
     elif args.cmd == "mergesegs":
         from nutch_spark.operators.mergers import merge_segments
-        _emit(merge_segments([read(p) for p in args.segs]), args)
+        if args.seg_ids is not None and len(args.seg_ids) != len(args.segs):
+            raise SystemExit("mergesegs: -seg-ids needs one id per segment")
+        _emit(merge_segments([read(p) for p in args.segs],
+                             seg_ids=args.seg_ids), args)
     elif args.cmd == "readseg":
         from nutch_spark.operators.stats import segment_dump, segment_get
         dump = segment_dump(read(args.fetch), read(args.docs), read(args.ptext))

@@ -2242,7 +2242,8 @@ ded AS (
 SELECT to_url AS url,
        COUNT(*) AS n_inlinks,
        'Inlinks:' || chr(10) ||
-       string_agg(' fromUrl: ' || from_url || ' anchor: ' || anchor,
+       string_agg(' fromUrl: ' || coalesce(from_url, '')
+                    || ' anchor: ' || coalesce(anchor, ''),
                   chr(10) ORDER BY from_url, anchor) AS inlinks_repr
 FROM ded GROUP BY to_url
 """

@@ -54,8 +54,11 @@ def dedup_paragraphs(documents: DataFrame, id_col: str = "doc_id",
     ).withColumn("_h", F.md5(F.col("para")))
     winners = paras.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
+    # eqNullSafe, not ==: a NULL id sorts first in the min-struct and can
+    # legitimately BE the winner; plain equality evaluates NULL==NULL to
+    # NULL and would drop that paragraph from EVERY doc corpus-wide
     kept = paras.join(winners, "_h").filter(
-        (F.col(id_col) == F.col(f"_w.{id_col}"))
+        F.col(id_col).eqNullSafe(F.col(f"_w.{id_col}"))
         & (F.col("pos") == F.col("_w.pos"))
     )
     return (

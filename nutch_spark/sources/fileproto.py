@@ -26,6 +26,7 @@ Status walk, reference-exact (FileResponse.java:125-160):
 from __future__ import annotations
 
 import os
+import re
 from email.utils import formatdate
 from typing import Iterator
 from urllib.parse import unquote, urlparse
@@ -60,6 +61,9 @@ _CODE_TO_STATUS = {
 }
 
 
+_SLASHES = re.compile("/+")
+
+
 def _http_date(mtime_s: float) -> str:
     return formatdate(mtime_s, usegmt=True)
 
@@ -77,13 +81,16 @@ def _list2html(path: str, include_dotdot: bool) -> bytes:
         f = os.path.join(path, name)
         try:
             time = _http_date(os.path.getmtime(f))
+            if os.path.isdir(f):
+                x.append(f"<a href='{name}/'>{name}/</a>\t{time}\t-\n")
+            elif os.path.isfile(f):
+                x.append(
+                    f"<a href='{name}'>{name}</a>\t{time}\t{os.path.getsize(f)}\n")
+            # anything else: ignored (:287)
         except OSError:
+            # entry vanished between listdir and stat — skip it, like the
+            # mtime race above (getsize/isfile race the same way)
             continue
-        if os.path.isdir(f):
-            x.append(f"<a href='{name}/'>{name}/</a>\t{time}\t-\n")
-        elif os.path.isfile(f):
-            x.append(f"<a href='{name}'>{name}</a>\t{time}\t{os.path.getsize(f)}\n")
-        # anything else: ignored (:287)
     x.append("</pre></body></html>\n")
     return "".join(x).encode()
 
@@ -103,35 +110,56 @@ def _fetch_one(url: str, modified_time: int, cfg: CrawlConfig) -> dict:
     if parsed.scheme != "file":
         return done(500)
     path = unquote(parsed.path) or "/"
-    if not os.path.exists(path):
+    # every stat/read below can race the filesystem (a file deleted or
+    # chmod'd between checks); the reference converts those exceptions to
+    # a per-url failure status (File.java:96-98 ProtocolStatus(e)) rather
+    # than failing the job, so one vanishing file can't abort a fetch
+    # stage over millions of urls
+    try:
+        if not os.path.exists(path):
+            return done(404)
+        if not os.access(path, os.R_OK):
+            return done(401)
+        # FileResponse.java:152: compares the RAW decoded path against the
+        # canonical one (java.io.File only strips repeated/trailing
+        # separators), so '..'/symlink spellings redirect to ONE canonical
+        # URL instead of the same file entering the frontier under many
+        # names. normpath here would itself collapse '..' and hide the
+        # difference.
+        raw = _SLASHES.sub("/", path)
+        if len(raw) > 1:
+            raw = raw.rstrip("/")
+        real = os.path.realpath(raw)
+        if real != raw:
+            # FileResponse.java:146-162: non-canonical -> 300 + canonical
+            out["redirect_to"] = "file://" + real
+            return done(300)
+        mtime = os.path.getmtime(path)
+        out["last_modified_ms"] = int(mtime * 1000)
+        if modified_time and int(mtime * 1000) <= modified_time:
+            return done(304)  # :152-156
+        if os.path.isdir(path):
+            body = _list2html(
+                path,
+                include_dotdot=cfg.file_crawl_parent and path != "/",
+            )
+            out["content"] = body
+            out["content_type"] = "text/html"
+            out["content_length"] = len(body)
+            return done(200)
+        if not os.path.isfile(path):
+            return done(500)  # :162-164 (device/pipe/…)
+        size = os.path.getsize(path)
+        limit = cfg.file_content_limit
+        n = size if limit < 0 else min(size, limit)
+        with open(path, "rb") as fh:
+            out["content"] = fh.read(n)
+    except FileNotFoundError:
         return done(404)
-    if not os.access(path, os.R_OK):
+    except PermissionError:
         return done(401)
-    real = os.path.realpath(path)
-    if real != os.path.normpath(path):
-        # FileResponse.java:146-151: non-canonical -> 300 + canonical URI
-        out["redirect_to"] = "file://" + real
-        return done(300)
-    mtime = os.path.getmtime(path)
-    out["last_modified_ms"] = int(mtime * 1000)
-    if modified_time and int(mtime * 1000) <= modified_time:
-        return done(304)  # :152-156
-    if os.path.isdir(path):
-        body = _list2html(
-            path,
-            include_dotdot=cfg.file_crawl_parent and path != "/",
-        )
-        out["content"] = body
-        out["content_type"] = "text/html"
-        out["content_length"] = len(body)
-        return done(200)
-    if not os.path.isfile(path):
-        return done(500)  # :162-164 (device/pipe/…)
-    size = os.path.getsize(path)
-    limit = cfg.file_content_limit
-    n = size if limit < 0 else min(size, limit)
-    with open(path, "rb") as fh:
-        out["content"] = fh.read(n)
+    except OSError:
+        return done(500)
     out["truncated"] = n < size
     out["content_length"] = size  # full size, like the header (:215)
     out["content_type"] = resolve_content_type(None, url, out["content"])

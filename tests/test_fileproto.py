@@ -56,6 +56,46 @@ def test_file_fetch_symlink_redirects_to_canonical(spark, tree):
     assert r.redirect_to == f"file://{os.path.realpath(tree / 'page.html')}"
 
 
+def test_file_fetch_dotdot_redirects_to_canonical(spark, tree):
+    """'..'-spelled paths are non-canonical (FileResponse.java:152 compares
+    the RAW path, which java.io.File leaves unresolved, to the canonical
+    one) — a normpath-based compare used to collapse the '..' itself and
+    serve the same file 200 under many URL spellings, defeating dedup."""
+    u = f"file://{tree}/sub/../page.html"
+    r = _fetch(spark, [u])[u]
+    assert r.code == 300 and r.fetch_status == S.STATUS_FETCH_REDIR_PERM
+    assert r.redirect_to == f"file://{os.path.realpath(tree / 'page.html')}"
+
+
+def test_file_fetch_trailing_slash_dir_is_canonical(spark, tree):
+    """java.io.File strips trailing separators before the canonical
+    compare, so 'file:///dir/' serves the listing directly, no redirect."""
+    u = f"file://{tree}/sub/"
+    r = _fetch(spark, [u])[u]
+    assert r.code == 200
+    assert b"inner.txt" in r.content
+
+
+def test_fetch_one_filesystem_races_become_statuses(tree, monkeypatch):
+    """A file vanishing (or losing permission) between the existence check
+    and a stat/read must come back as a per-url status, not an exception
+    out of the kernel — the reference converts these to ProtocolStatus(e)
+    (File.java:96-98); an uncaught error here would fail the task and,
+    after retries, abort a fetch stage over millions of urls."""
+    from nutch_spark.sources import fileproto as fp
+
+    u = f"file://{tree}/page.html"
+    for exc, code in ((FileNotFoundError("gone"), 404),
+                      (PermissionError("denied"), 401),
+                      (OSError("io"), 500)):
+        def boom(_p, _e=exc):
+            raise _e
+        monkeypatch.setattr(fp.os.path, "getmtime", boom)
+        r = fp._fetch_one(u, 0, CrawlConfig())
+        assert r["code"] == code, (exc, r["code"])
+        assert r["fetch_status"] == S.STATUS_FETCH_GONE
+
+
 def test_file_fetch_not_modified(spark, tree):
     u = f"file://{tree}/page.html"
     future = int(os.path.getmtime(tree / "page.html") * 1000) + 10_000

@@ -84,6 +84,29 @@ def test_domainstats(tool_data, capsys):
     assert "example.com" in out and "other.org" in out
 
 
+def test_mergesegs_seg_ids_override_position(tool_data, capsys, spark,
+                                             tmp_path):
+    """Inputs without a 'segment' column are stamped by argument position,
+    so 'newest per url' silently means last-listed; -seg-ids makes recency
+    explicit. Here the OLDER segment is listed last: positional stamping
+    would resurrect its stale row, -seg-ids keeps the newer one."""
+    spark.createDataFrame([("http://u/", "new")], "url string, v string") \
+        .write.parquet(str(tmp_path / "segA"))
+    spark.createDataFrame([("http://u/", "stale")], "url string, v string") \
+        .write.parquet(str(tmp_path / "segB"))
+    out = str(tmp_path / "merged")
+    _run(["mergesegs", str(tmp_path / "segA"), str(tmp_path / "segB"),
+          "-seg-ids", "20240102000000", "20240101000000", "--out", out],
+         capsys)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].v == "new"
+
+    # mismatched id count is an argument error, not a silent mis-stamp
+    with pytest.raises(SystemExit):
+        main(["--master", "local[4]", "mergesegs", str(tmp_path / "segA"),
+              str(tmp_path / "segB"), "-seg-ids", "1", "--out", out])
+
+
 def test_fileproto_cli(tool_data, capsys, tmp_path):
     f = tmp_path / "doc.html"
     f.write_text("<html><head><title>FP</title></head><body>b</body></html>")

@@ -449,6 +449,22 @@ def test_paragraph_dedup_keep_first_and_drop_empty(spark):
     assert out[2].clean_text == "gamma" and out[2].n_kept == 1
 
 
+def test_paragraph_dedup_null_id_winner_not_dropped(spark):
+    """A NULL doc_id can legitimately win the min-struct argmin (NULL
+    sorts first); the winner join-back must use null-safe equality — plain
+    == evaluates NULL==NULL to NULL and used to drop that paragraph from
+    EVERY document corpus-wide."""
+    from nutch_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(None, "p"), (2, "p\n\nq")], "doc_id int, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    # 'p' must survive SOMEWHERE, and 'q' stays with doc 2
+    kept_texts = [r.clean_text for r in out.values()]
+    assert any("p" in t.split("\n\n") for t in kept_texts)
+    assert "q" in out[2].clean_text.split("\n\n")
+
+
 def test_repetition_signals_gopher_fractions(spark):
     """Gopher repetition signals: dup-line fraction/char fraction over
     trimmed non-empty lines, top word-bigram char coverage, zero-safe on
