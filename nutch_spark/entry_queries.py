@@ -57,6 +57,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# one live cached frame per fixture slot: bench/oracle runs invoke each
+# gate query repeatedly inside ONE session, and a bare .cache() with no
+# unpersist pins another copy of the fixture in storage memory per
+# invocation, shrinking execution memory for every later timed query.
+_QUERY_CACHES: dict[str, DataFrame] = {}
+
+
+def _cache_slot(slot: str, df: DataFrame) -> DataFrame:
+    """cache() with leak control: drop the PREVIOUS invocation's cache for
+    this slot first. Order matters — the CacheManager dedupes by logical
+    plan, so unpersisting the stale entry after re-caching the same plan
+    would evict the new entry too. The returned frame must stay cached
+    until the caller's result is consumed, hence keep-latest, not
+    unpersist-on-exit."""
+    old = _QUERY_CACHES.pop(slot, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # its SparkSession may already be stopped
+    df = df.cache()
+    _QUERY_CACHES[slot] = df
+    return df
+
+
 def derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     ck = (F.col("o_custkey") % 50).cast("string")
@@ -1789,7 +1814,8 @@ def q_loops(spark, sf_dir):
         "pid", F.spark_partition_id()
     )
     wp = Window.partitionBy("pid").orderBy("o_orderkey")
-    local = ranged.withColumn("lrn", F.row_number().over(wp) - 1).cache()
+    local = _cache_slot(
+        "loops.local", ranged.withColumn("lrn", F.row_number().over(wp) - 1))
     sizes = sorted((r["pid"], r["count"]) for r in local.groupBy("pid").count().collect())
     offsets, acc = {}, 0
     for pid, cnt in sizes:
@@ -1800,7 +1826,8 @@ def q_loops(spark, sf_dir):
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
         F.col("pid"),
     )
-    base = local.select((F.col("lrn") + off_expr).alias("rn")).cache()
+    base = _cache_slot(
+        "loops.base", local.select((F.col("lrn") + off_expr).alias("rn")))
     url = lambda c: F.concat(F.lit("http://l.example.com/"), c.cast("string"))  # noqa: E731
     ring_next = (F.col("rn") - F.col("rn") % 3) + (F.col("rn") + 1) % 3
     ring = base.filter(ring_next < n_total).select(
@@ -3159,12 +3186,12 @@ def q_index_plugins(spark, sf_dir):
         '<a href="http://t.example.com/tag/t%%20%d" rel="tag">t</a>%s',
         lang_meta, F.col("host"), key, key, key % 5, cc_bits,
     )
-    docs = extract_documents_by_mime(
+    docs = _cache_slot("index_plugins.docs", extract_documents_by_mime(
         f.repartition(spark.sparkContext.defaultParallelism).select(
             "url", content.alias("content"), F.lit("text/html").alias("content_type")
         )
-    ).cache()  # parse_data AND parse_text branch from here: one kernel pass,
-    #            not two (a real pipeline materializes the parse once)
+    ))  # parse_data AND parse_text branch from here: one kernel pass,
+    #     not two (a real pipeline materializes the parse once)
     parse_data = docs.select(
         F.col("doc_id").alias("url"), "title", "meta", "noindex"
     )

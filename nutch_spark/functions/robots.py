@@ -107,9 +107,8 @@ def parse_robots_txt(content: str | bytes | None,
                     current_precedence = precedence
             if current_precedence < best_precedence:
                 add_rules = True
-        elif low.startswith("disallow:") or low.startswith("allow:"):
+        elif low.startswith("disallow:"):
             done_agents = True
-            allow = low.startswith("allow:")
             path = line[line.index(":") + 1:].strip()
             if not path:
                 continue  # Disallow with no path: skipped (:341-344)
@@ -118,19 +117,34 @@ def parse_robots_txt(content: str | bytes | None,
             except Exception:
                 pass
             if not path:
-                if add_rules:  # decoded to empty: clears the stanza
+                if add_rules:  # decoded to empty: clears the stanza (:352)
                     current.entries.clear()
             elif add_rules:
-                current.entries.append((path, allow))
+                current.entries.append((path, False))
+        elif low.startswith("allow:"):
+            done_agents = True
+            # the reference's Allow branch (:363-375) differs from
+            # Disallow on BOTH edges: an empty path is an "empty rule"
+            # (clearPrefixes) rather than skipped, and the path is added
+            # RAW — no URLDecoder pass
+            path = line[line.index(":") + 1:].strip()
+            if not path:
+                if add_rules:
+                    current.entries.clear()
+            elif add_rules:
+                current.entries.append((path, True))
         elif low.startswith("crawl-delay:"):
             done_agents = True
             if add_rules:
                 delay = line[len("crawl-delay:"):].strip()
                 if delay:
+                    # :379-388: setCrawlDelay runs for every non-empty
+                    # value — an unparseable one RESETS the delay to -1
+                    # (unset) rather than keeping an earlier parse
                     try:
                         current.crawl_delay_ms = int(delay) * 1000
                     except ValueError:
-                        pass  # unparseable: logged + ignored (:384-387)
+                        current.crawl_delay_ms = -1
 
     if current_precedence < best_precedence:
         best_precedence = current_precedence

@@ -409,8 +409,17 @@ def choose_repr_url(src: str, dst: str, temp: bool) -> str:
     # java.net.URL.getHost(): no port, no userinfo — netloc keeps both, so
     # comparing netloc skipped the same-host rule whenever one side carried
     # an explicit :80 or user@ (e.g. src 'http://h/a/b/c' vs dst
-    # 'http://h:80/d' must take the same-host fewer-segments branch)
-    src_host, dst_host = s.hostname or "", d.hostname or ""
+    # 'http://h:80/d' must take the same-host fewer-segments branch).
+    # CASE-PRESERVING, unlike urlsplit().hostname (which lowercases):
+    # the reference's srcHost.equals(dstHost) is case-sensitive, so
+    # 'WWW.a.com' vs 'www.a.com' must take the different-hosts branch
+    def jhost(u) -> str:
+        h = (u.netloc or "").rsplit("@", 1)[-1]
+        if h.startswith("["):  # IPv6 literal: Java getHost keeps brackets
+            return h.split("]", 1)[0] + "]" if "]" in h else h
+        return h.split(":", 1)[0]
+
+    src_host, dst_host = jhost(s), jhost(d)
     src_file = s.path + (f"?{s.query}" if s.query else "")
     dst_file = d.path + (f"?{d.query}" if d.query else "")
     src_root = src_file in ("/", "")

@@ -107,8 +107,15 @@ def inject(frontier: DataFrame | None, seeds: DataFrame, cfg: CrawlConfig, cur_t
         # :229 — injected score taken only when it differs from the
         # configured db.score.injected default (i.e. a nutch.score seed
         # override); likewise :230 for nutch.fetchInterval vs the default
+        # compare float-vs-float like the reference (:229, both sides are
+        # Java floats): a bare Python literal is a DOUBLE and would promote
+        # the float column — float32(0.1) != double(0.1) — making every
+        # seed carrying exactly the default score look like an override
+        # and clobber the old row's accumulated score
         score = F.when(
-            has_old & has_new & (F.col("n.score") != F.lit(float(cfg.db_score_injected))),
+            has_old & has_new
+            & (F.col("n.score").cast("float")
+               != F.lit(float(cfg.db_score_injected)).cast("float")),
             F.col("n.score"),
         ).otherwise(pick("score"))
         interval = F.when(

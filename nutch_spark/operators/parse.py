@@ -145,19 +145,27 @@ def _rel_tags(content: str) -> list[str]:
 # html-attribute language (highest-priority declaration; xml:lang and
 # *-lang attributes are NOT the DOM `lang` attribute and don't match).
 _LANG_ATTR_RE = re.compile(
-    r"""<[a-zA-Z][^>]*?\slang\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I
+    r"""<[a-zA-Z][^>]*?\slang\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.I,
 )
+# cheap case-insensitive pre-test (a literal-substring scan, no copy) — a
+# case-SENSITIVE `in content` guard would skip '<HTML LANG="fr">' pages
+# entirely while the DOM getAttribute the reference walks is
+# case-insensitive
+_LANG_SUBSTR_RE = re.compile("lang", re.I)
 
 
 def extract_lang_attr(content: str, general: dict) -> None:
     """Mutates `general` with the reserved `lang.` key — the parsed html
-    `lang` attribute; substring pre-test keeps lang-less pages fast."""
-    if "lang" not in content:
+    `lang` attribute (quoted or unquoted, like DOM getAttribute);
+    substring pre-test keeps lang-less pages fast."""
+    if _LANG_SUBSTR_RE.search(content) is None:
         return
     from nutch_spark.functions.text import parse_language
 
     for m in _LANG_ATTR_RE.finditer(content):
-        code = parse_language(m.group(1) if m.group(1) is not None else m.group(2))
+        val = next((g for g in m.groups() if g is not None), None)
+        code = parse_language(val)
         if code is not None:
             general["lang."] = code
             return

@@ -96,3 +96,26 @@ def test_injector_default_mode_old_wins_entirely(spark, seed_files):
         assert r["fetch_interval"] == 171717
         assert r["fetch_time"] == 1_000
         assert r["metadata"] == {"key": "value"}  # no union in default mode
+
+
+def test_injector_update_default_score_is_not_an_override(spark, tmp_path):
+    """Injector.java:229 compares the injected score against
+    db.score.injected as float==float. With db.score.injected=0.1 (not
+    exactly representable) a double-literal comparison promotes the float
+    column — float32(0.1) != double(0.1) — so a plain re-injected seed
+    looked like a nutch.score override and clobbered the old row's
+    accumulated score. Both sides must compare at float precision."""
+    from pyspark.sql import functions as F
+
+    from jobs.crawl_job import parse_seed_file
+
+    p = tmp_path / "seeds.txt"
+    p.write_text("http://zzz.com/0.html\n")
+    cfg = CrawlConfig(db_score_injected=0.1)
+    f1 = inject(None, parse_seed_file(spark, str(p)), cfg, cur_time_ms=1000)
+    old = f1.withColumn("score", F.lit(5.0).cast("float"))
+
+    cfg2 = CrawlConfig(db_score_injected=0.1, inject_update=True)
+    f2 = inject(old, parse_seed_file(spark, str(p)), cfg2, cur_time_ms=2000)
+    r = f2.collect()[0]
+    assert r["score"] == pytest.approx(5.0)  # old accumulated score kept

@@ -78,6 +78,17 @@ def test_urlutil_choose_repr_cases():
         assert choose_repr_url(s, d, t) == exp, (s, d, t)
 
 
+def test_choose_repr_host_compare_is_case_sensitive():
+    """URLUtil.chooseRepr's same-host test is srcHost.equals(dstHost) on
+    java.net.URL.getHost(), which PRESERVES case — 'WWW.a.com' vs
+    'www.a.com' takes the different-hosts label-count branch (→ src on a
+    3-vs-3 tie), not the same-host path compare (→ dst here). urlsplit's
+    .hostname lowercases and silently merged the two branches."""
+    src = "http://WWW.a.com/x/y/z.html"   # 4 path segments
+    dst = "http://www.a.com/d.html"       # 2 path segments
+    assert choose_repr_url(src, dst, True) == src
+
+
 # TestURLUtil RFC3986 section 5.4.1 resolve table (TestURLUtil.java:215-243)
 RFC3986_BASE = "http://a/b/c/d;p?q"
 RFC3986_CASES = [
@@ -451,6 +462,27 @@ def test_html_language_parser_meta_docs(spark):
                       CrawlConfig(index_lang=True))
     got = {r.url: r.lang for r in idx.select("url", "lang").collect()}
     assert got == {urls[0]: "fi", urls[1]: "en", urls[2]: "en"}
+
+
+def test_extract_lang_attr_case_and_quoting():
+    """DOM getAttribute('lang') is case-insensitive on the tag/attribute
+    and value-quoting-agnostic: '<HTML LANG=\"fr\">' and '<html lang=en>'
+    both declare a language. The old case-SENSITIVE substring guard
+    skipped all-uppercase pages before the re.I regex ever ran, and the
+    quoted-only pattern missed unquoted values."""
+    from nutch_spark.operators.parse import extract_lang_attr
+
+    cases = [
+        ('<HTML LANG="fr"><TITLE>t</TITLE>', "fr"),
+        ("<html lang=en><body>b</body>", "en"),
+        ("<html lang='de'>", "de"),
+        ("<html data-lang='de' xml:lang='de'>", None),  # not the DOM attr
+        ("<html>plain</html>", None),
+    ]
+    for content, want in cases:
+        general: dict = {}
+        extract_lang_attr(content, general)
+        assert general.get("lang.") == want, (content, general)
 
 
 # TestDOMContentUtils (plugin/parse-html test, :41-260): testPages HTML,

@@ -103,3 +103,43 @@ def test_forbid_all_and_url_paths():
                              ["bot"])
     assert not rules.is_url_allowed("http://h.com/x/1")
     assert rules.is_url_allowed("http://h.com")  # hostless path -> "/"
+
+
+def test_empty_allow_clears_stanza_but_empty_disallow_skipped():
+    """parseRules' two empty-path edges differ (RobotRulesParser.java):
+    a bare 'Disallow:' is SKIPPED (:341-344) while a bare 'Allow:' is an
+    'empty rule' that CLEARS the stanza's prefixes (:368-370) — the exact
+    opposite verdicts for every previously-disallowed path."""
+    cleared = ("User-agent: bot" + CR + "Disallow: /private" + CR
+               + "Allow:" + CR)
+    rules = parse_robots_txt(cleared, ["bot"])
+    assert rules.is_allowed("/private/x.html")  # stanza cleared
+
+    kept = ("User-agent: bot" + CR + "Disallow: /private" + CR
+            + "Disallow:" + CR)
+    rules = parse_robots_txt(kept, ["bot"])
+    assert not rules.is_allowed("/private/x.html")  # bare Disallow: no-op
+
+
+def test_allow_path_is_not_url_decoded():
+    """Only the Disallow branch URL-decodes its path (:346-352); Allow adds
+    the RAW string (:371-374), so '%61' stays literal in an Allow prefix
+    and decodes to 'a' in a Disallow prefix."""
+    txt = ("User-agent: bot" + CR + "Disallow: /%61bc" + CR
+           + "Allow: /%64ef" + CR)
+    rules = parse_robots_txt(txt, ["bot"])
+    assert ("/abc", False) in rules.entries      # decoded
+    assert ("/%64ef", True) in rules.entries     # raw, not '/def'
+
+
+def test_unparseable_crawl_delay_resets_to_unset():
+    """setCrawlDelay runs for every non-empty value (:379-388): an
+    unparseable later line RESETS the delay to -1 rather than keeping the
+    earlier parse; an EMPTY value line changes nothing."""
+    reset = ("User-agent: bot" + CR + "Crawl-delay: 5" + CR
+             + "Crawl-delay: soon" + CR)
+    assert parse_robots_txt(reset, ["bot"]).crawl_delay_ms == -1
+
+    empty = ("User-agent: bot" + CR + "Crawl-delay: 5" + CR
+             + "Crawl-delay:" + CR)
+    assert parse_robots_txt(empty, ["bot"]).crawl_delay_ms == 5000

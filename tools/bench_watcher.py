@@ -29,11 +29,19 @@ if __name__ == "__main__":
         cpu1 = bench.cpu_capacity((1,)).get(1, 0.0)
         print(f"[{time.strftime('%H:%M:%S')}] probe cpu1={cpu1}", flush=True)
         if cpu1 >= THRESH and not os.path.exists(BUSY):
-            cpu = bench.cpu_capacity((1, 4))
-            bw = bench.mem_bandwidth_capacity((1,))
-            print("quiet window -> full bench", flush=True)
-            open(BUSY, "w").close()  # keep the scaling watcher out
+            # claim the lock ATOMICALLY before the multi-second confirm
+            # probes: a check-then-create gap here let the scaling watcher
+            # launch mid-probe and the "quiet-window" bench then ran on a
+            # loaded host — exactly the tainted reading the lock prevents
             try:
+                os.close(os.open(BUSY, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                time.sleep(SLEEP)
+                continue
+            try:
+                cpu = bench.cpu_capacity((1, 4))
+                bw = bench.mem_bandwidth_capacity((1,))
+                print("quiet window -> full bench", flush=True)
                 p = subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench.py")],
                     capture_output=True, text=True, cwd=REPO, timeout=3600)

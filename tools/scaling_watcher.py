@@ -107,13 +107,29 @@ def main() -> None:
                 "work running) — skipping launch")
             time.sleep(PROBE_SLEEP_S)
             continue
+        # claim .busy ATOMICALLY for the attempt's duration so the bench
+        # watcher (or concurrent session work keyed on the same lock)
+        # cannot start on top of the throughput legs — the mirror of
+        # bench_watcher's lock
+        try:
+            os.close(os.open(BUSY_FILE, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            log("lost the .busy claim race — skipping launch")
+            time.sleep(PROBE_SLEEP_S)
+            continue
         attempts += 1
         log(f"window open -> launching scaling attempt {attempts}")
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-            capture_output=True, text=True, timeout=7200,
-            env=dict(os.environ, SCALE_N="1"), cwd=REPO,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                capture_output=True, text=True, timeout=7200,
+                env=dict(os.environ, SCALE_N="1"), cwd=REPO,
+            )
+        finally:
+            try:
+                os.remove(BUSY_FILE)
+            except OSError:
+                pass
         lines = [ln for ln in p.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if not lines:
