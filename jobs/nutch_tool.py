@@ -102,17 +102,17 @@ def main(argv: list[str] | None = None) -> int:
                      "choices": ["host", "domain", "suffix", "tld"]}))
     add("webgraph", (["parse_data"], {}), (["outdir"], {}))
     add("linkrank", (["webgraph_dir"], {}),
-        (["-iterations"], {"type": int, "default": 10}))
+        (["-iterations"], {"type": int}))  # default: cfg link.analyze.num.iterations
     add("scoreupdater", (["crawldb"], {}), (["rank"], {}),
-        (["-clear-score"], {"dest": "clear_score", "type": float,
-                            "default": 0.0}))
+        (["-clear-score"], {"dest": "clear_score", "type": float}))
+    # ^ default: cfg link.score.updater.clear.score
     add("nodedumper", (["nodes"], {}),
         (["-by"], {"default": "inlinks",
                    "choices": ["inlinks", "outlinks", "scores"]}),
         (["-topn"], {"type": int, "default": 100}),
         (["-rank"], {"help": "optional linkrank parquet for -by scores"}))
     add("loops", (["webgraph_dir"], {}),
-        (["-depth"], {"type": int, "default": 2}))
+        (["-depth"], {"type": int}))  # default: cfg link.loops.depth
     add("fileproto", (["urls"], {"nargs": "+"}),
         (["-maxContentLength"], {"dest": "max_len", "type": int}),
         (["-dumpContent"], {"dest": "dump_content", "action": "store_true"}))
@@ -187,7 +187,15 @@ def main(argv: list[str] | None = None) -> int:
         _emit(domain_statistics(read(args.crawldb), mode=args.mode), args)
     elif args.cmd == "webgraph":
         from nutch_spark.operators.webgraph import build_webgraph
-        g = build_webgraph(read(args.parse_data))
+        # thread the link.* conf knobs (WebGraph.java:233-234,569) — they
+        # were declared in CrawlConfig but reached no call site
+        g = build_webgraph(
+            read(args.parse_data),
+            ignore_internal_host=cfg.link_ignore_internal_host,
+            ignore_internal_domain=cfg.link_ignore_internal_domain,
+            limit_pages=cfg.link_ignore_limit_page,
+            limit_domains=cfg.link_ignore_limit_domain,
+            delete_gone=cfg.link_delete_gone)
         # reference runs OutlinkDb then NodeDb as separate jobs — write
         # edges first, derive nodes from the MATERIALIZED edges (see the
         # build_webgraph scale note)
@@ -200,12 +208,20 @@ def main(argv: list[str] | None = None) -> int:
         from nutch_spark.operators.webgraph import linkrank
         edges = read(f"{args.webgraph_dir}/edges")
         nodes = read(f"{args.webgraph_dir}/nodes")
-        _emit(linkrank(edges, nodes.select("url"),
-                       iterations=args.iterations), args)
+        _emit(linkrank(
+            edges, nodes.select("url"),
+            iterations=(args.iterations if args.iterations is not None
+                        else cfg.link_analyze_num_iterations),
+            damping=cfg.link_analyze_damping_factor,
+            initial_score=cfg.link_analyze_initial_score,
+            limit_pages=cfg.link_ignore_limit_page,
+            limit_domains=cfg.link_ignore_limit_domain), args)
     elif args.cmd == "scoreupdater":
         from nutch_spark.operators.webgraph import update_scores
-        _emit(update_scores(read(args.crawldb), read(args.rank),
-                            clear_score=args.clear_score), args)
+        _emit(update_scores(
+            read(args.crawldb), read(args.rank),
+            clear_score=(args.clear_score if args.clear_score is not None
+                         else cfg.link_score_updater_clear_score)), args)
     elif args.cmd == "nodedumper":
         from nutch_spark.operators.webgraph import node_dump
         rank = read(args.rank) if args.rank else None
@@ -213,8 +229,10 @@ def main(argv: list[str] | None = None) -> int:
                         topn=args.topn), args)
     elif args.cmd == "loops":
         from nutch_spark.operators.webgraph import find_loops
-        _emit(find_loops(read(f"{args.webgraph_dir}/edges"),
-                         depth=args.depth), args)
+        _emit(find_loops(
+            read(f"{args.webgraph_dir}/edges"),
+            depth=(args.depth if args.depth is not None
+                   else cfg.link_loops_depth)), args)
     elif args.cmd == "fileproto":
         # protocol-file debug main (plugin File.java:107-170:
         # `File [-maxContentLength L] [-dumpContent] url`)

@@ -217,6 +217,21 @@ class ScopedNormalizers:
         return col
 
 
+_CHAINS_BY_LOOP_COUNT: dict[int, "ScopedNormalizers"] = {}
+
+
+def normalizers_for_loop_count(loop_count: int) -> "ScopedNormalizers":
+    """Default chain honoring urlnormalizer.loop.count
+    (URLNormalizers.java:138,279-293), cached per count — construction
+    compiles the rule tables, so operators reuse one instance per cfg
+    value instead of hard-wiring the loop_count=1 module default."""
+    lc = max(1, int(loop_count))
+    ns = _CHAINS_BY_LOOP_COUNT.get(lc)
+    if ns is None:
+        ns = _CHAINS_BY_LOOP_COUNT[lc] = ScopedNormalizers(loop_count=lc)
+    return ns
+
+
 def with_column_once(df: DataFrame, name: str, expr: Column) -> DataFrame:
     """withColumn, but pins `expr` behind a Generate barrier so Catalyst
     cannot inline it into downstream predicates. CollapseProject + filter

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -26,8 +27,6 @@ _NON_ALNUM = re.compile(r"[^0-9a-z]+")
 def text_profile_signature(text: str | None, min_token_len: int = 2, quant_rate: float = 0.01) -> str | None:
     """min_token_len / quant_rate mirror db.signature.text_profile.*
     (TextProfileSignature.java:67-68)."""
-    import numpy as np
-
     if text is None or len(text) == 0:
         return None
     tokens: dict[str, int] = {}

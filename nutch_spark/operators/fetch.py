@@ -107,10 +107,14 @@ def build_redirect_chains(seed: DataFrame, wg: DataFrame, rb: DataFrame,
     `handleRedirect == null` stop. Scale: every hop frame holds redirect
     rows only (a sliver of the fetchlist), so the per-hop content-store
     joins are small-side equi-joins."""
-    from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+    from nutch_spark.functions.normalizers import (
+        normalizers_for_loop_count,
+        with_column_once,
+    )
     from nutch_spark.functions.urls import RegexUrlFilter, normalize_inline
 
-    ns, flt = ScopedNormalizers(), RegexUrlFilter()
+    ns = normalizers_for_loop_count(cfg.urlnormalizer_loop_count)
+    flt = RegexUrlFilter()
     cur = seed.filter(F.col("page_status").isin("redir_perm", "redir_temp")).select(
         F.col("url").alias("src"), F.col("redirect_to").alias("raw")
     )
@@ -656,11 +660,19 @@ def select_robots_rules(robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
     if "status" in r.columns:
         is_403 = F.col("status") == 403
         if cfg.robots_403_forbid_all:
-            # FORBID_ALL_RULES: one disallow-everything stanza for the host
+            # FORBID_ALL_RULES: one disallow-everything stanza for the host.
+            # The agent is rewritten to '*' too — a 403 means the robots
+            # fetch itself failed, so the verdict applies to the HOST
+            # regardless of any stanza agent name; leaving the original
+            # agent would let the precedence filter below DROP the row
+            # (agent matches nothing -> rb_pri NULL) and crawl the host
+            # unrestricted, the opposite of getForbidAllRules
             r = r.withColumn(
                 "disallow", F.when(is_403, F.array(F.lit("/"))).otherwise(F.col("disallow"))
             ).withColumn(
                 "allow", F.when(is_403, F.array().cast("array<string>")).otherwise(F.col("allow"))
+            ).withColumn(
+                "agent", F.when(is_403, F.lit("*")).otherwise(F.col("agent"))
             )
         else:
             r = r.filter(~F.coalesce(is_403, F.lit(False)))
@@ -738,6 +750,13 @@ def run_fetch(
     # present; in-kernel redirect targets queue by host (no resolver at
     # that point — the reference's UnknownHostException path).
     qmode = cfg.fetcher_queue_mode
+    if qmode == "byIP" and resolver is None:
+        import warnings
+
+        warnings.warn(
+            "fetcher_queue_mode='byIP' with no resolver table: queueing "
+            "byHost (pass resolver= to run_fetch()/CrawlDriver)",
+            stacklevel=2)
     if qmode == "byIP" and resolver is not None:
         fl = (
             fl.join(resolver.select("host", "ip"), "host", "left")

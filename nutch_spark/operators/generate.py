@@ -102,6 +102,13 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
         due = with_resolved_keys(due, resolver)
         key = F.col("pkey")
     else:
+        if cfg.partition_mode == "byIP":
+            import warnings
+
+            warnings.warn(
+                "partition_mode='byIP' with no resolver table: falling "
+                "back to byHost (pass resolver= to generate()/CrawlDriver)",
+                stacklevel=2)
         key = F.col(cfg.politeness_key) if cfg.politeness_key in due.columns else F.col("host")
     df = due.withColumn("partition_id", partition_expr(key, cfg))
 

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+from nutch_spark.functions.normalizers import (
+    ScopedNormalizers,
+    normalizers_for_loop_count,
+    with_column_once,
+)
 from nutch_spark.functions.urls import RegexUrlFilter, host_col, normalize_inline
 
 RESERVED_KEYS = ("nutch.score", "nutch.fetchInterval", "nutch.fetchInterval.fixed")
@@ -43,7 +47,9 @@ def prepare_seeds(seeds: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
     Injector.java:95 URLNormalizers(conf, SCOPE_INJECT)) runs before the
     filter chain, matching the reference's normalize-then-filter order."""
     url_filter = url_filter or RegexUrlFilter()
-    ns = normalizers or _DEFAULT_NORMALIZERS
+    ns = normalizers or (
+        _DEFAULT_NORMALIZERS if cfg.urlnormalizer_loop_count <= 1
+        else normalizers_for_loop_count(cfg.urlnormalizer_loop_count))
     s = (
         with_column_once(
             normalize_inline(

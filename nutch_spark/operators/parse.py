@@ -31,7 +31,11 @@ from pyspark.sql import types as T
 
 from nutch_spark import schemas
 from nutch_spark.config import CrawlConfig
-from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+from nutch_spark.functions.normalizers import (
+    ScopedNormalizers,
+    normalizers_for_loop_count,
+    with_column_once,
+)
 from nutch_spark.functions.signatures import make_text_profile_udf
 from nutch_spark.functions.urls import (
     RegexUrlFilter, host_col, normalize_inline, normalize_url, normalize_url_udf,
@@ -1041,7 +1045,8 @@ def run_parse(
         links = with_column_once(
             normalize_inline(raw_links, "media_ref", "to_url").drop("media_ref"),
             "to_url",
-            _DEFAULT_NORMALIZERS.post_basic_col(F.col("to_url"), "outlink"),
+            normalizers_for_loop_count(cfg.urlnormalizer_loop_count)
+            .post_basic_col(F.col("to_url"), "outlink"),
         )
     else:
         links = raw_links.withColumnRenamed("media_ref", "to_url")

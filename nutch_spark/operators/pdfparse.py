@@ -234,7 +234,11 @@ def _iter_streams(data: bytes):
         pos = end + len(b"endstream")
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct lengths only: '/Length 8 0 R' is an INDIRECT object reference
+# (§7.3.10) whose integer is an object number, not a byte count — treating
+# it as one truncates the stream to garbage; the lookahead sends indirect
+# cases to the endstream-scan fallback
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R\b)")
 _TITLE_LIT_RE = re.compile(rb"/Title\s*\(")
 _TITLE_HEX_RE = re.compile(rb"/Title\s*<(?!<)")
 

@@ -137,8 +137,13 @@ def crawldb_scan(
     if status is not None:
         wanted = [code for code, name in schemas.STATUS_NAMES.items()
                   if name.lower() == status.lower()]
-        code = wanted[0] if wanted else -1
-        out = out.filter(F.col("status") == code)
+        if not wanted:
+            # a typo'd status name used to map to code -1 and return an
+            # EMPTY dump — indistinguishable from "regex matched nothing"
+            raise ValueError(
+                f"unknown crawldb status name {status!r}; valid: "
+                + ", ".join(sorted(schemas.STATUS_NAMES.values())))
+        out = out.filter(F.col("status") == wanted[0])
     # String.matches anchors BOTH ends regardless of ^/$ in the pattern, so
     # always wrap: a caller-supplied "^http" must not become a prefix match
     # (the group also protects top-level alternation precedence)

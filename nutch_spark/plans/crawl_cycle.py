@@ -47,13 +47,18 @@ class CycleResult:
 class CrawlDriver:
     def __init__(self, spark: SparkSession, catalog_root: str, cfg: CrawlConfig,
                  web_graph: DataFrame, robots: DataFrame, raw_content: DataFrame,
-                 t0_ms: int = T0_DEFAULT):
+                 t0_ms: int = T0_DEFAULT,
+                 resolver: DataFrame | None = None):
         self.spark = spark
         self.cfg = cfg
         self.cat = Catalog(catalog_root)
         self.web_graph = web_graph
         self.robots = robots
         self.raw_content = raw_content
+        # (host, ip) table for the byIP partition/queue modes — without it
+        # those modes FALL BACK to byHost inside generate()/run_fetch(), so
+        # the driver must be able to inject one or the knobs are dead
+        self.resolver = resolver
         self.t0_ms = t0_ms
         self.frontier_t = self.cat.table("frontier")
         self.metrics_t = self.cat.table("fetch_metrics")
@@ -151,12 +156,13 @@ class CrawlDriver:
 
         obs_gen, obs_fetch = Observation(), Observation()
         fetchlist = (
-            generate(frontier, cfg, cur)
+            generate(frontier, cfg, cur, resolver=self.resolver)
             .observe(obs_gen, F.count(F.lit(1)).alias("n"))
             .cache()
         )
         fetch_out = (
-            run_fetch(fetchlist, self.web_graph, self.robots, cfg, cycle, cur)
+            run_fetch(fetchlist, self.web_graph, self.robots, cfg, cycle, cur,
+                      resolver=self.resolver)
             .observe(obs_fetch, F.count(F.lit(1)).alias("n"))
             .cache()
         )

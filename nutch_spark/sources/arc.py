@@ -126,10 +126,14 @@ def arc_to_segment(records: DataFrame, cfg=None) -> DataFrame:
     + URL-filter the record URL, resolve the content type (declared +
     magic), and emit content rows ready for the parse stage."""
     from nutch_spark.functions.content import resolve_mime_udf
-    from nutch_spark.functions.normalizers import ScopedNormalizers, with_column_once
+    from nutch_spark.functions.normalizers import (
+        normalizers_for_loop_count,
+        with_column_once,
+    )
     from nutch_spark.functions.urls import RegexUrlFilter, normalize_inline
 
-    ns = ScopedNormalizers()
+    ns = normalizers_for_loop_count(
+        getattr(cfg, "urlnormalizer_loop_count", 1) if cfg else 1)
     flt = RegexUrlFilter()
     out = (
         with_column_once(

@@ -569,3 +569,64 @@ def test_parse_filter_and_normalize_urls_gates(spark):
     got = targets(CrawlConfig(parse_normalize_urls=False))
     assert "http://h000.example.com//a//b.html" in got
     assert "http://h000.example.com/a/b.html" not in got
+
+
+def test_robots_403_forbid_all_survives_agent_mismatch(spark):
+    """A 403 row whose stanza agent matches neither http.robots.agents nor
+    '*' must still forbid the host: the 403 means the robots FETCH failed,
+    so getForbidAllRules applies host-wide regardless of agent. The
+    rewrite used to keep the original agent, and the precedence filter
+    dropped the row — crawling the 403 host unrestricted."""
+    rows = [("f.com", "otherbot", [], [], None, 403),
+            ("ok.com", "*", ["/p/"], [], None, 200)]
+    df = _robots_df(spark, rows, with_status=True)
+    rb = {r["host"]: r for r in select_robots_rules(
+        df, CrawlConfig(robots_403_forbid_all=True,
+                        robots_agent="nutch-spark")).collect()}
+    assert rb["f.com"]["rb_disallow"] == ["/"]
+
+
+def test_byip_without_resolver_warns_and_falls_back(spark):
+    """byIP partition/queue modes need an injectable (host, ip) resolver
+    table; without one they fall back to byHost — but must WARN instead of
+    silently dropping the politeness grouping the knob asks for."""
+    import warnings
+
+    from nutch_spark.operators.generate import generate
+
+    frontier = spark.createDataFrame(
+        [("http://a.com/", "a.com", 1, 0, 0, 86400, 1.0, None, 0, None)],
+        "url string, host string, status int, fetch_time long, retries int, "
+        "fetch_interval long, score float, signature string, "
+        "modified_time long, metadata map<string,string>",
+    )
+    cfg = CrawlConfig(partition_mode="byIP")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        generate(frontier, cfg, cur_time_ms=10_000)
+    assert any("byIP" in str(x.message) for x in w)
+
+
+def test_crawldriver_threads_resolver(tmp_path, spark):
+    """CrawlDriver exposes resolver= and passes it to generate/run_fetch —
+    without the parameter the byIP knobs were unreachable from the real
+    crawl plan (silent byHost degrade)."""
+    import inspect
+
+    from nutch_spark.plans.crawl_cycle import CrawlDriver
+
+    assert "resolver" in inspect.signature(CrawlDriver.__init__).parameters
+
+
+def test_urlnormalizer_loop_count_chain(spark):
+    """urlnormalizer.loop.count wires through normalizers_for_loop_count:
+    a rule chain needing two passes reaches the fixpoint only with
+    loop_count >= 2 (URLNormalizers.java:279-293)."""
+    from nutch_spark.functions.normalizers import (
+        normalizers_for_loop_count,
+    )
+
+    ns1 = normalizers_for_loop_count(1)
+    ns2 = normalizers_for_loop_count(2)
+    assert ns1.loop_count == 1 and ns2.loop_count == 2
+    assert normalizers_for_loop_count(2) is ns2  # cached per count

@@ -133,3 +133,27 @@ def test_iter_streams_window_bounded_at_previous_object():
             + z + b"\nendstream endobj "
             b"2 0 obj<</Length 3>>stream\nraw\nendstream endobj")
     assert list(_iter_streams(pdf2)) == [b"BT (x) Tj ET", b"raw"]
+
+
+def test_indirect_length_reference_falls_back_to_endstream_scan():
+    """'/Length 8 0 R' is an indirect object reference (§7.3.10): its
+    integer is an OBJECT NUMBER, not a byte count. Treating it as a
+    direct length truncated the stream to 8 bytes of garbage; the parser
+    must fall back to scanning for endstream."""
+    import zlib
+
+    from nutch_spark.operators.pdfparse import _iter_streams
+
+    body = zlib.compress(b"BT (indirect length ok) Tj ET")
+    pdf = (b"1 0 obj\n<< /Length 8 0 R /Filter /FlateDecode >>\nstream\n"
+           + body + b"\nendstream\nendobj\n"
+           b"8 0 obj\n" + str(len(body)).encode() + b"\nendobj\n")
+    streams = list(_iter_streams(pdf))
+    assert any(b"indirect length ok" in s for s in streams)
+
+    # a DIRECT length is still honored exactly
+    pdf2 = (b"1 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + body + b"\nendstream\nendobj\n")
+    streams2 = list(_iter_streams(pdf2))
+    assert any(b"indirect length ok" in s for s in streams2)

@@ -267,7 +267,8 @@ def test_crawldb_scan_full_match_and_status(spark):
     got = {r.url for r in crawldb_scan(
         f, r"http://.*/xy?", status="DB_FETCHED").collect()}
     assert got == {"http://a.example.com/xy", "http://b.example.com/x"}
-    assert crawldb_scan(f, r".*", status="nope").count() == 0
+    with pytest.raises(ValueError):  # unknown status: error, not empty dump
+        crawldb_scan(f, r".*", status="nope")
     # a caller-anchored pattern keeps FULL-match semantics: "^http" matches
     # only the literal string "http" under String.matches, never a prefix
     assert crawldb_scan(f, r"^http").count() == 0
@@ -285,3 +286,16 @@ def test_crawldb_get(spark):
     got = crawldb_get(f, "http://a.example.com/x").collect()
     assert len(got) == 1 and got[0].status == 1 and got[0].score == 2.5
     assert crawldb_get(f, "http://missing.example.com/") .count() == 0
+
+
+def test_crawldb_scan_unknown_status_raises(spark):
+    """A typo'd status name must raise, not silently return an empty dump
+    (code -1 matched nothing and looked like 'regex matched no rows')."""
+    import pytest as _pytest
+
+    from nutch_spark.operators.stats import crawldb_scan
+
+    db = spark.createDataFrame(
+        [("http://a.com/", 2)], "url string, status int")
+    with _pytest.raises(ValueError, match="db_feched"):
+        crawldb_scan(db, "http://.*", status="db_feched")
