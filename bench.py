@@ -141,6 +141,12 @@ def run_crawl_throughput(spark, num_partitions: int) -> dict:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        # release the cached corpus: in full-suite mode the 46-query suite
+        # runs next in THIS session, and ~1M cached rendered-HTML rows
+        # would otherwise sit in storage memory causing eviction pressure
+        # and noisier query timings
+        for name in ("web_graph", "raw_content", "robots"):
+            tables[name].unpersist()
 
     fetched = sum(r.fetched for r in results)
     wall = sum(r.wall_s for r in results)
@@ -179,7 +185,10 @@ def main_bench(crawl_only: bool) -> dict:
     total = time.time() - t_total
     spark.stop()
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # SF_DIR without a trailing sfN.NN component
+        sf = 0.1
     out = {
         "metric": "headline suite wall time (crawl cycles + operator queries); "
                   "urls_per_sec = URLs fetched+deduped/s through "
@@ -276,8 +285,12 @@ def main_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             env=env, capture_output=True, text=True, timeout=7200,
         )
-        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        runs[cores] = json.loads(line)
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:  # surface rc + stderr instead of a bare IndexError
+            raise RuntimeError(
+                f"scaling sub-run at {cores} cores produced no JSON "
+                f"(rc={p.returncode}); stderr tail: {p.stderr[-500:]}")
+        runs[cores] = json.loads(lines[-1])
         # per-stage wall times ("[cycle N stages] A1:x=1.2s ...") so each
         # attempt shows WHICH stage failed to scale, not just the total
         stage_times[cores] = [

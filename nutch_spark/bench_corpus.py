@@ -28,7 +28,14 @@ IMG_CDN = "http://img.bench-cdn.com/"
 
 
 def _host(hid):
-    return F.concat(F.lit("h"), F.lpad(hid.cast("string"), 4, "0"), F.lit(".bench.example.com"))
+    # zero-pad WITHOUT Spark's lpad, which TRUNCATES strings longer than
+    # the target width — hid 12345 would collide with hid 1234, producing
+    # duplicate urls that inject dedups and the bench silently undercounts
+    h = hid.cast("string")
+    return F.concat(
+        F.lit("h"),
+        F.when(F.length(h) < 4, F.lpad(h, 4, "0")).otherwise(h),
+        F.lit(".bench.example.com"))
 
 
 def _url(hid, pid):

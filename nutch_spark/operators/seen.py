@@ -35,10 +35,14 @@ from pyspark.sql import types as T
 
 from nutch_spark.config import CrawlConfig
 
-# format 2 = xxhash64-lane double hashing (JVM-side). A catalog whose sketch
-# predates the fmt column is a v1 (md5-lane) sketch: its bit positions are
-# incompatible, so readers MUST rebuild from the frontier (crawl_cycle does).
-SKETCH_FMT = 2
+# format 3 = xxhash64-lane double hashing (JVM-side) + self-describing
+# parameters: each row carries (buckets, bits, k) so a resumed crawl can
+# VERIFY compatibility instead of OR-ing positions computed under different
+# parameters into stale bitmaps (bloom false negatives — the one failure
+# mode the routing contract forbids). A catalog whose sketch predates the
+# fmt column is a v1 (md5-lane) sketch; fmt=2 lacked the parameter columns.
+# Readers rebuild from the frontier on ANY mismatch (crawl_cycle does).
+SKETCH_FMT = 3
 
 SKETCH_SCHEMA = T.StructType(
     [
@@ -46,6 +50,9 @@ SKETCH_SCHEMA = T.StructType(
         T.StructField("bitmap", T.BinaryType(), False),
         T.StructField("n_urls", T.LongType(), False),
         T.StructField("fmt", T.IntegerType(), False),
+        T.StructField("buckets", T.IntegerType(), False),
+        T.StructField("bits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
     ]
 )
 
@@ -101,7 +108,8 @@ def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
             np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
             {"bucket": [int(key[0])], "bitmap": [bitmap.tobytes()],
-             "n_urls": [n_prev + len(url_pdf)], "fmt": [SKETCH_FMT]}
+             "n_urls": [n_prev + len(url_pdf)], "fmt": [SKETCH_FMT],
+             "buckets": [cfg.seen_buckets], "bits": [bits], "k": [k]}
         )
 
     return (
@@ -111,13 +119,25 @@ def update_seen_sketch(sketch: DataFrame | None, new_urls_df: DataFrame,
     )
 
 
-def sketch_if_current(sketch: DataFrame | None) -> DataFrame | None:
-    """None unless `sketch` is in the CURRENT wire format. A v1 (md5-lane)
-    sketch has no `fmt` column; its bit positions are incompatible with the
-    xxhash64 lanes, so callers must rebuild from the frontier instead of
-    OR-ing into stale bitmaps (which would break bloom no-false-negatives)."""
-    if sketch is None or "fmt" not in sketch.columns:
+def sketch_if_current(sketch: DataFrame | None,
+                      cfg: CrawlConfig | None = None) -> DataFrame | None:
+    """None unless `sketch` is in the CURRENT wire format AND (when cfg is
+    given) was built with cfg's sketch parameters. A v1 (md5-lane) sketch
+    has no `fmt` column; fmt=2 lacked the parameter columns; and a sketch
+    built under different (buckets, bits, k) maps URLs to different bit
+    positions — OR-ing new positions into it (or probing it) yields bloom
+    FALSE NEGATIVES, routing already-seen URLs past the exact anti-join.
+    Any mismatch -> None, so callers rebuild from the frontier."""
+    if sketch is None or not {"fmt", "buckets", "bits", "k"} <= set(sketch.columns):
         return None
+    if cfg is not None:
+        row = sketch.limit(1).collect()
+        if row:  # an empty sketch is compatible with any parameters
+            r = row[0]
+            if (r["fmt"] != SKETCH_FMT or r["buckets"] != cfg.seen_buckets
+                    or r["bits"] != cfg.seen_bits_per_bucket
+                    or r["k"] != cfg.seen_num_hashes):
+                return None
     return sketch
 
 

@@ -291,7 +291,8 @@ class CrawlDriver:
             # (bloom OR is idempotent), same as the previous ordering.
             committed = self.frontier_t.read_pending(self.spark, pending)
             prev_sketch = sketch_if_current(
-                self.sketch_t.read(self.spark) if self.sketch_t.exists() else None)
+                self.sketch_t.read(self.spark) if self.sketch_t.exists() else None,
+                cfg)
             if prev_sketch is not None:
                 new_sketch = update_seen_sketch(
                     prev_sketch,

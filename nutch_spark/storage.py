@@ -241,7 +241,12 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, tag: str | None = None, snapshot_id: int | None = None) -> DataFrame:
         if snapshot_id is not None:
-            snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+            snap = next((s for s in self.snapshots()
+                         if s.snapshot_id == snapshot_id), None)
+            if snap is None:
+                raise KeyError(
+                    f"no snapshot id {snapshot_id} in {self.name} "
+                    f"(expired or never existed)")
         elif tag is not None:
             snap = self.by_tag(tag)
             if snap is None:
@@ -310,6 +315,15 @@ class SnapshotTable:
         if len(log) <= keep:
             return 0
         dead, live = log[:-keep], log[-keep:]
+        # append chains: a retained APPEND snapshot is a logical union of
+        # every snapshot back to (and including) its base full commit —
+        # expiring any of those would silently drop their rows from read().
+        # Walk back from the oldest retained snapshot to its chain base and
+        # keep everything from there on.
+        while dead and live and live[0].get("append"):
+            live.insert(0, dead.pop())
+        if not dead:
+            return 0
         self._install_log(live)
         n = 0
         for e in dead:

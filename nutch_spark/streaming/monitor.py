@@ -34,15 +34,14 @@ from nutch_spark import schemas
 
 
 def read_fetch_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the fetch_status parquet directory."""
+    """File-source stream over the fetch_status parquet directory. The
+    schema is the batch writer's FETCH_OUT_SCHEMA — ONE definition, so a
+    column added to the fetch output (e.g. kernel_wall_ms) is visible to
+    streaming consumers without a second hand-maintained copy."""
+    from nutch_spark.operators.fetch import FETCH_OUT_SCHEMA
+
     return (
-        spark.readStream.schema(
-            T.StructType(
-                list(schemas.FETCH_SCHEMA.fields)
-                + [T.StructField("redirect_to", T.StringType(), True),
-                   T.StructField("redirect_temp", T.BooleanType(), True)]
-            )
-        )
+        spark.readStream.schema(FETCH_OUT_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(path)
     )
@@ -106,8 +105,15 @@ def _host_state_fn(key, pdfs, state: GroupState):
     else:
         last_ts, n, errs = None, 0, 0
     min_gap = None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("fetch_ts")
+    # ONE sort across all Arrow chunks of the micro-batch: chunks arrive in
+    # storage order, not timestamp order, so sorting each chunk
+    # independently while carrying last_ts across them can yield negative
+    # gaps and leave last_fetch_ts at a non-max value in the saved state
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    batch = (pd.concat(chunks, ignore_index=True).sort_values("fetch_ts")
+             if chunks else None)
+    if batch is not None:
+        pdf = batch
         for ts, status in zip(pdf["fetch_ts"], pdf["fetch_status"]):
             ts = int(ts)
             if last_ts is not None:

@@ -157,3 +157,49 @@ def test_snapshot_expiry_keeps_resume_intact(spark, corpus_tables, cfg, tmp_path
             == {tuple(r) for r in fb.select(*cols).collect()})
     # sketch table GC'd too
     assert len(cat.table("seen_sketch").snapshots()) == 2
+
+
+def test_expire_snapshots_preserves_append_chain(spark, tmp_path):
+    """An append snapshot is a logical union back to its base full commit:
+    expire_snapshots must keep the whole retained chain alive. Trimming
+    log[:-keep] blindly used to delete the base full commit's data while
+    live appends still referenced it — read() silently lost its rows."""
+    from nutch_spark.storage import Catalog
+
+    t = Catalog(str(tmp_path / "cat")).table("ap")
+    df = lambda i: spark.createDataFrame([(f"u{i}", i)], "url string, v int")  # noqa: E731
+    t.commit(df(0), tag="full")           # full commit (the chain base)
+    for i in (1, 2, 3):
+        t.append(df(i), tag=f"a{i}")      # appends depending on the base
+    assert t.expire_snapshots(keep=2) == 0  # whole chain must survive
+    got = {r.url for r in t.read(spark).collect()}
+    assert got == {"u0", "u1", "u2", "u3"}
+
+    # unknown snapshot id is a KeyError, not a bare StopIteration
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        t.read(spark, snapshot_id=999)
+
+    # a new FULL commit starts a fresh chain: older chain now expirable
+    t.commit(spark.createDataFrame([("u9", 9)], "url string, v int"),
+             tag="full2")
+    assert t.expire_snapshots(keep=1) > 0
+    assert {r.url for r in t.read(spark).collect()} == {"u9"}
+
+
+def test_bench_corpus_host_ids_above_9999_do_not_collide(spark):
+    """Spark's lpad TRUNCATES beyond the pad width: hid 12345 used to
+    render as h1234..., colliding with hid 1234 and silently shrinking the
+    bench corpus after inject's dedup."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.bench_corpus import _host
+
+    df = spark.range(1).select(
+        _host(F.lit(12345)).alias("big"), _host(F.lit(1234)).alias("small"),
+        _host(F.lit(7)).alias("tiny"))
+    r = df.collect()[0]
+    assert r.big == "h12345.bench.example.com"
+    assert r.small == "h1234.bench.example.com"
+    assert r.tiny == "h0007.bench.example.com"
+    assert r.big != r.small

@@ -96,5 +96,29 @@ def test_legacy_sketch_format_rejected(spark):
     v1 = spark.createDataFrame([(0, bytearray(8192), 10)], v1_schema)
     assert sketch_if_current(v1) is None
     assert sketch_if_current(None) is None
-    v2 = build_seen_sketch(mk(spark, ["http://a.com/"]), cfg)
-    assert sketch_if_current(v2) is v2
+    cur = build_seen_sketch(mk(spark, ["http://a.com/"]), cfg)
+    assert sketch_if_current(cur) is cur
+    assert sketch_if_current(cur, cfg) is cur  # parameters match
+
+
+def test_sketch_parameter_mismatch_rejected(spark):
+    """A sketch built under different (buckets, bits, k) maps URLs to
+    different bit positions; OR-ing or probing it yields bloom FALSE
+    negatives. sketch_if_current(cfg) must reject every mismatch so the
+    caller rebuilds from the frontier (fmt=2 lacked the parameter columns
+    entirely and a resumed crawl silently accepted incompatible bitmaps)."""
+    from nutch_spark.operators.seen import build_seen_sketch, sketch_if_current
+
+    cfg = CrawlConfig(seen_buckets=4, seen_bits_per_bucket=1 << 16,
+                      seen_num_hashes=5)
+    sk = build_seen_sketch(mk(spark, ["http://a.com/"]), cfg)
+    assert sketch_if_current(sk, cfg) is sk
+    for changed in (
+        CrawlConfig(seen_buckets=8, seen_bits_per_bucket=1 << 16,
+                    seen_num_hashes=5),
+        CrawlConfig(seen_buckets=4, seen_bits_per_bucket=1 << 15,
+                    seen_num_hashes=5),
+        CrawlConfig(seen_buckets=4, seen_bits_per_bucket=1 << 16,
+                    seen_num_hashes=7),
+    ):
+        assert sketch_if_current(sk, changed) is None

@@ -318,3 +318,21 @@ def test_gone_backoff_force_refetch_at_interval_max(spark):
     assert r.retries == 0
     assert r.modified_time == 0
     assert r.fetch_time == FETCH_TS + 1500 * 1000  # asap=false keeps backoff
+
+
+def test_truncated_page_declared_length_and_parse_skip(spark):
+    """The corpus's truncated flag (Page.truncated) must over-declare
+    declared_length and the F11 gate (parser.skip.truncated,
+    ParseSegment.java:149-178) must skip the page — the branch had no
+    fixture setting the flag, so it was dead code until this test."""
+    from nutch_spark.corpus import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=3, pages_per_host=2, mega_factor=2)
+    ok_pages = [p for p in web.pages.values() if p.status == "ok"]
+    victim = min(ok_pages, key=lambda p: p.url)
+    victim.truncated = True
+    rows = {r["url"]: r for r in web.web_graph_rows()}
+    r = rows[victim.url]
+    assert r["declared_length"] == r["content_length"] + 1000
+    ok_other = rows[max(ok_pages, key=lambda p: p.url).url]
+    assert ok_other["declared_length"] == ok_other["content_length"]
