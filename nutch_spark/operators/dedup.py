@@ -183,7 +183,12 @@ def minhash_signatures(documents: DataFrame, num_perm: int = 64, shingle_k: int 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """Band the signatures; docs sharing any band bucket become candidates.
-    Self-join happens per bucket only."""
+    Self-join happens per bucket only. bands*rows must cover the signature:
+    a band slicing past the end yields an identical empty-slice bucket for
+    EVERY doc, degenerating the per-bucket join into the full cross
+    product — exactly the blowup this operator exists to avoid."""
+    if bands <= 0 or rows <= 0:
+        raise ValueError("bands and rows must be positive")
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -220,8 +225,21 @@ def minhash_jaccard(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7,
-                            num_perm: int = 64, bands: int = 16, rows: int = 4,
+                            num_perm: int = 64, bands: int = 16,
+                            rows: int | None = None,
                             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    # derive rows from num_perm by default and refuse a banding that
+    # slices past the signature: out-of-range slices are identical empty
+    # arrays, i.e. ONE shared bucket per band -> the full N^2 cross join
+    if rows is None:
+        if num_perm % bands:
+            raise ValueError(f"bands={bands} does not divide num_perm={num_perm}")
+        rows = num_perm // bands
+    elif bands * rows > num_perm:
+        raise ValueError(
+            f"bands*rows={bands * rows} exceeds num_perm={num_perm}: "
+            "trailing bands would hash an empty slice and bucket every doc "
+            "together")
     sigs = minhash_signatures(documents, num_perm, id_col=id_col, text_col=text_col)
     pairs = lsh_candidate_pairs(sigs, bands, rows)
     return minhash_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= threshold)
@@ -233,9 +251,13 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7,
 
 def ngram_sets(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """(doc_id, grams array<string>) via native split/transform — JVM-side."""
-    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]+", " ")), r"\s+")
-    toks = F.filter(toks, lambda t: t != F.lit(""))
+    """(doc_id, grams array<string>) via native split/transform — JVM-side.
+    Tokenization IS functions/text.tokens_col, not a re-implementation, so
+    the exact-jaccard verifier can never drift from the LSH/contamination
+    tokenizer it verifies."""
+    from nutch_spark.functions.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -311,12 +333,17 @@ def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded candidate generation over (doc_id, simhash) with capture
     guaranteed for pairs at hamming <= max_hamming; exact hamming attached."""
     bounds = simhash_band_bounds(max_hamming)
-    band_keys = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1))
-            for s, w in bounds
-        ]
-    )
+
+    def band(s: int, w: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), s)
+        if w >= 64:
+            # max_hamming=0 -> ONE full-width band: 2^64-1 overflows a
+            # Spark long literal (the lit() would throw); the full value
+            # needs no mask at all
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
+    band_keys = F.array(*[band(s, w) for s, w in bounds])
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")
     )

@@ -114,33 +114,57 @@ def generate(frontier: DataFrame, cfg: CrawlConfig, cur_time_ms: int,
 
     limit = max(1, cfg.topn // cfg.num_partitions)  # Generator.java:141
 
-    # --- salted two-phase per-partition topN (G2/G3 + P5 skew defense) ---
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
-    w_salt = Window.partitionBy("partition_id", "salt").orderBy(
-        F.desc("score"), F.asc("url")
-    )
-    w_part = Window.partitionBy("partition_id").orderBy(F.desc("score"), F.asc("url"))
-    df = (
-        df.withColumn("salt", salt)
-        .withColumn("salt_rank", F.row_number().over(w_salt))
-        .filter(F.col("salt_rank") <= limit)   # superset: each salt keeps `limit`
-        .drop("salt", "salt_rank")
-    )
-
-    # --- per-host/domain cap with segment spill (G4/G5, Generator.java:277-313) ---
     if cfg.gen_max_count > 0:
-        # byDomain counts against the registered domain; byIP -> host fallback
+        # --- cap-aware salted prefilter (G2/G3/G4/G5 + P5 skew defense) ---
+        # A url-hash salt here is WRONG under the host cap: a mega-host
+        # whose rows top every salt's score order crowds other hosts out
+        # of the phase-1 supersets, yet the cap later demotes most of the
+        # mega-host rows to higher segments — segment 1 comes out
+        # under-filled vs the reference walk (rows it should emit were
+        # pre-dropped). Salting by the CAP KEY keeps each host whole in
+        # one salt, so host_rank and segnum computed inside the salt are
+        # GLOBALLY exact; the per-(salt, segnum) topN is then an exact
+        # prefilter for the final per-(partition, segnum) topN: if any
+        # dropped segment-peer outscored a row, its salt necessarily
+        # retained `limit` rows above that row, so the final rank filter
+        # reaches the same verdict the unsalted walk would. Skew stays
+        # bounded: every rank filter is a WindowGroupLimit (top-K heap per
+        # group, K = allowance or limit), never a full group sort.
         kcol = F.col("domain") if cfg.gen_count_mode == "byDomain" else F.col("host")
-        w_host = Window.partitionBy(kcol).orderBy(F.desc("score"), F.asc("url"))
-        df = df.withColumn("host_rank", F.row_number().over(w_host))
-        df = df.withColumn(
-            "segnum",
-            (((F.col("host_rank") - 1) / cfg.gen_max_count) + 1).cast("int"),
-        ).filter(F.col("segnum") <= cfg.gen_max_num_segments).drop("host_rank")
+        allowance = cfg.gen_max_count * cfg.gen_max_num_segments
+        salt = F.pmod(F.xxhash64(kcol), F.lit(cfg.salt_buckets))
+        order = [F.desc("score"), F.asc("url")]
+        w_cap = Window.partitionBy("partition_id", "salt", kcol).orderBy(*order)
+        w_seg = Window.partitionBy("partition_id", "salt", "segnum").orderBy(*order)
+        df = (
+            df.withColumn("salt", salt)
+            .withColumn("host_rank", F.row_number().over(w_cap))
+            .filter(F.col("host_rank") <= allowance)
+            .withColumn(
+                "segnum",
+                (((F.col("host_rank") - 1) / cfg.gen_max_count) + 1).cast("int"),
+            )
+            .withColumn("seg_rank", F.row_number().over(w_seg))
+            .filter(F.col("seg_rank") <= limit)
+            .drop("salt", "host_rank", "seg_rank")
+        )
+        # final per-(partition, segment) topN — NO re-cap: host_rank/segnum
+        # above are already global-exact (host-complete salts), and
+        # recomputing them on the topN survivors would shift ranks
     else:
-        df = df.withColumn("segnum", F.lit(1))
+        # --- salted two-phase per-partition topN (no cap: plain G3) ---
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+        w_salt = Window.partitionBy("partition_id", "salt").orderBy(
+            F.desc("score"), F.asc("url")
+        )
+        df = (
+            df.withColumn("salt", salt)
+            .withColumn("salt_rank", F.row_number().over(w_salt))
+            .filter(F.col("salt_rank") <= limit)  # superset: each salt keeps `limit`
+            .drop("salt", "salt_rank")
+            .withColumn("segnum", F.lit(1))
+        )
 
-    # final per-(partition, segment) topN
     w_final = Window.partitionBy("partition_id", "segnum").orderBy(
         F.desc("score"), F.asc("url")
     )

@@ -68,9 +68,26 @@ def build_index(
         *(["repr_url"] if have_repr else []),
         *(["metadata"] if want_db_meta else []),
     )
-    fetched = fetch_out.filter(
-        F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
-    ).select("url", "fetch_ts", "content_length")
+    # ONE row per url, newest fetch wins: fetch_out can legitimately carry
+    # the same url twice with SUCCESS (a fetchlist row AND an in-thread
+    # redirect hop landing on it — the same case updatedb dedupes with its
+    # max_by(seq), updatedb.py). Joining the raw rows would fan the
+    # document out into duplicate index entries; IndexerMapReduce keeps
+    # exactly one fetchDatum per url. map-side-combining hash aggregate,
+    # no window sort; struct key is never null so no max_by row-skip.
+    fetched = (
+        fetch_out.filter(
+            F.col("fetch_status") == schemas.STATUS_FETCH_SUCCESS
+        )
+        .select("url", "fetch_ts", "content_length")
+        .groupBy("url")
+        .agg(F.max_by(
+            F.struct("fetch_ts", "content_length"),
+            F.struct("fetch_ts", "content_length"),
+        ).alias("_f"))
+        .select("url", F.col("_f.fetch_ts").alias("fetch_ts"),
+                F.col("_f.content_length").alias("content_length"))
+    )
     pd_cols = parse_data
     if "noindex" in parse_data.columns:
         # robots-noindex pages never reach the index (X6; IndexerMapReduce
@@ -169,7 +186,11 @@ def build_index(
         # multi-valued [full mime (+ primary, sub parts)]
         _type_col(cfg, have_ct, doc_url).alias("type"),
         # tld plugin: the host's domain suffix (TLDIndexingFilter.java:50-53)
-        suffix_udf(F.col("url")).alias("tld"),
+        # over doc_url like url/host/domain above — the filter reads the
+        # document's url field, which is repr-url-based after
+        # BasicIndexingFilter, so a cross-domain redirect must not leave
+        # tld describing the ORIGINAL url while host describes the repr
+        suffix_udf(doc_url).alias("tld"),
         _metatags_col(cfg, want_meta).alias("metatags"),
         _static_fields_col(cfg).alias("static_fields"),
         _headings_col(cfg, need_meta).alias("headings"),

@@ -25,7 +25,9 @@ def invert_links(parse_data: DataFrame, cfg: CrawlConfig) -> DataFrame:
     edges = (
         parse_data.select(
             F.col("url").alias("from_url"),
-            F.explode_outer(F.col("outlinks")).alias("l"),
+            # plain explode: outer would only keep null rows for the
+            # next filter to delete
+            F.explode(F.col("outlinks")).alias("l"),
         )
         .filter(F.col("l").isNotNull())
         .select(

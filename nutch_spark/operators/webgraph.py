@@ -145,11 +145,16 @@ def build_webgraph(parse_data: DataFrame, ts: int = 0,
                     continue
                 if limit_pages and to_page in pages:
                     continue
-                if limit_domains and to_dom in doms:
+                # an unextractable host yields to_dom=None: never pool
+                # those under one shared None key (two unrelated hostless
+                # targets must not suppress each other; Java's URL path
+                # never produces a shared null domain)
+                if limit_domains and to_dom is not None and to_dom in doms:
                     continue
                 kept.append({"to_url": to_url, "anchor": ln["anchor"]})
                 pages.add(to_page)
-                doms.add(to_dom)
+                if to_dom is not None:
+                    doms.add(to_dom)
             res.append(kept)
         return pd.Series(res)
 

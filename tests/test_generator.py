@@ -202,3 +202,30 @@ def test_resolve_urls_report(spark):
     assert all(r.ip is None for r in rep if not r.resolved)
     none_rep = resolve_urls(urls, None).collect()
     assert all((not r.resolved) and r.ip is None for r in none_rep)
+
+
+def test_mega_host_does_not_crowd_out_small_hosts(spark):
+    """The cap-aware salted prefilter must match the reference walk when a
+    mega-host outscores every other row: the cap demotes mega rows to
+    higher segments, so segment 1 backfills with other hosts' rows. The
+    old url-salted score-only prefilter dropped those rows before the cap
+    ran and under-filled segment 1."""
+    mega = [(f"http://mega.com/{i:03d}.html", "mega.com", float(100 - i))
+            for i in range(50)]
+    little = [(f"http://h{i}.com/p.html", f"h{i}.com", float(10 - i))
+              for i in range(8)]
+    frontier = mk_frontier(spark, mega + little)
+    cfg = CrawlConfig(topn=10, num_partitions=1, gen_max_count=3,
+                      gen_max_num_segments=2, salt_buckets=4)
+    fl = generate(frontier, cfg, T0)
+    got = {1: set(), 2: set()}
+    for r in fl.collect():
+        got[r.segnum].add(r.url)
+
+    # reference walk (Generator.java:277-313): score-desc, cap 3/host per
+    # segment, segment limit = topn/partitions = 10
+    seg1 = ({f"http://mega.com/{i:03d}.html" for i in range(3)}
+            | {f"http://h{i}.com/p.html" for i in range(7)})
+    seg2 = {f"http://mega.com/{i:03d}.html" for i in (3, 4, 5)}
+    assert got[1] == seg1
+    assert got[2] == seg2

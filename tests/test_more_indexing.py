@@ -57,3 +57,28 @@ def test_content_disposition_title(spark):
         disposition_title_col(F.col("content_disposition")).alias("t")
     ).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_duplicate_success_fetch_rows_index_once(spark):
+    """fetch_out can carry a url twice with SUCCESS (fetchlist row + an
+    in-thread redirect hop landing on it — the same duplication updatedb
+    dedupes with max_by(seq)). The indexer must keep ONE fetch datum per
+    url like IndexerMapReduce, not fan the document out into duplicate
+    index entries; the newest fetch_ts wins."""
+    from nutch_spark import schemas
+    from nutch_spark.config import CrawlConfig
+    from nutch_spark.operators.indexer import build_index
+
+    url = "http://a.example.com/x"
+    frontier = spark.createDataFrame(
+        [(url, 2, 1.0, 1_000, "sig")],
+        "url string, status int, score float, fetch_time long, signature string")
+    fo = spark.createDataFrame(
+        [(url, schemas.STATUS_FETCH_SUCCESS, 5_000, 100),
+         (url, schemas.STATUS_FETCH_SUCCESS, 9_000, 120)],
+        "url string, fetch_status int, fetch_ts long, content_length long")
+    ptext = spark.createDataFrame([(url, "body text")], "url string, text string")
+    pdata = spark.createDataFrame([(url, "T")], "url string, title string")
+    idx = build_index(frontier, fo, ptext, pdata, None, CrawlConfig()).collect()
+    assert len(idx) == 1
+    assert idx[0]["tstamp"] == 9_000  # newest fetch wins

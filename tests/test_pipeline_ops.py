@@ -836,3 +836,54 @@ def test_dataset_build_decontamination(spark):
     out = build_dataset(docs, benchmark=bench, **kw)
     kept = {r.doc_id for r in out.collect()}
     assert kept == set(range(10)) - {3}
+
+
+def test_lsh_banding_validation_and_default_rows(spark):
+    """bands*rows beyond num_perm slices empty arrays — one shared bucket
+    per trailing band, i.e. the full N^2 cross join the operator promises
+    never happens. Must raise; rows defaults to num_perm // bands."""
+    from nutch_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")],
+        "doc_id long, text string")
+    # default rows: 32 perms / 16 bands = 2 — runs and finds the dup pair
+    out = minhash_near_duplicates(docs, num_perm=32, bands=16).collect()
+    assert len(out) == 1
+    with pytest.raises(ValueError, match="exceeds num_perm"):
+        minhash_near_duplicates(docs, num_perm=32, bands=16, rows=4)
+    with pytest.raises(ValueError, match="does not divide"):
+        minhash_near_duplicates(docs, num_perm=30, bands=16)
+
+
+def test_simhash_max_hamming_zero_single_band(spark):
+    """max_hamming=0 makes one 64-bit band whose (1<<64)-1 mask literal
+    used to overflow LongType and crash; the full-width band needs no
+    mask. Exact-fingerprint duplicates must still pair up."""
+    from nutch_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 6), (2, "alpha beta gamma delta " * 6),
+         (3, "совершенно другой текст без общих слов вообще " * 4)],
+        "doc_id long, text string")
+    got = {(r.a, r.b) for r in
+           simhash_near_duplicates(docs, max_hamming=0).collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got)
+
+
+def test_webgraph_greedy_none_domain_not_pooled(spark):
+    """Two unrelated targets whose host can't be extracted must not
+    suppress each other via a shared None domain key in the greedy walk's
+    seen-set."""
+    from nutch_spark.operators.webgraph import build_webgraph
+
+    pd_df = spark.createDataFrame(
+        [("http://src.com/a",
+          [{"to_url": "mailto:a@x.com", "anchor": "m1"},
+           {"to_url": "mailto:b@y.com", "anchor": "m2"}])],
+        "url string, outlinks array<struct<to_url:string,anchor:string>>")
+    g = build_webgraph(pd_df, ignore_internal_host=False,
+                       ignore_internal_domain=False)
+    dsts = {r.dst for r in g["edges"].collect()}
+    assert dsts == {"mailto:a@x.com", "mailto:b@y.com"}
