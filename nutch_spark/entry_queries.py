@@ -420,7 +420,15 @@ FROM edges WHERE to_host <> from_host GROUP BY to_url
 def q_opic_inlink_sum(spark, sf_dir):
     """A3: OPIC — sum of top-5 inlink scores per target
     (CrawlDbReducer.java:300-313 bounded queue + OPICScoringFilter.java:90-98)."""
-    e = derived_edges(spark, sf_dir).dropDuplicates(["to_url", "from_url"])
+    # deterministic dedup matching the oracle: max link_score per pair —
+    # dropDuplicates keeps an ARBITRARY survivor, which varies with
+    # partitioning when duplicate (to, from) pairs carry different scores
+    # (latent at the shipped scale factors, where no such pairs exist)
+    e = (
+        derived_edges(spark, sf_dir)
+        .groupBy("to_url", "from_url")
+        .agg(F.max("link_score").alias("link_score"))
+    )
     w = Window.partitionBy("to_url").orderBy(F.desc("link_score"), F.asc("from_url"))
     return (
         e.withColumn("rk", F.row_number().over(w))
@@ -765,7 +773,7 @@ SQL_LANG_ID = f"""
 WITH scored AS (
   SELECT doc_id,
          {_lang_score(['the','and','of','to','in','is','that','for','with','was'])} AS s_en,
-         {_lang_score(['der','die','und','das','nicht','ist','ein','mit','für','auf'])} AS s_de,
+         {_lang_score(['der','die','und','das','nicht','ist','ein','mit','den','auf'])} AS s_de,
          {_lang_score(['le','la','les','et','des','est','pour','dans','que','une'])} AS s_fr,
          {_lang_score(['el','la','los','de','que','y','en','un','por','con'])} AS s_es
   FROM documents
@@ -2687,11 +2695,6 @@ def q_dataset_build(spark, sf_dir):
     )
 
 
-def _dataset_lang_score(words: list[str]) -> str:
-    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
-    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
-
-
 SQL_DATASET_BUILD = f"""
 WITH all_docs AS (
   SELECT doc_id, text, source FROM documents
@@ -2700,10 +2703,10 @@ WITH all_docs AS (
 ),
 scored AS (
   SELECT doc_id, text, source,
-         {_dataset_lang_score(['the','and','of','to','in','is','that','for','with','was'])} AS s_en,
-         {_dataset_lang_score(['der','die','und','das','nicht','ist','ein','mit','für','auf'])} AS s_de,
-         {_dataset_lang_score(['le','la','les','et','des','est','pour','dans','que','une'])} AS s_fr,
-         {_dataset_lang_score(['el','la','los','de','que','y','en','un','por','con'])} AS s_es
+         {_lang_score(['the','and','of','to','in','is','that','for','with','was'])} AS s_en,
+         {_lang_score(['der','die','und','das','nicht','ist','ein','mit','den','auf'])} AS s_de,
+         {_lang_score(['le','la','les','et','des','est','pour','dans','que','une'])} AS s_fr,
+         {_lang_score(['el','la','los','de','que','y','en','un','por','con'])} AS s_es
   FROM all_docs),
 filt AS (
   SELECT doc_id, text, source, 'en' AS lang_pred,

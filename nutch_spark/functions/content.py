@@ -158,6 +158,20 @@ def resolve_encoding_alias(encoding: str | None) -> str | None:
     return CHARSET_ALIASES.get(name, name)
 
 
+def _trim_partial_utf8(head: bytes) -> bytes:
+    """Drop a trailing truncated UTF-8 sequence (<= 3 bytes): walk back
+    over continuation bytes to the lead byte and cut iff the sequence's
+    declared length runs past the end of the head."""
+    for k in range(1, min(4, len(head)) + 1):
+        b = head[-k]
+        if b < 0x80:
+            return head  # ends on ASCII: nothing partial
+        if b >= 0xC0:  # lead byte k bytes from the end
+            need = 2 if b < 0xE0 else 3 if b < 0xF0 else 4
+            return head[:-k] if need > k else head
+    return head
+
+
 def _detect_statistical(data: bytes) -> list[tuple[str, int]]:
     """The ICU4J CharsetDetector slot (EncodingDetector.java:164-188),
     filled with the signals computable without the library, highest
@@ -169,8 +183,20 @@ def _detect_statistical(data: bytes) -> list[tuple[str, int]]:
     bom = detect_bom(head)
     if bom:
         return [(bom, 100)]
+    trimmed_partial = False
+    if len(data) > CHUNK_SIZE:
+        # the sniff window can split a multibyte sequence; a valid UTF-8
+        # document would then fail strict validation and fall through to
+        # the windows-1252 default (mojibake for the whole document).
+        # Drop at most one trailing INCOMPLETE sequence before validating
+        # (ICU, the reference's detector, tolerates truncation the same
+        # way) — and the truncated lead byte itself IS the multibyte
+        # evidence when the rest of the head is pure ASCII
+        trimmed = _trim_partial_utf8(head)
+        trimmed_partial = len(trimmed) != len(head)
+        head = trimmed
     if _utf8_valid(head):
-        if any(b >= 0x80 for b in head):
+        if trimmed_partial or any(b >= 0x80 for b in head):
             return [("utf-8", 100)]
         return []
     if len(head) >= 8:
@@ -314,10 +340,12 @@ def unzip_best_effort(data: bytes | None, size_limit: int | None = None) -> byte
         if out is None:
             return None
     if not out and not d.eof:
-        # empty output and no complete stream: distinguish "empty payload"
-        # from "not gzip at all"
-        if not data.startswith(b"\x1f\x8b"):
-            return None
+        # nothing extracted and no complete stream: GZIPUtils.unzipBestEffort
+        # returns null here (its GZIPInputStream constructor throws on a
+        # truncated header) — a bare magic prefix must not read as a
+        # zero-byte "successful" payload. A genuinely empty payload has
+        # d.eof True and returns b'' above.
+        return None
     return out
 
 

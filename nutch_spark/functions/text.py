@@ -19,7 +19,10 @@ _LANG_SPLIT_RE = re.compile(r"[, ;.()=]")
 # tiny stopword profiles for the n-gram/stopword language heuristic
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
-    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit", "für", "auf"],
+    # ASCII-only: tokens_col's \w is ASCII (Java/RE2 parity), so a word
+    # like 'für' can never appear as a token ('ü' splits it) — a non-ASCII
+    # stopword is a silent no-op in BOTH engines and the gate can't see it
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit", "den", "auf"],
     "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "que", "une"],
     "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
 }
@@ -333,8 +336,10 @@ def with_repetition_signals(df, text_col: str = "text",
     return df.withColumn(out_col, out).drop("_lines", "_arrs", "_folds")
 
 
-def fingerprint(text: Column, window: int = 8) -> Column:
-    """Rolling-hash document fingerprint: xxhash64 over normalized text —
-    cheap exact-dup key (the TextProfileSignature role for pipelines)."""
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: xxhash64 over whitespace-normalized tokens —
+    cheap exact-dup key (the TextProfileSignature role for pipelines).
+    (A former `window` parameter promised rolling-hash granularity it
+    never implemented; near-dup granularity lives in minhash/simhash.)"""
     norm = F.array_join(tokens_col(text), " ")
     return F.xxhash64(norm)

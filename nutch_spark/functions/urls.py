@@ -237,7 +237,10 @@ def top_level_domain(host: str | None) -> str | None:
 
 
 def extract_domain_series(urls: pd.Series) -> pd.Series:
-    return extract_host_series(urls).map(registered_domain)
+    # na_action: a URL the host regex can't match yields NaN, and
+    # registered_domain(float) would raise, killing the whole Arrow batch
+    # (the same guard suffix_udf already carries)
+    return extract_host_series(urls).map(registered_domain, na_action="ignore")
 
 
 @F.pandas_udf(StringType())

@@ -35,3 +35,28 @@ def test_get_content_type_cases():
         assert resolve_content_type(declared, url, data) == want, (declared, url)
     # final case (:100-105): null declared type still resolves to SOMETHING
     assert resolve_content_type(None, "http://www.foo.com/", b"") is not None
+
+
+def test_utf8_valid_doc_split_at_sniff_boundary():
+    """A multibyte char straddling the 2000-byte sniff window must not
+    flip detection to the windows-1252 default (mojibake for the whole
+    document): the head is trimmed back to the last complete sequence."""
+    from nutch_spark.functions.content import decode_content, guess_encoding
+
+    data = b"x" * 1999 + "é tail é more".encode("utf-8")
+    assert guess_encoding(data) == "utf-8"
+    assert decode_content(data).endswith("é tail é more")
+
+
+def test_unzip_best_effort_bare_magic_is_none():
+    """GZIPUtils.unzipBestEffort returns null for a header truncated
+    before the deflate stream; a bare magic prefix must not read as a
+    zero-byte successful payload."""
+    import gzip as _gzip
+
+    from nutch_spark.functions.content import unzip_best_effort
+
+    assert unzip_best_effort(b"\x1f\x8b") is None
+    assert unzip_best_effort(b"\x1f\x8b\x08") is None
+    # a genuinely EMPTY payload still decodes to b''
+    assert unzip_best_effort(_gzip.compress(b"")) == b""

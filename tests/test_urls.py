@@ -210,3 +210,15 @@ REFERENCE_NORMALIZER_CASES = [
 @pytest.mark.parametrize("weird,normal", REFERENCE_NORMALIZER_CASES)
 def test_basic_normalizer_reference_table(weird, normal):
     assert normalize_url(weird) == normal
+
+
+def test_domain_udf_tolerates_unparseable_urls(spark):
+    """A URL the host regex can't match must yield NULL, not crash the
+    Arrow batch (registered_domain used to receive the NaN and raise)."""
+    from nutch_spark.functions.urls import domain_udf
+
+    df = spark.createDataFrame(
+        [("http://a.example.com/x",), ("not a url",), (None,)],
+        "url string")
+    got = [r.d for r in df.select(domain_udf("url").alias("d")).collect()]
+    assert got == ["example.com", None, None]
