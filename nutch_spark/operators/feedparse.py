@@ -95,6 +95,27 @@ def _child_text(el: ET.Element, name: str) -> str | None:
     return None
 
 
+def _rss_link(el: ET.Element) -> str | None:
+    """RSS link: the first <link> child with non-empty TEXT. An empty-text
+    <atom:link href=.../> (the common feedburner self-ref pattern)
+    namespace-strips to the same local name and must not shadow the real
+    RSS <link>; when no text form exists at all, fall back to a link
+    href attribute (rel=alternate preferred)."""
+    href_alt = href_any = None
+    for c in el:
+        if _local(c) == "link":
+            t = "".join(c.itertext()).strip()
+            if t:
+                return t
+            h = c.get("href")
+            if h:
+                if (c.get("rel") or "alternate") == "alternate" and href_alt is None:
+                    href_alt = h
+                if href_any is None:
+                    href_any = h
+    return href_alt or href_any
+
+
 def _atom_link(el: ET.Element) -> str | None:
     """rel=alternate wins, else the first link with an href."""
     first = None
@@ -110,18 +131,22 @@ def _atom_link(el: ET.Element) -> str | None:
     return first
 
 
-def _html_spans_batch(bodies: list[str]) -> list[tuple[list[dict], bool]]:
+def _html_spans_batch(jobs: list[tuple[str, str]]) -> list[tuple[list[dict], bool]]:
     """Run the html family extractor over ALL html-typed entry bodies of a
     batch in ONE vectorized call (the sub-parse path of
     FeedParser.java:265-270). A per-entry one-row frame costs ~1 ms of
-    pandas construction overhead — x10^5 entries that was the whole wall."""
+    pandas construction overhead — x10^5 entries that was the whole wall.
+    Each job is (base_url, body): the sub-parse resolves RELATIVE hrefs in
+    the entry body against the entry's link, like the reference handing
+    the sub-parse the entry URL as base — a synthetic base would null
+    every relative outlink at the normalizer."""
     from nutch_spark.operators.parse import extract_documents_pdf
 
-    if not bodies:
+    if not jobs:
         return []
     sub = extract_documents_pdf(
-        pd.DataFrame({"url": [str(i) for i in range(len(bodies))],
-                      "content": bodies})
+        pd.DataFrame({"url": [u for u, _ in jobs],
+                      "content": [b for _, b in jobs]})
     )
     # extract_documents_pdf emits one row per input row, in input order
     return [
@@ -134,7 +159,7 @@ def _entry_fields(entry: ET.Element, kind: str) -> dict:
     """Pull link/title/body/meta from one <item> (rss) or <entry> (atom)."""
     out: dict = {"authors": [], "tags": [], "published": None, "updated": None}
     if kind == "rss":
-        out["link"] = (_child_text(entry, "link") or "").strip() or None
+        out["link"] = _rss_link(entry)
         out["title"] = _child_text(entry, "title")
         body = _child_text(entry, "description")
         if body is None:
@@ -194,7 +219,7 @@ def _feed_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 continue
             kind, feed_el = "rss", chan
             entries = [c for c in chan if _local(c) == "item"]
-            feed_link = (_child_text(chan, "link") or "").strip() or None
+            feed_link = _rss_link(chan)
             feed_title = _child_text(chan, "title")
             feed_desc = _child_text(chan, "description")
         elif tag == "feed":
@@ -225,7 +250,7 @@ def _feed_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             body = f["body"] or ""
             if f["body_type"] == "html":
                 spans, nofollow = None, False  # filled by the batched sub-parse
-                html_jobs.append((len(rows), body))
+                html_jobs.append((len(rows), link, body))
             else:
                 text = body.strip()
                 spans = ([{"kind": "text", "text": text, "media_ref": None,
@@ -256,8 +281,8 @@ def _feed_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                                     "media_ref": None, "offset": 0}]
                                    if desc else []),
         })
-    for (idx, _), (spans, nofollow) in zip(
-        html_jobs, _html_spans_batch([b for _, b in html_jobs])
+    for (idx, _u, _b), (spans, nofollow) in zip(
+        html_jobs, _html_spans_batch([(u, b) for _, u, b in html_jobs])
     ):
         rows[idx]["spans"] = spans
         rows[idx]["nofollow"] = nofollow

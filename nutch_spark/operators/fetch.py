@@ -46,31 +46,13 @@ FETCH_OUT_SCHEMA = T.StructType(
     list(schemas.FETCH_SCHEMA.fields)
     + [T.StructField("redirect_to", T.StringType(), True),
        T.StructField("redirect_temp", T.BooleanType(), True),
-       T.StructField("kernel_wall_ms", T.LongType(), True)]
+       T.StructField("kernel_wall_ms", T.LongType(), True),
+       # the partition's true INPUT row count, same value on every output
+       # row (like kernel_wall_ms): fetch_metrics aggregates only the
+       # OUTPUT, and timelimit/purge/kill-switch drops made a
+       # count(*)-derived rows_in silently equal rows_out
+       T.StructField("part_rows_in", T.LongType(), True)]
 )
-
-
-def _robots_allowed(path: str, disallow: list[str] | None, allow: list[str] | None) -> bool:
-    """Longest-prefix verdict over the pre-parsed robots TABLE's two
-    prefix arrays. The reference's RobotRuleSet.isAllowed
-    (RobotRulesParser.java:165-190) is first-match in DECLARATION order —
-    unrepresentable in the fixture schema's split arrays; the two agree
-    for disallow-only files (the common case) and the exact text-level
-    semantics live in functions/robots.py (TestRobotRulesParser-ported)."""
-    best_len, best_allow = -1, True
-    for p in allow or []:
-        if p and path.startswith(p) and len(p) > best_len:
-            best_len, best_allow = len(p), True
-    for p in disallow or []:
-        if p and path.startswith(p) and len(p) > best_len:
-            best_len, best_allow = len(p), False
-    return best_allow
-
-
-def _url_path(url: str) -> str:
-    i = url.find("://")
-    j = url.find("/", i + 3) if i >= 0 else -1
-    return url[j:] if j >= 0 else "/"
 
 
 def _robots_allowed_expr(url_col):
@@ -339,6 +321,7 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 "fetch_interval": fi_np[src_i], "retries": 0,
                 "partition_id": pid, "redirect_to": redirect_to,
                 "redirect_temp": redirect_temp, "kernel_wall_ms": 0,
+                "part_rows_in": 0,
             })
             seq_no += 1
 
@@ -454,14 +437,18 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                                 break
                     pages_prev = pages_total
                     next_tick += 1000
-                if remaining == 0 and not thread_chain:
+                if remaining <= 0 and not thread_chain:
                     break
             if ti in thread_chain:
                 _advance_chain(ti, now)  # R5: this thread is mid-chain
                 continue
-            if remaining == 0:
+            if remaining <= 0:
                 # only chain continuations left; let their threads reach
-                # the heap top
+                # the heap top. <= not ==: a queue purge during a redirect
+                # chain after the kill-switch zeroed `remaining` can drive
+                # it NEGATIVE, and an == guard would let idle threads fall
+                # through to the scheduler and fetch items the kill-switch
+                # deferred to the next cycle
                 heapq.heapreplace(threads_heap, (now + duration, ti))
                 continue
             while pending and pending[0][0] <= now:
@@ -629,12 +616,14 @@ def fetch_partition_kernel(cfg: CrawlConfig, cycle: int, start_ms: int):
                 "redirect_to": redirect_to,
                 "redirect_temp": redirect_temp,
                 "kernel_wall_ms": np.full(m, wall_ms, dtype=np.int64),
+                "part_rows_in": np.full(m, n, dtype=np.int64),
             }
         )
         if extra:
             # followed redirect hops (R5) interleave by emit order
             for r in extra:
                 r["kernel_wall_ms"] = wall_ms
+                r["part_rows_in"] = n
             out = pd.concat([out, pd.DataFrame(extra)], ignore_index=True)
             out = out.sort_values("seq", ignore_index=True)
         yield out
@@ -689,7 +678,11 @@ def select_robots_rules(robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
         .filter(F.col("rb_pri") == F.col("rb_best"))
     )
     return r.groupBy("host").agg(
-        F.first("crawl_delay", ignorenulls=True).alias("crawl_delay"),
+        # max, not unordered first(): two same-priority stanzas with
+        # different Crawl-Delays must resolve identically on every run
+        # (the virtual fetch schedule derives from this) — the most
+        # conservative delay wins
+        F.max("crawl_delay").alias("crawl_delay"),
         F.flatten(F.collect_list("disallow")).alias("rb_disallow"),
         F.flatten(F.collect_list("allow")).alias("rb_allow"),
     )
@@ -787,7 +780,12 @@ def fetch_metrics(fetch_out: DataFrame, cycle: int, start_ms: int) -> DataFrame:
     return fetch_out.groupBy("partition_id").agg(
         F.lit(cycle).alias("cycle"),
         F.countDistinct("host").cast("int").alias("hosts"),
-        F.count("*").alias("rows_in"),
+        # rows_in = the kernel-reported INPUT count (rides every output
+        # row); count(*) is the OUTPUT count. They differ when timelimit /
+        # queue purges / the kill-switch drop items. A partition whose
+        # every row was dropped emits nothing and has no metrics row — the
+        # one residual blind spot, inherent to output-carried metrics.
+        F.coalesce(F.max("part_rows_in"), F.count("*")).alias("rows_in"),
         F.count("*").alias("rows_out"),
         (F.max("fetch_ts") - F.lit(start_ms)).alias("virtual_ms"),
         F.coalesce(F.max("kernel_wall_ms"), F.lit(0)).cast("long").alias("wall_ms"),

@@ -89,6 +89,7 @@ _WS_RE = re.compile(r"\s+")
 # and attribute order is free, matching the DOM walk (:60-76); values may
 # be double- or single-quoted.
 _META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.I)
+_BODY_OPEN_RE = re.compile(r"<body[\s>]", re.I)
 _META_ATTR_RE = re.compile(
     r"""(name|http-equiv|content)\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I)
 
@@ -297,7 +298,13 @@ def parse_meta_directives(content: str, base_url: str):
     noindex = nofollow = False
     refresh_to = None
     general: dict[str, str] = {}
-    head = (content or "").split("<body", 1)[0]
+    # case-insensitive body cut: the reference walk stops at <body>
+    # whatever its case (HTMLMetaProcessor.java:55-57); a literal split
+    # let a meta directive INSIDE an uppercase <BODY> wrongly mark the
+    # page noindex/nofollow
+    c = content or ""
+    m_body = _BODY_OPEN_RE.search(c)
+    head = c[:m_body.start()] if m_body else c
     for tag in _META_TAG_RE.finditer(head):
         attrs: dict[str, str] = {}
         for am in _META_ATTR_RE.finditer(tag.group(0)):
@@ -532,42 +539,14 @@ def _scan_links(segment: str, base_url: str, events: list,
 def _scan_html(content: str, base_url: str, ignore_tags: tuple = (),
                form_use_action: bool = True) -> list:
     """One document-order pass -> events: ('title', str) tuples interleaved
-    with span dicts (kind/text/media_ref, offsets assigned by callers)."""
+    with span dicts (kind/text/media_ref, offsets assigned by callers).
+    Delegates to _scan_links at depth 0 — ONE implementation of the walk
+    (a former verbatim copy of the loop here had already drifted: it
+    re-entered nested subtrees with the depth counter reset, weakening the
+    recursion cap the copy in _scan_links enforces)."""
     events: list = []
-    pos = 0
-    dead_closes: set[str] = set()  # block tags with no close ahead of pos
-    while True:
-        m = _SCAN_RE.search(content, pos)
-        if not m:
-            return events
-        btag = m.group("btag")
-        if btag is not None:
-            btag = btag.lower()
-            stop = None if btag in dead_closes else \
-                _BLOCK_STOP_RES[btag].search(content, m.end())
-            if stop is None:
-                # unclosed block: no span (the old inner-group regex simply
-                # failed to match); pos only advances, so the miss holds
-                dead_closes.add(btag)
-                pos = m.end()
-                continue
-            inner = content[m.end():stop.start()]
-            pos = stop.end()
-            if btag == "title":
-                events.append(("title", _WS_RE.sub(" ", inner).strip()))
-            else:
-                events.append({"kind": "text",
-                               "text": _clean_inner_text(inner),
-                               "media_ref": None})
-                # nested link-family tags keep their doc order
-                if "<" in inner:
-                    _scan_links(inner, base_url, events, ignore_tags,
-                                form_use_action)
-        elif m.group("ltag"):
-            pos = _emit_link_tag(content, m, base_url, events,
-                                 ignore_tags, form_use_action)
-        else:  # comment
-            pos = m.end()
+    _scan_links(content, base_url, events, ignore_tags, form_use_action, 0)
+    return events
 
 
 def extract_documents_pdf(pdf: pd.DataFrame, ignore_tags: tuple = (),
@@ -980,8 +959,13 @@ def run_parse(
         ok = ok.filter(~F.coalesce(F.col("truncated"), F.lit(False)))
 
     # only url survives into the join: score/signature ride on `ok` for the
-    # sig/linked paths, and carrying them here would widen the join shuffle
-    content = ok.select("url").join(raw_content, "url", "inner")
+    # sig/linked paths, and carrying them here would widen the join shuffle.
+    # distinct: fetch_out can carry a url twice with SUCCESS (a fetchlist
+    # row AND an in-thread redirect hop landing on it — the same
+    # duplication updatedb/indexer dedupe); raw duplicate join keys would
+    # parse the page twice, double documents/parse_text rows, and emit
+    # every linked row twice (updatedb SUMS linked scores -> 2x OPIC mass)
+    content = ok.select("url").distinct().join(raw_content, "url", "inner")
     html_opts = (tuple(cfg.parser_html_outlinks_ignore_tags),
                  cfg.parser_html_form_use_action)
     if "content_type" in content.columns:

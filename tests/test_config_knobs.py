@@ -630,3 +630,14 @@ def test_urlnormalizer_loop_count_chain(spark):
     ns2 = normalizers_for_loop_count(2)
     assert ns1.loop_count == 1 and ns2.loop_count == 2
     assert normalizers_for_loop_count(2) is ns2  # cached per count
+
+
+def test_robots_tied_stanza_crawl_delay_deterministic(spark):
+    """Two same-priority stanzas with different Crawl-Delays must resolve
+    identically on every run (the virtual fetch schedule derives from the
+    delay): the max — most conservative — wins, not an unordered first()."""
+    rows = [("h.com", "*", ["/a/"], [], 2.0),
+            ("h.com", "*", ["/b/"], [], 7.0)]
+    for _ in range(3):
+        rb = select_robots_rules(_robots_df(spark, rows), CrawlConfig())
+        assert rb.collect()[0]["crawl_delay"] == 7.0

@@ -100,3 +100,41 @@ def test_strip_tags_and_dates():
     assert _parse_date_ms("Mon, 07 Jan 2008 10:00:00 GMT") == 1199700000000
     assert _parse_date_ms("2008-01-07T10:00:00Z") == 1199700000000
     assert _parse_date_ms("not a date") is None
+
+
+RSS_RELATIVE = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>T</title>
+  <atom:link xmlns:atom="http://www.w3.org/2005/Atom" rel="self"
+             href="http://feeds.example.com/feed.xml"/>
+  <link>http://feeds.example.com/home</link>
+  <item>
+    <title>Rel</title>
+    <atom:link xmlns:atom="http://www.w3.org/2005/Atom" rel="self"
+               href="http://feeds.example.com/posts/1.xml"/>
+    <link>http://feeds.example.com/posts/1</link>
+    <description>&lt;a href="/other/page.html"&gt;rel link&lt;/a&gt;</description>
+  </item>
+</channel></rss>"""
+
+
+def test_atom_self_link_does_not_shadow_rss_link():
+    """An empty-text <atom:link rel=self href=...> namespace-strips to the
+    same local name 'link' (the feedburner pattern) — it must not shadow
+    the real RSS <link>, which used to drop the entry entirely and lose
+    the feed-level meta key."""
+    out = _run(RSS_RELATIVE)
+    ids = set(out["doc_id"])
+    assert "http://feeds.example.com/posts/1" in ids  # entry kept
+    entry = out[out["doc_id"] == "http://feeds.example.com/posts/1"].iloc[0]
+    assert entry["meta"]["feed"] == "http://feeds.example.com/home"
+
+
+def test_relative_hrefs_resolve_against_entry_link():
+    """HTML entry bodies sub-parse with the ENTRY's url as base (the
+    reference hands the sub-parse the entry link): a relative href must
+    resolve, not null out at the normalizer under a synthetic base."""
+    out = _run(RSS_RELATIVE)
+    entry = out[out["doc_id"] == "http://feeds.example.com/posts/1"].iloc[0]
+    links = [s["media_ref"] for s in entry["spans"] if s["kind"] == "link"]
+    assert "http://feeds.example.com/other/page.html" in links

@@ -277,3 +277,38 @@ def test_opic_count_filtered_divisor(spark):
     filtered = child_scores(CrawlConfig(db_score_count_filtered=True))
     assert [u for u, _ in filtered] == [u for u, _ in default]
     assert all(abs(s - 0.25) < 1e-6 for _, s in filtered)
+
+
+def test_uppercase_body_bounds_meta_scan():
+    """The head cut is case-insensitive (HTMLMetaProcessor.java:55-57):
+    a robots meta INSIDE an uppercase <BODY> must not mark the page
+    noindex — the old literal '<body' split scanned the whole document."""
+    from nutch_spark.operators.parse import parse_meta_directives
+
+    noindex, nofollow, refresh, general = parse_meta_directives(
+        '<HTML><HEAD><TITLE>t</TITLE></HEAD><BODY>shown: '
+        '<meta name="robots" content="noindex,nofollow"></BODY></HTML>',
+        "http://h/")
+    assert not noindex and not nofollow
+
+    # and a HEAD meta still applies, whatever the body tag's case
+    noindex2, nofollow2, _r, _g = parse_meta_directives(
+        '<html><head><meta NAME="ROBOTS" content="noindex"></head>'
+        "<BODY>x</BODY></html>", "http://h/")
+    assert noindex2
+
+
+def test_run_parse_duplicate_success_rows_parse_once(spark):
+    """fetch_out can carry a url twice with SUCCESS (fetchlist row + an
+    in-thread redirect hop on it): the page must parse ONCE — duplicate
+    join keys doubled documents/parse_text rows and every linked row
+    (updatedb SUMS linked scores, so children got 2x OPIC mass)."""
+    web = SyntheticWeb(n_hosts=4, pages_per_host=2, mega_factor=2)
+    tables = web.to_spark(spark)
+    some = [r.url for r in tables["raw_content"].select("url").limit(2).collect()]
+    fetch_out = _fetch_ok(spark, some + [some[0]])  # url 0 twice
+    parsed = run_parse(fetch_out, tables["raw_content"], CrawlConfig())
+    docs = parsed["documents"].groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in docs), docs
+    pt = parsed["parse_text"].groupBy("url").count().collect()
+    assert all(r["count"] == 1 for r in pt), pt

@@ -20,7 +20,8 @@ def _write_batch(spark, path, rows):
 
     df = spark.createDataFrame(
         [
-            (u, h, st, ts, i, None, None, 100, False, 1.0, 3600, 0, 0, None, None, 0)
+            (u, h, st, ts, i, None, None, 100, False, 1.0, 3600, 0, 0, None,
+             None, 0, len(rows))
             for i, (u, h, st, ts) in enumerate(rows)
         ],
         schema=FETCH_OUT_SCHEMA,
