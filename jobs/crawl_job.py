@@ -34,12 +34,22 @@ def parse_seed_file(spark, path: str):
     lines = lines.filter((F.col("line") != "") & ~F.col("line").startswith("#"))
     parts = F.split(F.col("line"), "\t")
     kvs = F.filter(F.slice(parts, 2, 1000), lambda s: s.contains("="))
+    # value = everything after the FIRST '=' (Injector.java splits once;
+    # a limit-less split truncated 'k=a=b' to 'a'); duplicate keys are
+    # last-wins like the reference's Map.put (map_from_arrays would THROW
+    # on the first duplicate under the default EXCEPTION dedup policy,
+    # killing the whole inject job on one bad seed line)
+    empty = F.create_map().cast("map<string,string>")
+    meta = F.aggregate(
+        kvs, empty,
+        lambda acc, s: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != F.split(s, "=", 2)[0]),
+            F.create_map(F.split(s, "=", 2)[0], F.split(s, "=", 2)[1]),
+        ),
+    )
     return lines.select(
         F.element_at(parts, 1).alias("url"),
-        F.map_from_arrays(
-            F.transform(kvs, lambda s: F.split(s, "=")[0]),
-            F.transform(kvs, lambda s: F.split(s, "=")[1]),
-        ).alias("metadata"),
+        meta.alias("metadata"),
     )
 
 
@@ -73,7 +83,12 @@ def main() -> int:
         tables = bench_web_tables(spark, n_hosts=args.hosts,
                                   pages_per_host=args.pages, mega_factor=4,
                                   n_partitions=parts)
-        seeds = tables["seeds"].limit(args.hosts)  # one seed per host
+        # one seed per host, really: the seeds table is the full page
+        # list ordered host-by-host, so a bare limit(hosts) seeded ~4
+        # whole hosts instead of one page from each
+        seeds = (tables["seeds"]
+                 .filter(F.col("url").endswith("/page/0.html"))
+                 .limit(args.hosts))
     else:
         from nutch_spark.corpus import SyntheticWeb
 

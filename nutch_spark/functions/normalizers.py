@@ -151,17 +151,32 @@ class HostAliasNormalizer:
         return urls.map(self.normalize, na_action="ignore")
 
     def col(self, url_col: Column) -> Column:
-        """Native when-chain per alias (alias maps are small config files).
-        Wildcards become host-suffix regexes; exact hosts anchored equality."""
-        out = url_col
+        """Native SINGLE-lookup rewrite with first-match semantics — the
+        same resolution _target() does (exact map first, then wildcards
+        in declaration order, at most ONE rewrite). A sequential
+        regexp_replace chain here once let a rewritten host be rewritten
+        AGAIN by a later wildcard rule, so the distributed path produced
+        different normalized urls than the scalar/driver path whenever an
+        alias target overlapped another rule. Splicing the literal target
+        column also sidesteps replacement-string '$'/'\\' escaping."""
+        if not self.exact and not self.wild:
+            return url_col
+        parts = "(?s)" + self._URL_RE.pattern  # re.S travels as an inline flag
+        pre = F.regexp_extract(url_col, parts, 1)
+        h = F.regexp_extract(url_col, parts, 2)
+        rest = F.regexp_extract(url_col, parts, 3)
+        hl = F.lower(h)
+        conds: list[tuple[Column, str]] = []
         for host, tgt in self.exact.items():
-            pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*://)" + re.escape(host) + r"(?=[/:?#]|$)"
-            out = F.regexp_replace(out, pat, "$1" + tgt)
+            conds.append((hl == host, tgt))
         for dom, tgt in self.wild.items():
-            pat = (r"^([a-zA-Z][a-zA-Z0-9+.-]*://)(?:[^/:?#]+\.)?"
-                   + re.escape(dom) + r"(?=[/:?#]|$)")
-            out = F.regexp_replace(out, pat, "$1" + tgt)
-        return out
+            conds.append(((hl == dom) | hl.endswith("." + dom), tgt))
+        tgt_col: Column = F.lit(None).cast("string")
+        for cond, tgt in reversed(conds):
+            tgt_col = F.when(cond, F.lit(tgt)).otherwise(tgt_col)
+        return F.when(
+            (pre != "") & tgt_col.isNotNull(), F.concat(pre, tgt_col, rest)
+        ).otherwise(url_col)
 
 
 class ScopedNormalizers:
@@ -177,12 +192,20 @@ class ScopedNormalizers:
         self.host = HostAliasNormalizer(host_aliases)
         self._default_regex = RegexURLNormalizer(
             self.regex_by_scope.get("default", DEFAULT_REGEX_RULES))
+        self._scope_regex: dict[str, RegexURLNormalizer] = {}
         # urlnormalizer.loop.count (URLNormalizers.java:138,279-293)
         self.loop_count = max(1, loop_count)
 
     def regex_for(self, scope: str) -> RegexURLNormalizer:
         if scope in self.regex_by_scope:
-            return RegexURLNormalizer(self.regex_by_scope[scope])
+            # cache per scope: constructing a RegexURLNormalizer compiles
+            # the whole rule list, and the scalar normalize() path calls
+            # this per URL
+            cached = self._scope_regex.get(scope)
+            if cached is None:
+                cached = self._scope_regex[scope] = RegexURLNormalizer(
+                    self.regex_by_scope[scope])
+            return cached
         return self._default_regex
 
     def normalize(self, url: str | None, scope: str = "default") -> str | None:
@@ -257,6 +280,6 @@ def normalize_chain_split(df: DataFrame, in_col: str, out_col: str,
     NULL out_col (normalize_split used to drop them; callers filter)."""
     from nutch_spark.functions.urls import normalize_inline
 
-    ns = normalizers or ScopedNormalizers()
+    ns = normalizers or normalizers_for_loop_count(1)  # cached default
     out = normalize_inline(df, in_col, out_col)
     return with_column_once(out, out_col, ns.post_basic_col(F.col(out_col), scope))

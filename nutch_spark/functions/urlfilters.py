@@ -18,6 +18,7 @@ here by functions.urls.RegexUrlFilter.)
 
 from __future__ import annotations
 
+import re as _re
 from urllib.parse import urlsplit
 
 import pandas as pd
@@ -74,13 +75,21 @@ class SuffixUrlFilter:
                 suffixes.append(line)
         return cls(suffixes, default_accept, ignore_case, from_path)
 
+    # java.net.URL.getPath() mirror: LENIENT (spaces etc. parse fine; only
+    # an unknown protocol throws MalformedURLException -> "don't care",
+    # keep the full url). urlsplit was both too lenient (it "parses"
+    # unknown schemes the reference would keep whole) and paired with a
+    # native parse_url fallback that fired on DIFFERENT inputs
+    # (URISyntaxException on spaces), so the two engines matched different
+    # subjects for messy crawled outlinks.
+    _PATH_RE = _re.compile(r"(?is)^(?:http|https|ftp|file)://[^/?#]*([^?#]*)")
+
     def _subject(self, url: str) -> str:
         s = url.lower() if self.ignore_case else url
         if self.from_path:
-            try:
-                s = urlsplit(s).path
-            except ValueError:
-                pass  # reference: "don't care", keep the full url
+            m = self._PATH_RE.match(s)
+            if m:
+                s = m.group(1)
         return s
 
     def accepts(self, url: str | None) -> bool:
@@ -95,7 +104,12 @@ class SuffixUrlFilter:
     def col(self, url_col: Column) -> Column:
         subject = F.lower(url_col) if self.ignore_case else url_col
         if self.from_path:
-            subject = F.coalesce(F.parse_url(subject, F.lit("PATH")), subject)
+            # same java.net.URL.getPath() mirror as _subject (see above):
+            # known scheme -> path segment, else the full url
+            path = F.regexp_extract(subject, self._PATH_RE.pattern, 1)
+            subject = F.when(
+                subject.rlike(r"(?is)^(?:http|https|ftp|file)://"), path
+            ).otherwise(subject)
         matched = F.lit(False)
         for s in self.suffixes:
             matched = matched | subject.endswith(s)
@@ -183,7 +197,6 @@ class DomainBlacklistUrlFilter(DomainUrlFilter):
 # and an authority char class without "_" (AUTHORITY_CHARS, :65).
 # ---------------------------------------------------------------------------
 
-import re as _re
 
 # UrlValidator.java:54-129 pattern constants
 _V_SPECIAL = ";/@&=,.?:+$"
@@ -215,24 +228,28 @@ class UrlValidatorFilter:
     (UrlValidator.isValid, :152-184)."""
 
     def accepts(self, url: str | None) -> bool:
-        if url is None or not _V_LEGAL_ASCII_RE.match(url):
+        # fullmatch, not match: Python's '$' matches BEFORE a trailing
+        # newline, so 'http://a.com/\n' passed every anchored check while
+        # the reference's Pattern.matches() rejects it (urls.py:84-90
+        # documents this exact trap for the normalizer fast path)
+        if url is None or not _V_LEGAL_ASCII_RE.fullmatch(url):
             return False
         m = _V_URL_RE.match(url)  # always matches (all groups optional)
         scheme, authority, path = m.group(2), m.group(4), m.group(5)
         # scheme (:194-200)
-        if scheme is None or not _V_SCHEME_RE.match(scheme):
+        if scheme is None or not _V_SCHEME_RE.fullmatch(scheme):
             return False
         # authority (:209-297)
         if authority is None:
             return False
         am = _V_AUTHORITY_RE.match(authority)
         host_ip, port, extra = am.group(1), am.group(2), am.group(3)
-        ip = _V_IPV4_RE.match(host_ip)
+        ip = _V_IPV4_RE.fullmatch(host_ip)
         if ip:
             if any(int(seg) > 255 for seg in ip.groups()):
                 return False
         else:
-            if not _V_DOMAIN_RE.match(host_ip):
+            if not _V_DOMAIN_RE.fullmatch(host_ip):
                 return False
             segs = host_ip.split(".")
             top = segs[-1]
@@ -240,12 +257,12 @@ class UrlValidatorFilter:
                 return False
             if len(segs) < 2:
                 return False
-        if port is not None and not _V_PORT_RE.match(port):
+        if port is not None and not _V_PORT_RE.fullmatch(port):
             return False
         if extra is not None and extra.strip():
             return False
         # path (:319-337)
-        if path is None or not _V_PATH_RE.match(path):
+        if path is None or not _V_PATH_RE.fullmatch(path):
             return False
         slash2 = _count_token("//", path)
         slash = _count_token("/", path)
@@ -275,14 +292,14 @@ class UrlValidatorFilter:
         extra = F.regexp_extract(auth, auth_pat, 3)
 
         ipv4_pat = r"^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$"
-        is_ipv4 = host_ip.rlike(ipv4_pat)
+        is_ipv4 = host_ip.rlike(ipv4_pat[:-1] + r"\z")
         octets_ok = F.lit(True)
         for i in range(1, 5):
             octets_ok = octets_ok & (
                 F.regexp_extract(host_ip, ipv4_pat, i).cast("int") <= 255
             )
         atom = _V_ATOM
-        is_domain = host_ip.rlike(rf"^{atom}(\.{atom})*$")
+        is_domain = host_ip.rlike(rf"^{atom}(\.{atom})*\z")
         segs = F.split(host_ip, r"\.")
         top = F.element_at(segs, -1)
         domain_ok = (
@@ -292,10 +309,10 @@ class UrlValidatorFilter:
             & (F.size(segs) >= 2)
         )
         host_ok = F.when(is_ipv4, octets_ok).otherwise(domain_ok)
-        port_ok = (port == "") | port.rlike(r"^:\d{1,5}$")
+        port_ok = (port == "") | port.rlike(r"^:\d{1,5}\z")
         extra_ok = F.trim(extra) == ""
 
-        path_ok = path.rlike(r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?$")
+        path_ok = path.rlike(r"^(/[-\w:@&?=+,.!/~*'%$_;\(\)]*)?\z")
         slash = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
         slash2 = F.length(path) - F.length(F.regexp_replace(path, r"/(?=/)", ""))
         dot2 = F.length(path) - F.length(F.regexp_replace(path, r"\.(?=\.)", ""))
@@ -303,8 +320,8 @@ class UrlValidatorFilter:
 
         return (
             u.isNotNull()
-            & u.rlike(r"^[\x21-\x7E]+$")
-            & scheme.rlike("^[a-zA-Z]+$")
+            & u.rlike(r"^[\x21-\x7E]+\z")
+            & scheme.rlike(r"^[a-zA-Z]+\z")
             & host_ok
             & port_ok
             & extra_ok

@@ -179,3 +179,20 @@ def test_fetcher_queue_modes_share_politeness_clock(spark, corpus_tables, cfg):
     # byIP without a resolver degrades to byHost semantics (declared)
     a3, b3, n3 = span(ip_cfg, None)
     assert n3 == 6 and b3 - a3 <= 3 * d
+
+
+def test_parse_seed_file_metadata_values_and_duplicates(spark, tmp_path):
+    """Injector.java splits key=value ONCE (value keeps embedded '=') and
+    duplicate keys are last-wins via Map.put — a limit-less split
+    truncated values, and map_from_arrays THREW on the first duplicate
+    key, killing the whole inject job on one bad seed line."""
+    from jobs.crawl_job import parse_seed_file
+
+    p = tmp_path / "seeds.txt"
+    p.write_text(
+        "http://x.com/\tcustom=a=b\tnutch.score=2\n"
+        "http://y.com/\tk=1\tk=2\n"
+        "# comment\n")
+    rows = {r.url: r.metadata for r in parse_seed_file(spark, str(p)).collect()}
+    assert rows["http://x.com/"] == {"custom": "a=b", "nutch.score": "2"}
+    assert rows["http://y.com/"] == {"k": "2"}  # last wins

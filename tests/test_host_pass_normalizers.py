@@ -72,3 +72,25 @@ def test_chain_with_host_rules(spark):
         host_aliases={"example.org": "www.example.org"})
     assert (chain.normalize("http://example.org//path/to//somewhere.html")
             == "http://www.example.org/path/to/somewhere.html")
+
+
+def test_host_alias_first_match_col_equals_scalar(spark):
+    """Overlapping alias rules: the scalar path resolves ONE first-match
+    target; the native when-chain must too — a sequential regexp_replace
+    chain once re-rewrote the rewritten host through a later wildcard rule
+    ('www.a.com'->'a.com' then '*.a.com'->'canonical.a.com'), so the
+    distributed and driver paths produced different dedup keys."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.normalizers import HostAliasNormalizer
+
+    n = HostAliasNormalizer({"www.a.com": "a.com",
+                             "*.a.com": "canonical.a.com"})
+    urls = ["http://www.a.com/x", "http://sub.a.com/y", "http://b.com/z",
+            "http://WWW.A.COM/u:8080/p"]
+    want = [n.normalize(u) for u in urls]
+    assert want[0] == "http://a.com/x"            # exact wins, ONE rewrite
+    assert want[1] == "http://canonical.a.com/y"  # wildcard
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.o for r in df.select(n.col(F.col("url")).alias("o")).collect()]
+    assert got == want

@@ -268,3 +268,43 @@ def test_domain_urlfilter_reference_cases():
     assert f.accepts("http://www.yahoo.com")
     assert f.accepts("http://www.foobar.be")
     assert not f.accepts("http://www.adobe.com")
+
+
+def test_url_validator_rejects_trailing_newline(spark):
+    """Pattern.matches() covers the WHOLE string: 'http://a.com/\\n' is
+    illegal ASCII in the reference, but Python '$' (and Java rlike '$')
+    match before a final newline — both engines must use absolute-end
+    anchors."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urlfilters import UrlValidatorFilter
+
+    v = UrlValidatorFilter()
+    assert v.accepts("http://a.com/")
+    assert not v.accepts("http://a.com/\n")
+    assert not v.accepts("http://a.com:80\n")
+    df = spark.createDataFrame(
+        [("http://a.com/",), ("http://a.com/\n",)], "url string")
+    got = [r.ok for r in df.select(v.col(F.col("url")).alias("ok")).collect()]
+    assert got == [True, False]
+
+
+def test_suffix_from_path_lenient_url_parse_both_engines(spark):
+    """java.net.URL is LENIENT: spaces parse fine (getPath() cuts the
+    query), only an unknown protocol throws and keeps the full url. The
+    scalar and native paths must match subjects for messy crawled
+    outlinks — they used to fall back on DIFFERENT inputs and return
+    opposite verdicts."""
+    from pyspark.sql import functions as F
+
+    from nutch_spark.functions.urlfilters import SuffixUrlFilter
+
+    flt = SuffixUrlFilter([".gif"], default_accept=False, from_path=True)
+    urls = ["http://a b.com/x.jpg?y=.gif",   # space; path .jpg -> reject
+            "http://a.com/pic.gif?z=1",      # path .gif -> accept
+            "mailto:x.gif"]                  # unknown scheme -> full url
+    scalar = [flt.accepts(u) for u in urls]
+    assert scalar == [False, True, True]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    native = [r.ok for r in df.select(flt.col(F.col("url")).alias("ok")).collect()]
+    assert native == scalar
