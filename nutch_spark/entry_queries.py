@@ -2279,7 +2279,7 @@ SELECT to_url AS url,
        'Inlinks:' || chr(10) ||
        string_agg(' fromUrl: ' || coalesce(from_url, '')
                     || ' anchor: ' || coalesce(anchor, ''),
-                  chr(10) ORDER BY from_url, anchor) AS inlinks_repr
+                  chr(10) ORDER BY from_url NULLS FIRST, anchor NULLS FIRST) AS inlinks_repr
 FROM ded GROUP BY to_url
 """
 

@@ -190,14 +190,22 @@ def _detect_statistical(data: bytes) -> list[tuple[str, int]]:
         # the windows-1252 default (mojibake for the whole document).
         # Drop at most one trailing INCOMPLETE sequence before validating
         # (ICU, the reference's detector, tolerates truncation the same
-        # way) — and the truncated lead byte itself IS the multibyte
-        # evidence when the rest of the head is pure ASCII
+        # way). The trimmed lead byte alone is NOT evidence: a cp1252 doc
+        # whose only in-window non-ASCII byte is the window's last byte
+        # (e.g. 0xE9 'é') looks exactly like a truncated UTF-8 lead, so the
+        # confident verdict additionally requires other non-ASCII bytes
+        # that validated as UTF-8 in the remaining head.
         trimmed = _trim_partial_utf8(head)
         trimmed_partial = len(trimmed) != len(head)
         head = trimmed
     if _utf8_valid(head):
-        if trimmed_partial or any(b >= 0x80 for b in head):
+        if any(b >= 0x80 for b in head):
             return [("utf-8", 100)]
+        if trimmed_partial:
+            # trim-only case: ambiguous (truncated UTF-8 lead vs a lone
+            # cp1252 byte at the boundary) — weak clue, below certainty,
+            # so a declared header / meta sniff / default can override it
+            return [("utf-8", 60)]
         return []
     if len(head) >= 8:
         even = sum(1 for b in head[0::2] if b == 0)
@@ -288,17 +296,23 @@ def guess_encoding(data: bytes | None, header_charset: str | None = None,
     order :155-157), then default. The reference's shipped conf disables
     autodetection (min.confidence=-1); this engine enables it because a
     BOM / strict-UTF-8 signal never mislabels — divergence declared, the
-    exact any-config walk lives in EncodingDetector above."""
-    if data:
-        detected = _detect_statistical(data)
-        if detected:
-            return detected[0][0]
+    exact any-config walk lives in EncodingDetector above.
+
+    Sub-certain statistical clues (the trim-only truncated-UTF-8-lead
+    case, confidence < 100) are AMBIGUOUS — a cp1252 'é' at the sniff
+    boundary produces the same bytes — so a declared header or meta sniff
+    overrides them; they only beat the blind default."""
+    detected = _detect_statistical(data) if data else []
+    if detected and detected[0][1] >= 100:
+        return detected[0][0]
     header = _clean_charset(header_charset)
     if header:
         return header
     sniffed = _clean_charset(sniff_charset_meta(data))
     if sniffed:
         return sniffed
+    if detected:  # weak clue still outranks a blind default
+        return detected[0][0]
     return default
 
 

@@ -21,6 +21,13 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Default per-(table,bucket) row cap — ON by default so the safe-at-scale
+# behavior is not opt-in (a mega-bucket of N co-hashed vectors otherwise
+# turns the per-bucket self-join quadratic in N). Generous enough that a
+# healthy bucket distribution (p ~ log2(N) planes -> expected size ~10)
+# never touches it; pass bucket_cap=None to explicitly disable.
+DEFAULT_BUCKET_CAP = 1000
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -103,7 +110,7 @@ def _bucketed(df: DataFrame, id_name: str, vec_name: str, planes: np.ndarray,
 def ann_cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5,
     n_planes: int = 8, n_tables: int = 1, dim: int = 64, seed: int = 42,
-    bucket_cap: int | None = None, exclude_self: bool = False,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP, exclude_self: bool = False,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:
@@ -255,7 +262,7 @@ def ivf_cosine_topk(
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95,
     n_planes: int = 8, n_tables: int = 1, dim: int = 64, seed: int = 42,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table bucketed self-join."""

@@ -11,8 +11,11 @@ All operators are shuffle-minimal:
 - ngram jaccard: verification kernel on LSH candidates, not all pairs.
 
 At 100 TB the only full shuffle is the band-bucket exchange, whose keys are
-uniformly distributed by construction (hash buckets), so no skew handling is
-needed beyond AQE.
+uniformly distributed by construction (hash buckets) — EXCEPT the guaranteed
+mega-bucket of boilerplate exact-duplicates, which share every band bucket;
+the default-on `bucket_cap` (rank-and-cap, _cap_buckets) bounds that join at
+O(bands * cap^2) pairs so near-dup survives it without an exact-dedup-first
+precondition.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
+
+from nutch_spark.functions.similarity import DEFAULT_BUCKET_CAP
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -181,12 +186,35 @@ def minhash_signatures(documents: DataFrame, num_perm: int = 64, shingle_k: int 
     return documents.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def _cap_buckets(banded: DataFrame, bucket_cap: int | None,
+                 key_cols: tuple[str, str], id_col: str = "doc_id") -> DataFrame:
+    """Keep at most bucket_cap rows per band bucket, deterministically
+    (rank by md5(id), tie id — DuckDB-replicable if an oracle ever needs
+    to model the cap). At 100 TB a mega-bucket is GUARANTEED — N exact
+    duplicates of one boilerplate page share every band bucket and the
+    per-bucket self-join goes quadratic in N; the cap bounds it at
+    O(bands * cap^2) pairs. Capture of sub-cap near-dup pairs is
+    unaffected; pairs between capped-out members of a mega-cluster are
+    the ones an exact-dedup-first pipeline already collapsed."""
+    if bucket_cap is None:
+        return banded
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+    return (
+        banded.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= bucket_cap).drop("_r")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4,
+                        bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Band the signatures; docs sharing any band bucket become candidates.
     Self-join happens per bucket only. bands*rows must cover the signature:
     a band slicing past the end yields an identical empty-slice bucket for
     EVERY doc, degenerating the per-bucket join into the full cross
-    product — exactly the blowup this operator exists to avoid."""
+    product — exactly the blowup this operator exists to avoid.
+    bucket_cap (ON by default) hard-bounds pathological buckets — see
+    _cap_buckets; None disables."""
     if bands <= 0 or rows <= 0:
         raise ValueError("bands and rows must be positive")
     banded = sigs.select(
@@ -198,6 +226,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, bucket_cap, ("band", "bucket"))
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -227,6 +256,7 @@ def minhash_jaccard(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7,
                             num_perm: int = 64, bands: int = 16,
                             rows: int | None = None,
+                            bucket_cap: int | None = DEFAULT_BUCKET_CAP,
                             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     # derive rows from num_perm by default and refuse a banding that
     # slices past the signature: out-of-range slices are identical empty
@@ -241,7 +271,7 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7,
             "trailing bands would hash an empty slice and bucket every doc "
             "together")
     sigs = minhash_signatures(documents, num_perm, id_col=id_col, text_col=text_col)
-    pairs = lsh_candidate_pairs(sigs, bands, rows)
+    pairs = lsh_candidate_pairs(sigs, bands, rows, bucket_cap)
     return minhash_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= threshold)
 
 
@@ -329,9 +359,13 @@ def simhash_band_bounds(max_hamming: int, total_bits: int = 64) -> list[tuple[in
     return bounds
 
 
-def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3,
+                            bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Banded candidate generation over (doc_id, simhash) with capture
-    guaranteed for pairs at hamming <= max_hamming; exact hamming attached."""
+    guaranteed for pairs at hamming <= max_hamming; exact hamming attached.
+    bucket_cap bounds a mega-bucket of co-fingerprinted docs (milder than
+    the minhash case — 64-bit keys — but N identical docs still share
+    every band); see _cap_buckets."""
     bounds = simhash_band_bounds(max_hamming)
 
     def band(s: int, w: int):
@@ -347,6 +381,7 @@ def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")
     )
+    banded = _cap_buckets(banded, bucket_cap, ("band", "key"))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
@@ -362,11 +397,12 @@ def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3,
+                            bucket_cap: int | None = DEFAULT_BUCKET_CAP,
                             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs at hamming <= max_hamming: banded candidates (capture
     guaranteed by h+1 banding), then exact hamming filter."""
     sigs = simhash_signatures(documents, id_col, text_col)
-    return simhash_candidate_pairs(sigs, max_hamming).filter(
+    return simhash_candidate_pairs(sigs, max_hamming, bucket_cap).filter(
         F.col("hamming") <= max_hamming
     )
 

@@ -130,14 +130,19 @@ def sketch_if_current(sketch: DataFrame | None,
     Any mismatch -> None, so callers rebuild from the frontier."""
     if sketch is None or not {"fmt", "buckets", "bits", "k"} <= set(sketch.columns):
         return None
-    if cfg is not None:
-        row = sketch.limit(1).collect()
-        if row:  # an empty sketch is compatible with any parameters
-            r = row[0]
-            if (r["fmt"] != SKETCH_FMT or r["buckets"] != cfg.seen_buckets
-                    or r["bits"] != cfg.seen_bits_per_bucket
-                    or r["k"] != cfg.seen_num_hashes):
-                return None
+    row = sketch.limit(1).collect()
+    if row:  # an empty sketch is compatible with any parameters
+        r = row[0]
+        # fmt is gated even without cfg: a future format bump keeping the
+        # same columns must not be accepted and OR'd into (stale-bitmap
+        # false negatives) just because the caller omitted cfg
+        if r["fmt"] != SKETCH_FMT:
+            return None
+        if cfg is not None and (
+                r["buckets"] != cfg.seen_buckets
+                or r["bits"] != cfg.seen_bits_per_bucket
+                or r["k"] != cfg.seen_num_hashes):
+            return None
     return sketch
 
 

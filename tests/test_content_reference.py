@@ -48,6 +48,28 @@ def test_utf8_valid_doc_split_at_sniff_boundary():
     assert decode_content(data).endswith("é tail é more")
 
 
+def test_trim_only_lead_byte_is_weak_evidence():
+    """A window whose ONLY non-ASCII byte is its last byte is ambiguous —
+    a truncated UTF-8 lead and a lone cp1252 'é' are the same bytes. The
+    trim-only clue must be sub-certain: a declared header (or meta sniff)
+    overrides it, and only with no other clue does it beat the default."""
+    from nutch_spark.functions.content import (
+        CHUNK_SIZE, _detect_statistical, guess_encoding)
+
+    cp1252 = b"x" * (CHUNK_SIZE - 1) + "é more café text".encode("cp1252")
+    det = _detect_statistical(cp1252)
+    assert det and det[0][0] == "utf-8" and det[0][1] < 100
+    # declared charset wins over the ambiguous trim-only clue
+    assert guess_encoding(cp1252, header_charset="windows-1252") == "windows-1252"
+    # no other clue: the weak utf-8 clue still beats the blind default
+    assert guess_encoding(cp1252) == "utf-8"
+    # a window with OTHER validated multibyte content stays certain
+    utf8 = ("é " + "x" * (CHUNK_SIZE - 4)).encode("utf-8") + "é tail".encode("utf-8")
+    det2 = _detect_statistical(utf8)
+    assert det2 and det2[0] == ("utf-8", 100)
+    assert guess_encoding(utf8, header_charset="windows-1252") == "utf-8"
+
+
 def test_unzip_best_effort_bare_magic_is_none():
     """GZIPUtils.unzipBestEffort returns null for a header truncated
     before the deflate stream; a bare magic prefix must not read as a

@@ -887,3 +887,42 @@ def test_webgraph_greedy_none_domain_not_pooled(spark):
                        ignore_internal_domain=False)
     dsts = {r.dst for r in g["edges"].collect()}
     assert dsts == {"mailto:a@x.com", "mailto:b@y.com"}
+
+
+def test_lsh_mega_bucket_cap_bounds_pair_count(spark):
+    """10^4 identical signatures share every band bucket; uncapped, the
+    per-bucket self-join is ~5*10^7 pairs per band (the 100-TB boilerplate
+    blowup). With bucket_cap=C the candidate set is exactly C*(C-1)/2:
+    the rank-by-md5(doc_id) order is band-independent, so every band keeps
+    the SAME C survivors and the distinct-union adds nothing."""
+    from nutch_spark.operators.dedup import lsh_candidate_pairs
+
+    n, cap = 10_000, 50
+    sig = list(range(64))
+    sigs = spark.createDataFrame(
+        [(f"doc{i:05d}", sig) for i in range(n)],
+        "doc_id string, sig array<long>")
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows=4, bucket_cap=cap)
+    assert pairs.count() == cap * (cap - 1) // 2
+    # sub-cap buckets are untouched: a disjoint planted pair still appears
+    extra = spark.createDataFrame(
+        [("zz1", [100 + i for i in range(64)]), ("zz2", [100 + i for i in range(64)])],
+        "doc_id string, sig array<long>")
+    got = {(r.a, r.b) for r in
+           lsh_candidate_pairs(sigs.union(extra), bands=16, rows=4,
+                               bucket_cap=cap).collect()}
+    assert ("zz1", "zz2") in got
+    assert len(got) == cap * (cap - 1) // 2 + 1
+
+
+def test_simhash_mega_bucket_cap_bounds_pair_count(spark):
+    """Same blowup defense for the simhash band join: 10^4 identical
+    fingerprints collapse to C*(C-1)/2 candidates under bucket_cap=C."""
+    from nutch_spark.operators.dedup import simhash_candidate_pairs
+
+    n, cap = 10_000, 50
+    sigs = spark.createDataFrame(
+        [(f"doc{i:05d}", 0x0123456789ABCDEF - (1 << 63)) for i in range(n)],
+        "doc_id string, simhash long")
+    pairs = simhash_candidate_pairs(sigs, max_hamming=3, bucket_cap=cap)
+    assert pairs.count() == cap * (cap - 1) // 2
