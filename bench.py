@@ -165,7 +165,7 @@ def run_crawl_throughput(spark, num_partitions: int) -> dict:
 
 
 def run_query_suite(spark) -> dict:
-    from nutch_spark.entry_queries import QUERIES
+    from nutch_spark.entry_queries import QUERIES, clear_query_caches
 
     timings = {}
     for name in BENCH_QUERIES:
@@ -174,6 +174,10 @@ def run_query_suite(spark) -> dict:
         # noop write forces full evaluation of every row without collect
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop fixture-slot caches so query N's resident cache doesn't
+        # shrink execution memory for queries N+1.. (each query still pays
+        # its own cache materialization inside its timed window)
+        clear_query_caches()
     return timings
 
 

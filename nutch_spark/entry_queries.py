@@ -65,12 +65,20 @@ _QUERY_CACHES: dict[str, DataFrame] = {}
 
 
 def _cache_slot(slot: str, df: DataFrame) -> DataFrame:
-    """cache() with leak control: drop the PREVIOUS invocation's cache for
-    this slot first. Order matters — the CacheManager dedupes by logical
-    plan, so unpersisting the stale entry after re-caching the same plan
-    would evict the new entry too. The returned frame must stay cached
+    """EAGER cache() with leak control: drop the PREVIOUS invocation's
+    cache for this slot first. Order matters — the CacheManager dedupes by
+    logical plan, so unpersisting the stale entry after re-caching the same
+    plan would evict the new entry too. The returned frame must stay cached
     until the caller's result is consumed, hence keep-latest, not
-    unpersist-on-exit."""
+    unpersist-on-exit.
+
+    The count() is the point, not a nicety: a LAZY cache does not dedupe
+    CONCURRENT materialization — when several downstream subtrees of one
+    action (e.g. build_index's multi-way cogroup) each contain this plan,
+    their stages race and EACH recomputes the uncached kernel before any
+    cache partition lands (measured on index_plugins: lazy-cache 8.8 s vs
+    eager 3.1 s at sf0.1 — the whole r4->driver 2x regression; PLANS §7.1).
+    Materializing once up front makes every downstream branch a cache read."""
     old = _QUERY_CACHES.pop(slot, None)
     if old is not None:
         try:
@@ -78,8 +86,22 @@ def _cache_slot(slot: str, df: DataFrame) -> DataFrame:
         except Exception:
             pass  # its SparkSession may already be stopped
     df = df.cache()
+    df.count()
     _QUERY_CACHES[slot] = df
     return df
+
+
+def clear_query_caches() -> None:
+    """Unpersist every live fixture-slot cache. Call between queries in a
+    long suite run (bench/gate): keep-latest protects REPEATED invocations
+    of one query, but across 40+ DIFFERENT queries the resident slots eat
+    storage memory and inflate every later query's wall."""
+    for slot in list(_QUERY_CACHES):
+        old = _QUERY_CACHES.pop(slot)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

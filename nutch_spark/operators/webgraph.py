@@ -424,6 +424,12 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
             .select("looking_for", "first_hop")
             .distinct()
         )
+        if i < depth - 1:
+            # this pass's hits feed BOTH the final union and the next
+            # pass's anti-join; the next routes checkpoint materializes
+            # them eagerly anyway, so pinning them here is free and stops
+            # the final action recomputing the routes-join a second time
+            hits = hits.localCheckpoint(eager=True)
         found_parts.append(hits)
         if i < depth - 1:
             routes = (
