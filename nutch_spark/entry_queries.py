@@ -3372,60 +3372,9 @@ FROM ks
 #   3. rotate-out — stable rows green in CORRECTNESS_r01-r03, parked beyond
 #                   the 50-row window this round (still in ORACLES_LOCAL).
 QUERIES: dict[str, tuple] = {
-    # --- 0. new this round (round 4) ---
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
-    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
-    "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
-    "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
-    "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
-    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "ann_ivf": (q_ann_ivf, _sql_ann_ivf),
-    "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
-    "urlmeta": (q_urlmeta, SQL_URLMETA),
-    "segment_dump": (q_segment_dump, SQL_SEGMENT_DUMP),
-    "crawldb_scan": (q_crawldb_scan, SQL_CRAWLDB_SCAN),
-    "partition_byip": (q_partition_byip, SQL_PARTITION_BYIP),
-    "dataset_build": (q_dataset_build, SQL_DATASET_BUILD),
-    # --- 1. rotate-in: driver-unconfirmed as of r03 (VERDICT r3 item 1) ---
-    "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
-    "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),
-    "fetch_throughput": (q_fetch_throughput, _sql_fetch_throughput),
-    "span_extraction": (q_span_extraction, _sql_span_extraction),
-    "signatures": (q_signatures, SQL_SIGNATURES),
-    "repr_url": (q_repr_url, SQL_REPR_URL),
-    "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
-    "url_filters": (q_url_filters, SQL_URL_FILTERS),
-    "linkrank": (q_linkrank, _sql_linkrank),
-    "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
-    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),
-    "ann_topk": (q_ann_topk, _sql_ann_topk),
-    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard),
-    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup),
-    "quality_score": (q_quality_score, _sql_quality_score),
-    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
-    # --- 1b. implementation changed round 4 (date-parse paths) ---
-    "http_dates": (q_http_dates, SQL_HTTP_DATES),
-    "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
-    # --- 2. core crawl-cycle surface (gated every round) ---
-    "generator_topn": (q_generator_topn, SQL_GENERATOR_TOPN),
-    "generator_hostcap": (q_generator_hostcap, SQL_GENERATOR_HOSTCAP),
-    "generator_due": (q_generator_due, SQL_GENERATOR_DUE),
-    "partition_hostcount": (q_partition_hostcount, SQL_PARTITION_HOSTCOUNT),
-    "inject_merge": (q_inject_merge, SQL_INJECT_MERGE),
-    "updatedb_transitions": (q_updatedb_transitions, SQL_UPDATEDB_TRANSITIONS),
-    "linkdb_invert": (q_linkdb_invert, SQL_LINKDB_INVERT),
-    "opic_inlink_sum": (q_opic_inlink_sum, SQL_OPIC_INLINK_SUM),
-    "segment_merge": (q_segment_merge, SQL_SEGMENT_MERGE),
-    "crawldb_merge": (q_crawldb_merge, SQL_CRAWLDB_MERGE),
-    "index_dedup": (q_index_dedup, SQL_INDEX_DEDUP),
-    "indexer_join": (q_indexer_join, SQL_INDEXER_JOIN),
-    "index_fields": (q_index_fields, SQL_INDEX_FIELDS),
-    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
-    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
-    "score_updater": (q_score_updater, SQL_SCORE_UPDATER),
+    # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
+    #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
+    #     these 32 were green in r03's window, re-verify on r5 code) ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
@@ -3439,7 +3388,6 @@ QUERIES: dict[str, tuple] = {
     "zip_parse": (q_zip_parse, SQL_ZIP_PARSE),
     "url_validator": (q_url_validator, SQL_URL_VALIDATOR),
     "linkdb_merge": (q_linkdb_merge, SQL_LINKDB_MERGE),
-    # --- 3. rotate-out: green in CORRECTNESS_r01-r03, parked this round ---
     "crawldb_stats": (q_crawldb_stats, SQL_CRAWLDB_STATS),
     "schedule_default": (q_schedule_default, SQL_SCHEDULE_DEFAULT),
     "schedule_adaptive": (q_schedule_adaptive, SQL_SCHEDULE_ADAPTIVE),
@@ -3459,4 +3407,57 @@ QUERIES: dict[str, tuple] = {
     "dmoz_import": (q_dmoz_import, SQL_DMOZ_IMPORT),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    # --- 2. behavior touched in round 5 (LSH bucket caps, linkdb oracle
+    #     NULL order, cache/eager + loops/linkrank probes, seen fmt gate) ---
+    "minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup),
+    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup),
+    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard),
+    "ann_topk": (q_ann_topk, _sql_ann_topk),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup),
+    "linkdb_read": (q_linkdb_read, SQL_LINKDB_READ),
+    "linkrank": (q_linkrank, _sql_linkrank),
+    "fetch_kernel": (q_fetch_kernel, _sql_fetch_kernel),
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    # --- 3. driver-green in r04, unchanged ---
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
+    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "domain_quota_sample": (q_domain_quota_sample, SQL_DOMAIN_QUOTA_SAMPLE),
+    "index_clean": (q_index_clean, SQL_INDEX_CLEAN),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "ann_ivf": (q_ann_ivf, _sql_ann_ivf),
+    "pdf_parse": (q_pdf_parse, SQL_PDF_PARSE),
+    "urlmeta": (q_urlmeta, SQL_URLMETA),
+    "segment_dump": (q_segment_dump, SQL_SEGMENT_DUMP),
+    "crawldb_scan": (q_crawldb_scan, SQL_CRAWLDB_SCAN),
+    "partition_byip": (q_partition_byip, SQL_PARTITION_BYIP),
+    "dataset_build": (q_dataset_build, SQL_DATASET_BUILD),
+    "fetch_redirects": (q_fetch_redirects, _sql_fetch_redirects),
+    "fetch_throughput": (q_fetch_throughput, _sql_fetch_throughput),
+    "span_extraction": (q_span_extraction, _sql_span_extraction),
+    "signatures": (q_signatures, SQL_SIGNATURES),
+    "repr_url": (q_repr_url, SQL_REPR_URL),
+    "schedule_forced": (q_schedule_forced, SQL_SCHEDULE_FORCED),
+    "url_filters": (q_url_filters, SQL_URL_FILTERS),
+    "quality_score": (q_quality_score, _sql_quality_score),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "http_dates": (q_http_dates, SQL_HTTP_DATES),
+    "feed_parse": (q_feed_parse, SQL_FEED_PARSE),
+    "generator_topn": (q_generator_topn, SQL_GENERATOR_TOPN),
+    "generator_hostcap": (q_generator_hostcap, SQL_GENERATOR_HOSTCAP),
+    "generator_due": (q_generator_due, SQL_GENERATOR_DUE),
+    "partition_hostcount": (q_partition_hostcount, SQL_PARTITION_HOSTCOUNT),
+    "inject_merge": (q_inject_merge, SQL_INJECT_MERGE),
+    "updatedb_transitions": (q_updatedb_transitions, SQL_UPDATEDB_TRANSITIONS),
+    "linkdb_invert": (q_linkdb_invert, SQL_LINKDB_INVERT),
+    "opic_inlink_sum": (q_opic_inlink_sum, SQL_OPIC_INLINK_SUM),
+    "segment_merge": (q_segment_merge, SQL_SEGMENT_MERGE),
+    "crawldb_merge": (q_crawldb_merge, SQL_CRAWLDB_MERGE),
+    "index_dedup": (q_index_dedup, SQL_INDEX_DEDUP),
+    "indexer_join": (q_indexer_join, SQL_INDEXER_JOIN),
+    "index_fields": (q_index_fields, SQL_INDEX_FIELDS),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "score_updater": (q_score_updater, SQL_SCORE_UPDATER),
 }
