@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+from nutch_spark.checkpoints import iter_checkpoint
 from nutch_spark.functions.similarity import DEFAULT_BUCKET_CAP
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
@@ -433,16 +434,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        # materialize once: every propagation round joins the edge set, and
-        # without this the pair-generation subtree re-executes per round
-        .localCheckpoint(eager=True)
     )
+    # materialize once: every propagation round joins the edge set, and
+    # without this the pair-generation subtree re-executes per round
+    edges = iter_checkpoint(edges, eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    labels = iter_checkpoint(labels, eager=True)
     for _ in range(max_iter):
         # min label over the closed neighborhood (own + neighbors')
         neigh = (
@@ -459,7 +460,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
                 (F.col("n_comp") < F.col("component")).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = iter_checkpoint(new_labels, eager=True)
         changed = new_labels.filter(F.coalesce(F.col("_chg"), F.lit(False))).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from nutch_spark.checkpoints import iter_checkpoint
 from nutch_spark.config import CrawlConfig
 from nutch_spark.functions.urls import host_col
 
@@ -122,7 +123,8 @@ def fetch_with_outlink_following(
             .withColumn("retries", F.lit(0))
             .withColumn("sort_hash", F.lit(0))
             .drop("from_url")
-        ).localCheckpoint(eager=True)  # materialize the next fetchlist...
+        )
+        nxt = iter_checkpoint(nxt, eager=True)  # materialize the next fetchlist...
         # ...then release this depth's parse caches (recomputable from the
         # still-cached fetch output if the caller reads parsed_by_depth)
         parsed["links"].unpersist()

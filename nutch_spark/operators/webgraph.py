@@ -35,6 +35,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from nutch_spark.checkpoints import iter_checkpoint
 from nutch_spark.functions.urls import (
     extract_host, extract_host_series, host_col, registered_domain,
 )
@@ -282,7 +283,7 @@ def linkrank(edges: DataFrame, nodes: DataFrame, iterations: int = 10,
     out_deg = out_deg.cache()
     # every iteration left-joins the node list; pin it so the node-source
     # subtree executes once (count() below doubles as the materializer)
-    nodes = nodes.select("url").localCheckpoint(eager=True)
+    nodes = iter_checkpoint(nodes.select("url"), eager=True)
     n_nodes = nodes.count()
     r1 = (1.0 / n_nodes) if rank_one is None else rank_one
     rank = nodes.select("url", F.lit(float(initial_score)).alias("rank"))
@@ -304,8 +305,8 @@ def linkrank(edges: DataFrame, nodes: DataFrame, iterations: int = 10,
                  * (F.lit(r1) + F.coalesce(F.col("in_share"), F.lit(0.0)))
                  ).alias("rank"),
             )
-            .localCheckpoint(eager=False)  # cut lineage per iteration
         )
+        rank = iter_checkpoint(rank, eager=False)  # cut lineage per iteration
     return rank
 
 
@@ -404,7 +405,7 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
     # materialize the deduped edge set once: every Looper pass joins against
     # it (and `routes` derives from it) — without the checkpoint the edge
     # fixture subtree re-executes per pass x per join
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = iter_checkpoint(edges.select("src", "dst").distinct(), eager=True)
     inlinked = e.select(F.col("dst").alias("src")).distinct()
     routes = (
         e.join(inlinked, "src")  # numInlinks > 0 gate (:261-263)
@@ -429,7 +430,7 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
             # pass's anti-join; the next routes checkpoint materializes
             # them eagerly anyway, so pinning them here is free and stops
             # the final action recomputing the routes-join a second time
-            hits = hits.localCheckpoint(eager=True)
+            hits = iter_checkpoint(hits, eager=True)
         found_parts.append(hits)
         if i < depth - 1:
             routes = (
@@ -437,8 +438,8 @@ def find_loops(edges: DataFrame, depth: int = 2) -> DataFrame:
                 .join(out, "position")
                 .select("looking_for", "first_hop", F.col("nxt").alias("position"))
                 .distinct()
-                .localCheckpoint(eager=True)  # cut the per-pass lineage
             )
+            routes = iter_checkpoint(routes, eager=True)  # cut the per-pass lineage
     found = found_parts[0]
     for f in found_parts[1:]:
         found = found.unionByName(f)

@@ -196,3 +196,43 @@ def test_update_scores_clear_score(spark):
     got2 = {r.url: r.score for r in
             update_scores(f, rank, clear_score=1.25).collect()}
     assert got2["http://out-sim.com/"] == 1.25
+
+
+def test_reliable_checkpoint_knob_preserves_results(spark, tmp_path):
+    """With spark.nutch_spark.checkpoint.dir set, every iterative lineage
+    cut (linkrank, find_loops, duplicate_clusters) uses RELIABLE
+    checkpoint() against the dir instead of executor-stored
+    localCheckpoint — same results, and checkpoint files actually land on
+    disk (what survives an executor loss on a real cluster)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nutch_spark.checkpoints import CHECKPOINT_DIR_CONF
+    from nutch_spark.operators.dedup import duplicate_clusters
+    from nutch_spark.operators.webgraph import find_loops, linkrank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "url string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "a long, b long")
+
+    def snapshot():
+        lr = {(r.url, round(r.rank, 6)) for r in
+              linkrank(edges, nodes, iterations=3).collect()}
+        lo = {(r.url, tuple(r.loop_set)) for r in
+              find_loops(edges, depth=2).collect()}
+        cl = {(r.doc_id, r.component) for r in duplicate_clusters(pairs).collect()}
+        return lr, lo, cl
+
+    base = snapshot()
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        reliable = snapshot()
+        # the knob really switched modes: reliable checkpoint wrote files
+        found = any(files for _, _, files in os.walk(ckdir))
+        assert found, "no checkpoint files written under the configured dir"
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == base
