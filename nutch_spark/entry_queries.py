@@ -1324,38 +1324,39 @@ def _sql_ngram_jaccard():
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: media feature extraction (stubbed decode) through
-    the real mapInPandas/Arrow path. Output is scalar-sortable: the 8-dim
-    stub feature is re-expressed as integer byte-sums (round(f*2040) inverts
-    the stub's mean/255 normalization exactly), so the driver can sort+hash
-    rows and DuckDB can recompute them arithmetically."""
+    """Multimodal feature extraction over REAL decoded pixels: the synth
+    payloads are actual PPM/BMP/PNG files (rotating per ref index, all
+    encoding pixel byte j = (idx+j)%256 for an 8x8 RGB image), the kernel
+    decodes them with the stdlib codecs and takes per-row means. Output is
+    scalar-sortable: round(f * 6120) inverts mean-of-24-bytes/255 exactly,
+    so the driver can sort+hash rows and DuckDB recomputes the decoded
+    row-sums arithmetically — a wrong decode in ANY of the three formats
+    breaks the hash."""
     from nutch_spark.operators.media import extract_media_features, synth_media_table
 
     refs = [f"http://img.example-cdn.com/{i}.jpg" for i in range(100)]
     feats = extract_media_features(synth_media_table(spark, refs))
     cols = [
-        F.round(F.element_at("feature", j + 1).cast("double") * 2040)
+        F.round(F.element_at("feature", j + 1).cast("double") * 6120)
         .cast("long").alias(f"f{j}")
         for j in range(8)
     ]
     return feats.select("media_ref", "kind", "decoded", *cols)
 
 
-SQL_MEDIA_FEATURES = """
+def _sql_media_feature_col(r: int) -> str:
+    return (f"CAST((SELECT SUM((idx + {24 * r} + j.k) % 256) "
+            f"FROM range(24) j(k)) AS BIGINT) AS f{r}")
+
+
+SQL_MEDIA_FEATURES = f"""
 WITH refs AS (
   SELECT CAST(i AS INTEGER) AS idx,
          'http://img.example-cdn.com/' || CAST(i AS VARCHAR) || '.jpg' AS media_ref
   FROM range(100) t(i)
 )
 SELECT media_ref, 'image' AS kind, TRUE AS decoded,
-       CAST(8*idx + 64*0 + 28 AS BIGINT) AS f0,
-       CAST(8*idx + 64*1 + 28 AS BIGINT) AS f1,
-       CAST(8*idx + 64*2 + 28 AS BIGINT) AS f2,
-       CAST(8*idx + 64*3 + 28 AS BIGINT) AS f3,
-       CAST(8*idx + 64*4 + 28 AS BIGINT) AS f4,
-       CAST(8*idx + 64*5 + 28 AS BIGINT) AS f5,
-       CAST(8*idx + 64*6 + 28 AS BIGINT) AS f6,
-       CAST(8*idx + 64*7 + 28 AS BIGINT) AS f7
+       {", ".join(_sql_media_feature_col(r) for r in range(8))}
 FROM refs
 """
 
@@ -2792,9 +2793,11 @@ FROM range(80) t(i),
 
 
 def q_media_resize(spark, sf_dir):
-    """Multimodal resize plumbing (stub resample: every 2nd payload byte,
-    dims halved). payload[j] = (idx+j)%256 by construction, so the resized
-    checksum = sum((idx+2j)%256, j<32) is plain arithmetic for the oracle."""
+    """REAL image resize: decode the synthetic PPM/BMP/PNG payloads, 2x2
+    integer box filter, re-encode as PPM. out dims come from the decoded
+    array (8x8 -> 4x4); checksum sums every output-payload byte (PPM header
+    456 + the 48 box-filtered pixel bytes), all restated arithmetically by
+    the oracle — a wrong decode, filter, or re-encode breaks the hash."""
     from nutch_spark.operators.media import resize_media, synth_media_table
 
     import numpy as np
@@ -2816,11 +2819,19 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+# header bytes of "P6\n4 4\n255\n" sum to 456; each output pixel byte is the
+# floor-mean of its 2x2 input block, input byte (row,col,ch) = (i + 24*row
+# + 3*col + ch) % 256
 SQL_MEDIA_RESIZE = """
 SELECT 'http://img.example-cdn.com/' || CAST(i AS VARCHAR) || '.jpg' AS media_ref,
-       CAST((64 + (i * 3) % 192) // 2 AS BIGINT) AS out_width,
-       CAST((64 + (i * 5) % 192) // 2 AS BIGINT) AS out_height,
-       CAST((SELECT SUM((i + 2 * j.k) % 256) FROM range(32) j(k)) AS BIGINT) AS checksum
+       CAST(4 AS BIGINT) AS out_width,
+       CAST(4 AS BIGINT) AS out_height,
+       CAST(456 + (SELECT SUM((
+             (i + 48*r.a + 6*c.b + ch.c) % 256
+           + (i + 48*r.a + 6*c.b + 3 + ch.c) % 256
+           + (i + 48*r.a + 24 + 6*c.b + ch.c) % 256
+           + (i + 48*r.a + 24 + 6*c.b + 3 + ch.c) % 256) // 4)
+         FROM range(4) r(a), range(4) c(b), range(3) ch(c)) AS BIGINT) AS checksum
 FROM range(120) t(i)
 """
 

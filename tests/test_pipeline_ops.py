@@ -168,7 +168,8 @@ def test_detect_language_known_samples(spark):
 
 def test_media_pipeline_plumbing(spark, corpus_tables):
     """Multimodal: synth media for corpus media refs -> features -> span join.
-    Decode is stubbed; plumbing (schema/batching/joins) is real."""
+    Image decode is REAL (PPM/BMP/PNG codecs); audio/video payloads have no
+    in-container decoder and must surface decoded=False, not fail."""
     from nutch_spark.operators.parse import extract_spans, spans_to_documents
 
     spans = extract_spans(corpus_tables["raw_content"])
@@ -178,7 +179,10 @@ def test_media_pipeline_plumbing(spark, corpus_tables):
     feats = extract_media_features(media)
     got = feats.collect()
     assert all(len(r.feature) == 8 for r in got)
-    assert all(r.decoded for r in got)  # synth payloads all decode
+    # every real image payload decodes; non-image payloads don't and say so
+    assert all(r.decoded for r in got if r.kind == "image")
+    assert all(not r.decoded for r in got if r.kind != "image")
+    assert any(r.kind != "image" for r in got)
     # video frame sampling emits one row per sampled ts
     frames = sample_video_frames(media, every_ms=500)
     assert frames.count() > 0
