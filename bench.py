@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "sequence_pack",
     "train_val_split",
     "dataset_build",
+    # round-5 surface
+    "ext_parse",
+    "media_features",
+    "media_resize",
 ]
 
 

@@ -3382,7 +3382,44 @@ FROM ks
 #   2. core       — crawl-cycle operators kept under the gate every round;
 #   3. rotate-out — stable rows green in CORRECTNESS_r01-r03, parked beyond
 #                   the 50-row window this round (still in ORACLES_LOCAL).
+def q_ext_parse(spark, sf_dir):
+    """parse-ext analogue (parse/ext/ExtParser.java:72-141): pipe content
+    through an external command per content type — here the identity
+    `cat` via an sh wrapper that absorbs the appended mimeType argument
+    (the plugin's shipped `command` fixture contract). Parse text = the
+    command's stdout; outlinks = the OutlinkExtractor regex over it."""
+    from nutch_spark.operators.extparse import ExtCommand, run_ext_parse
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(200)
+    k = F.col("o_orderkey").cast("long")
+    body = F.format_string("doc %d visit http://ext.example.com/page/%d now", k, k)
+    df = o.select(
+        F.concat(F.lit("http://src.example.com/o/"), k.cast("string")).alias("url"),
+        F.encode(body, "utf-8").alias("content"),
+        F.lit("text/x-ext").alias("content_type"),
+        F.length(body).cast("long").alias("content_length"),
+    )
+    res = run_ext_parse(df, {"text/x-ext": ExtCommand("sh -c cat wrapper")})
+    return res.select(
+        "url", "status", "text",
+        F.array_join("outlinks", ",").alias("outlinks"), "error",
+    )
+
+
+SQL_EXT_PARSE = """
+WITH o AS (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 200)
+SELECT 'http://src.example.com/o/' || CAST(k AS VARCHAR) AS url,
+       CAST(1 AS INTEGER) AS status,
+       'doc ' || k || ' visit http://ext.example.com/page/' || k || ' now' AS text,
+       'http://ext.example.com/page/' || CAST(k AS VARCHAR) AS outlinks,
+       CAST(NULL AS VARCHAR) AS error
+FROM o
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    # --- 0. new in round 5 ---
+    "ext_parse": (q_ext_parse, SQL_EXT_PARSE),
     # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
     #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
     #     these 32 were green in r03's window, re-verify on r5 code) ---
