@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dataset_build",
     # round-5 surface
     "ext_parse",
+    "office_parse",
     "media_features",
     "media_resize",
 ]

@@ -3417,9 +3417,56 @@ FROM o
 """
 
 
+def q_office_parse(spark, sf_dir):
+    """parse-tika office slice without the library: real RTF bytes (info
+    group title, \\par breaks) and real OpenDocument zip packages
+    (content.xml paragraphs + meta.xml dc:title) through the MIME dispatch
+    kernel — title + text span + regex outlinks, the TikaParser.java
+    ParseResult shape."""
+    from nutch_spark.operators.officeparse import encode_odf
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    rows = []
+    for k in range(150):
+        url = f"http://docs.example.com/{k}"
+        body = f"Office doc {k} visit http://off.example.com/page/{k}"
+        line2 = f"second line {k}"
+        title = f"T {k}"
+        if k % 2 == 0:
+            payload = ("{\\rtf1\\ansi{\\info{\\title %s}}%s\\par %s}"
+                       % (title, body, line2)).encode()
+            ctype = "application/rtf"
+        else:
+            payload = encode_odf([body, line2], title=title)
+            ctype = "application/vnd.oasis.opendocument.text"
+        rows.append((url, payload, ctype))
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string")
+    docs = extract_documents_by_mime(df)
+    texts = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    links = F.filter("spans", lambda s: s["kind"] == F.lit("link"))
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        "title",
+        F.array_join(F.transform(texts, lambda s: s["text"]), " ").alias("text"),
+        F.array_join(F.transform(links, lambda s: s["media_ref"]), ",").alias("outlinks"),
+    )
+
+
+SQL_OFFICE_PARSE = """
+SELECT 'http://docs.example.com/' || CAST(i AS VARCHAR) AS url,
+       'T ' || i AS title,
+       'Office doc ' || i || ' visit http://off.example.com/page/' || i
+         || chr(10) || 'second line ' || i AS text,
+       'http://off.example.com/page/' || CAST(i AS VARCHAR) AS outlinks
+FROM range(150) t(i)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- 0. new in round 5 ---
     "ext_parse": (q_ext_parse, SQL_EXT_PARSE),
+    "office_parse": (q_office_parse, SQL_OFFICE_PARSE),
     # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
     #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
     #     these 32 were green in r03's window, re-verify on r5 code) ---

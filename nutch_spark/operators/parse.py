@@ -797,6 +797,48 @@ def _feed_pdf_lazy(pdf: pd.DataFrame) -> pd.DataFrame:
     return _feed_pdf(pdf)
 
 
+def _office_family(pdf: pd.DataFrame, extract) -> pd.DataFrame:
+    """Shared RTF/ODF ParseResult shape (same contract as _pdf_family:
+    title + one text span + OutlinkExtractor regex links over the text,
+    TikaParser.java:157-161). Unparseable bodies -> no document."""
+    from nutch_spark.operators.pdfparse import extract_text_outlinks
+
+    rows = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        if content is None:
+            continue
+        data = (bytes(content) if isinstance(content, (bytes, bytearray))
+                else content.encode("latin-1", "ignore"))
+        parsed = extract(data)
+        if parsed is None:
+            continue
+        title, text = parsed
+        spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+        for i, to in enumerate(extract_text_outlinks(text)):
+            spans.append({"kind": "link", "text": "",
+                          "media_ref": to, "offset": i + 1})
+        rows.append({"doc_id": url, "title": title, "noindex": False,
+                     "nofollow": False, "refresh_to": None, "meta": {},
+                     "spans": spans})
+    return pd.DataFrame(rows)
+
+
+def _rtf_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """parse-tika RTF analogue: stdlib control-word walk
+    (operators/officeparse.py)."""
+    from nutch_spark.operators.officeparse import extract_rtf
+
+    return _office_family(pdf, extract_rtf)
+
+
+def _odf_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """parse-tika OpenDocument analogue (odt/ods/odp): zip + content.xml
+    walk (operators/officeparse.py)."""
+    from nutch_spark.operators.officeparse import extract_odf
+
+    return _office_family(pdf, extract_odf)
+
+
 MIME_PARSERS = {
     "text/html": extract_documents_pdf,
     "application/xhtml": extract_documents_pdf,
@@ -813,6 +855,12 @@ MIME_PARSERS = {
     "application/rss": _feed_pdf_lazy,
     "application/atom": _feed_pdf_lazy,
     "text/xml": _feed_pdf_lazy,
+    # parse-tika office slice without the library (operators/officeparse.py):
+    # RTF control-word walk; OpenDocument zip+content.xml (covers .text /
+    # .spreadsheet / .presentation via the family prefix)
+    "application/rtf": _rtf_pdf,
+    "text/rtf": _rtf_pdf,
+    "application/vnd.oasis.opendocument": _odf_pdf,
 }
 
 _DOCS_NESTED_COLS = ["doc_id", "title", "noindex", "nofollow",
