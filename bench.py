@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # round-5 surface
     "ext_parse",
     "office_parse",
+    "swf_parse",
     "media_features",
     "media_resize",
 ]

@@ -3463,10 +3463,57 @@ FROM range(150) t(i)
 """
 
 
+def q_swf_parse(spark, sf_dir):
+    """parse-swf analogue: real SWF binaries (DefineEditText initial text
+    + a DoAction GetURL; FWS plain for even ids, CWS zlib for odd)
+    through the MIME dispatch — text from the tag walk, the GetURL url as
+    the first outlink (SWFParser.java:85-130)."""
+    import struct
+    import zlib as _z
+
+    from nutch_spark.operators.parse import extract_documents_by_mime
+
+    def _tag(code, body):
+        return struct.pack("<H", (code << 6) | len(body)) + body
+
+    def _swf(k):
+        txt = f"flash doc {k} visit".encode()
+        et = struct.pack("<H", 1) + b"\x00" + bytes([0x88, 0x00]) + b"v\x00" + txt + b"\x00"
+        url = f"http://swf.example.com/page/{k}".encode()
+        act = bytes([0x83]) + struct.pack("<H", len(url) + 8) + url + b"\x00_blank\x00" + b"\x00"
+        body = (b"\x00" + struct.pack("<HH", 0x0C00, 1)
+                + _tag(37, et) + _tag(12, act) + _tag(0, b""))
+        if k % 2:
+            return b"CWS" + bytes([6]) + struct.pack("<I", 8 + len(body)) + _z.compress(body)
+        return b"FWS" + bytes([6]) + struct.pack("<I", 8 + len(body)) + body
+
+    rows = [(f"http://flash.example.com/{k}", _swf(k),
+             "application/x-shockwave-flash") for k in range(120)]
+    df = spark.createDataFrame(
+        rows, "url string, content binary, content_type string")
+    docs = extract_documents_by_mime(df)
+    texts = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    links = F.filter("spans", lambda s: s["kind"] == F.lit("link"))
+    return docs.select(
+        F.col("doc_id").alias("url"),
+        F.array_join(F.transform(texts, lambda s: s["text"]), " ").alias("text"),
+        F.array_join(F.transform(links, lambda s: s["media_ref"]), ",").alias("outlinks"),
+    )
+
+
+SQL_SWF_PARSE = """
+SELECT 'http://flash.example.com/' || CAST(i AS VARCHAR) AS url,
+       'flash doc ' || i || ' visit' AS text,
+       'http://swf.example.com/page/' || CAST(i AS VARCHAR) AS outlinks
+FROM range(120) t(i)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- 0. new in round 5 ---
     "ext_parse": (q_ext_parse, SQL_EXT_PARSE),
     "office_parse": (q_office_parse, SQL_OFFICE_PARSE),
+    "swf_parse": (q_swf_parse, SQL_SWF_PARSE),
     # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
     #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
     #     these 32 were green in r03's window, re-verify on r5 code) ---

@@ -839,6 +839,36 @@ def _odf_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return _office_family(pdf, extract_odf)
 
 
+def _swf_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """parse-swf analogue (SWFParser.java:85-130): text from edit-text
+    fields, glyph runs and action strings; outlinks = the GetURL urls
+    FIRST, then the OutlinkExtractor regex over the text (:102-110);
+    title is always ''. Unreadable bodies (bad magic/deflate, LZMA) are
+    the FAILED path: no document."""
+    from nutch_spark.operators.pdfparse import extract_text_outlinks
+    from nutch_spark.operators.swfparse import extract_swf
+
+    rows = []
+    for url, content in zip(pdf["url"], pdf["content"]):
+        if content is None:
+            continue
+        data = (bytes(content) if isinstance(content, (bytes, bytearray))
+                else content.encode("latin-1", "ignore"))
+        parsed = extract_swf(data)
+        if parsed is None:
+            continue
+        text, urls = parsed
+        links = urls + extract_text_outlinks(text)
+        spans = [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+        for i, to in enumerate(links):
+            spans.append({"kind": "link", "text": "",
+                          "media_ref": to, "offset": i + 1})
+        rows.append({"doc_id": url, "title": "", "noindex": False,
+                     "nofollow": False, "refresh_to": None, "meta": {},
+                     "spans": spans})
+    return pd.DataFrame(rows)
+
+
 MIME_PARSERS = {
     "text/html": extract_documents_pdf,
     "application/xhtml": extract_documents_pdf,
@@ -861,6 +891,9 @@ MIME_PARSERS = {
     "application/rtf": _rtf_pdf,
     "text/rtf": _rtf_pdf,
     "application/vnd.oasis.opendocument": _odf_pdf,
+    # parse-swf analogue (operators/swfparse.py): FWS/CWS containers,
+    # edit-text + glyph-run + ActionScript text, GetURL outlinks
+    "application/x-shockwave-flash": _swf_pdf,
 }
 
 _DOCS_NESTED_COLS = ["doc_id", "title", "noindex", "nofollow",

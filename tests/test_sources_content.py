@@ -333,14 +333,24 @@ def test_fetch_with_outlink_following(spark, corpus_tables):
 
 
 def test_resize_media(spark):
-    from nutch_spark.operators.media import resize_media, synth_media_table
+    """REAL resize: the synth payload is an actual image (8x8 RGB), the
+    kernel decodes it, 2x2 box-filters, and re-encodes as PPM — output
+    dims come from the decoded array, pixels are floor-means."""
+    import numpy as np
+
+    from nutch_spark.functions.imaging import decode_ppm
+    from nutch_spark.operators.media import (
+        resize_media, synth_media_table, synth_pixels)
 
     refs = ["http://img.example-cdn.com/7.jpg", "http://cdn.example.com/v/9.mp4"]
     out = resize_media(synth_media_table(spark, refs), scale=2).collect()
     assert len(out) == 1  # only images resize
     r = out[0]
-    assert r["width"] == (64 + 7 * 3 % 192) // 2
-    assert bytes(r["payload"]) == bytes((7 + j) % 256 for j in range(0, 64, 2))
+    assert (r["width"], r["height"]) == (4, 4)
+    got = decode_ppm(bytes(r["payload"]))
+    px = synth_pixels(7).astype(np.uint32)
+    want = (px.reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) // 4).astype(np.uint8)
+    assert (got == want).all()
 
 
 # ---------------------------------------------------------------------------
