@@ -249,7 +249,6 @@ def _parse_edittext(body: bytes, strings: list[str]) -> None:
 def _parse_actions(body: bytes, start: int, action_strings: set,
                    urls: list[str]) -> None:
     pool: list[str] = []
-    p = n = 0
     p, n = start, len(body)
     while p < n:
         code = body[p]
