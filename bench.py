@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ext_parse",
     "office_parse",
     "swf_parse",
+    "audio_features",
     "media_features",
     "media_resize",
 ]

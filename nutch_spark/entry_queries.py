@@ -3509,11 +3509,57 @@ FROM range(120) t(i)
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode: the synth audio payloads are actual 8-bit PCM
+    WAV files (RIFF chunk walk, functions/audio.py) whose 64 data bytes
+    are (idx+j)%256 — decoded samples ((b-128)/128 are exact binary
+    fractions, so rms/peak round-trip bit-exactly against the oracle's
+    arithmetic restatement; zero crossings count sign flips."""
+    from nutch_spark.operators.media import (
+        extract_audio_features, synth_media_table)
+
+    refs = [f"http://cdn.example.com/a/{i}.wav" for i in range(100)]
+    feats = extract_audio_features(synth_media_table(spark, refs))
+    return feats.select(
+        "media_ref", "n_samples", "sample_rate", "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        F.round("peak", 6).alias("peak"),
+        "decoded",
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH refs AS (
+  SELECT CAST(i AS INTEGER) AS idx,
+         'http://cdn.example.com/a/' || CAST(i AS VARCHAR) || '.wav' AS media_ref
+  FROM range(100) t(i)
+),
+s AS (
+  SELECT idx, media_ref, j.k AS k,
+         ((idx + j.k) % 256 - 128) / 128.0 AS v
+  FROM refs, range(64) j(k)
+)
+SELECT media_ref,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT) AS duration_ms,
+       ROUND(SQRT(AVG(v * v)), 6) AS rms,
+       CAST(SUM(CASE WHEN k < 63 AND (((idx + k) % 256 < 128)
+                       <> ((idx + k + 1) % 256 < 128)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       ROUND(MAX(ABS(v)), 6) AS peak,
+       TRUE AS decoded
+FROM s GROUP BY idx, media_ref
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # --- 0. new in round 5 ---
     "ext_parse": (q_ext_parse, SQL_EXT_PARSE),
     "office_parse": (q_office_parse, SQL_OFFICE_PARSE),
     "swf_parse": (q_swf_parse, SQL_SWF_PARSE),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
     #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
     #     these 32 were green in r03's window, re-verify on r5 code) ---

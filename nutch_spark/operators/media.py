@@ -85,6 +85,16 @@ def synth_media_table(spark, media_refs: list[str], seed: int = 42) -> DataFrame
             payload = _SYNTH_ENCODERS[idx % 3](synth_pixels(idx))
             width = height = SYNTH_IMG_SIDE
             duration = None
+        elif kind == "audio":
+            # REAL 8-bit PCM WAV whose 64 data bytes are (idx+j)%256 —
+            # the decoded samples stay plain arithmetic for the oracle
+            from nutch_spark.functions.audio import encode_wav
+
+            samples = (np.array([(idx + j) % 256 for j in range(64)],
+                                dtype=np.float64) - 128.0) / 128.0
+            payload = encode_wav(samples, rate=8000, bits=8)
+            width = height = None
+            duration = 8  # 64 samples @ 8 kHz
         else:
             payload = bytes((idx + j) % 256 for j in range(64))
             width = height = None
@@ -134,6 +144,52 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+    T.StructField("peak", T.DoubleType(), True),
+    T.StructField("decoded", T.BooleanType(), False),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (RIFF/WAVE PCM via functions/audio.py) ->
+    standard pipeline descriptors (duration, RMS, zero-crossing count,
+    peak). Non-WAV payloads (compressed codecs — declared gap) surface
+    decoded=False with NULL features."""
+    from nutch_spark.functions.audio import (
+        AudioFormatError, decode_wav, wav_features)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                rows["media_ref"].append(ref)
+                try:
+                    rate, mono = decode_wav(bytes(payload) if payload is not None else b"")
+                    f = wav_features(rate, mono)
+                    rows["n_samples"].append(f["n_samples"])
+                    rows["sample_rate"].append(f["sample_rate"])
+                    rows["duration_ms"].append(f["duration_ms"])
+                    rows["rms"].append(f["rms"])
+                    rows["zero_crossings"].append(f["zero_crossings"])
+                    rows["peak"].append(f["peak"])
+                    rows["decoded"].append(True)
+                except AudioFormatError:
+                    for k in ("n_samples", "sample_rate", "duration_ms",
+                              "rms", "zero_crossings", "peak"):
+                        rows[k].append(None)
+                    rows["decoded"].append(False)
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("kind") == "audio")
+            .mapInPandas(kernel, AUDIO_FEATURE_SCHEMA))
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
