@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "office_parse",
     "swf_parse",
     "audio_features",
+    "video_decode",
     "media_features",
     "media_resize",
 ]

@@ -3509,6 +3509,42 @@ FROM range(120) t(i)
 """
 
 
+def q_video_decode(spark, sf_dir):
+    """REAL video decode: the synth video payloads are actual uncompressed
+    RIFF/AVI files (10 fps, 4x4 DIB frames whose RGB byte j is
+    (idx+7f+j)%256); extract_video_frames decodes them, samples a frame
+    every 700 ms and checksums its ACTUAL pixels — the oracle restates
+    frame selection and pixel sums arithmetically."""
+    from nutch_spark.operators.media import (
+        extract_video_frames, synth_media_table)
+
+    refs = [f"http://cdn.example.com/vid/{i}.mp4" for i in range(60)]
+    return extract_video_frames(synth_media_table(spark, refs), every_ms=700)
+
+
+SQL_VIDEO_DECODE = """
+WITH refs AS (
+  SELECT CAST(i AS INTEGER) AS idx,
+         'http://cdn.example.com/vid/' || CAST(i AS VARCHAR) || '.mp4' AS media_ref
+  FROM range(60) t(i)
+),
+fr AS (SELECT idx, media_ref, 10 + (idx % 256) AS n FROM refs),
+ts AS (
+  SELECT idx, media_ref, n,
+         unnest(generate_series(0, n * 100 - 1, 700)) AS t
+  FROM fr
+)
+SELECT media_ref,
+       CAST(t AS BIGINT) AS frame_ts_ms,
+       CAST(t // 100 AS BIGINT) AS frame_index,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST((SELECT SUM((idx + 7 * (t // 100) + j.k) % 256)
+             FROM range(48) j(k)) AS BIGINT) AS checksum
+FROM ts
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """REAL audio decode: the synth audio payloads are actual 8-bit PCM
     WAV files (RIFF chunk walk, functions/audio.py) whose 64 data bytes
@@ -3560,6 +3596,7 @@ QUERIES: dict[str, tuple] = {
     "office_parse": (q_office_parse, SQL_OFFICE_PARSE),
     "swf_parse": (q_swf_parse, SQL_SWF_PARSE),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
     # --- 1. r05 gate window head: not driver-verified since r03 (VERDICT r4
     #     item 4: every query must hit a driver CORRECTNESS file in r03-r05;
     #     these 32 were green in r03's window, re-verify on r5 code) ---

@@ -70,6 +70,12 @@ def synth_pixels(idx: int, side: int = SYNTH_IMG_SIDE) -> np.ndarray:
     return ((idx + j) % 256).astype(np.uint8).reshape(side, side, 3)
 
 
+def synth_video_frame(idx: int, f: int, side: int = 4) -> np.ndarray:
+    """Deterministic 4x4 RGB frame f: byte j = (idx + 7f + j) % 256."""
+    j = np.arange(side * side * 3, dtype=np.int64)
+    return ((idx + 7 * f + j) % 256).astype(np.uint8).reshape(side, side, 3)
+
+
 def synth_media_table(spark, media_refs: list[str], seed: int = 42) -> DataFrame:
     """Deterministic fake media rows for the given refs. Image payloads are
     REAL files — PPM / BMP / PNG rotating on the ref index, all encoding
@@ -96,9 +102,18 @@ def synth_media_table(spark, media_refs: list[str], seed: int = 42) -> DataFrame
             width = height = None
             duration = 8  # 64 samples @ 8 kHz
         else:
-            payload = bytes((idx + j) % 256 for j in range(64))
-            width = height = None
+            # REAL uncompressed AVI at 10 fps whose frame count matches
+            # the metadata duration; frame f's RGB byte j is
+            # (idx + 7f + j) % 256 — decoded-frame checksums stay plain
+            # arithmetic for the oracle
+            from nutch_spark.functions.video import encode_avi
+
             duration = 1000 + (idx % 256) * 100
+            n_frames = duration // 100
+            payload = encode_avi(
+                [synth_video_frame(idx, f) for f in range(n_frames)],
+                fps=10.0)
+            width = height = None
         rows.append(
             {
                 "media_ref": ref, "kind": kind, "payload": payload,
@@ -192,9 +207,51 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             .mapInPandas(kernel, AUDIO_FEATURE_SCHEMA))
 
 
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_ts_ms", T.LongType(), False),
+    T.StructField("frame_index", T.LongType(), False),
+    T.StructField("width", T.LongType(), False),
+    T.StructField("height", T.LongType(), False),
+    T.StructField("checksum", T.LongType(), False),
+])
+
+
+def extract_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: decode uncompressed RIFF/AVI payloads
+    (functions/video.py), pick the frame under each sampled timestamp,
+    emit its dims + pixel checksum. Undecodable payloads (compressed
+    codecs — declared gap) contribute no rows, the parse-FAILED shape."""
+    from nutch_spark.functions.video import VideoFormatError, decode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_FRAME_SCHEMA}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    fps, w, h, frames = decode_avi(
+                        bytes(payload) if payload is not None else b"")
+                except VideoFormatError:
+                    continue
+                duration_ms = int(len(frames) * 1000 / fps)
+                for ts in range(0, duration_ms, every_ms):
+                    f = min(int(ts * fps / 1000), len(frames) - 1)
+                    rows["media_ref"].append(ref)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["frame_index"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["checksum"].append(int(frames[f].sum()))
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("kind") == "video")
+            .mapInPandas(kernel, VIDEO_FRAME_SCHEMA))
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one row per sampled timestamp (the actual
-    frame decode would need a video codec this container doesn't ship).
+    """Frame-sampling PLUMBING over metadata (kept alongside the real
+    decode in extract_video_frames: at crawl time most video is
+    compressed, so the metadata-driven sampler is what runs there).
     Native explode on a JVM-computed sequence — the expensive part
     (per-frame decode) stays in Arrow batches downstream."""
     vids = media.filter(F.col("kind") == "video")
