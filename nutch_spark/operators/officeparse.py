@@ -60,7 +60,6 @@ def extract_rtf(data: bytes) -> tuple[str, str] | None:
     m = re.search(rb"\\ansicpg(\d+)", data[:256])
     codec = f"cp{m.group(1).decode()}" if m else "cp1252"
     try:
-        b"".decode  # noqa: B018 — keep lint quiet about the try shape
         "x".encode(codec)
     except LookupError:
         codec = "cp1252"
